@@ -19,6 +19,7 @@ from .errors import (
     InternalError,
     InvalidPacket,
     OpusError,
+    UnsupportedMode,
 )
 from .packet import (
     MAX_FRAME_BYTES,
@@ -32,6 +33,7 @@ from .packet import (
     query_packet_sample_count,
     query_packet_samples_per_frame,
 )
+from .decoder import Decoder, DecoderConfiguration
 from .softclip import pcm_soft_clip
 from .types import Bandwidth, Channels, CodecMode, SamplingRate, convert_samples
 
@@ -42,6 +44,7 @@ __all__ = [
     "InternalError",
     "InvalidPacket",
     "OpusError",
+    "UnsupportedMode",
     "MAX_FRAME_BYTES",
     "MAX_FRAMES_PER_PACKET",
     "ParsedPacket",
@@ -52,6 +55,8 @@ __all__ = [
     "query_packet_frame_count",
     "query_packet_sample_count",
     "query_packet_samples_per_frame",
+    "Decoder",
+    "DecoderConfiguration",
     "pcm_soft_clip",
     "Bandwidth",
     "Channels",

@@ -30,3 +30,7 @@ class BufferTooSmall(OpusError):
 
 class InternalError(OpusError):
     """An internal error was detected."""
+
+
+class UnsupportedMode(OpusError):
+    """The packet requires a codec layer not yet built in this framework."""
