@@ -86,6 +86,10 @@ class CeltDecoder:
         self.disable_inv = channels == 1  # libopus default: mono disables inv
         self.error = False
         self.rng = 0
+        #: When False, decode() extracts symbol planes (self.last_planes)
+        #: and skips host DSP — the batched device plane synthesises.
+        self.synthesize_host = True
+        self.last_planes: dict | None = None
         self.reset()
 
     def reset(self) -> None:
@@ -105,6 +109,7 @@ class CeltDecoder:
         self.postfilter_tapset_old = 0
         self.loss_count = 0
         self.skip_plc = False
+        self.last_pitch_index = 0
 
     # -- helpers -----------------------------------------------------------
 
@@ -289,6 +294,40 @@ class CeltDecoder:
         if silence:
             old_band_e[:, :] = -28.0
 
+        if not self.synthesize_host:
+            # Batch/TPU mode: hand the dense symbol planes to the device
+            # synthesis kernel instead of running host DSP.  All host state
+            # that the front end owns (postfilter params, energy history,
+            # rng) still advances.
+            self.last_planes = {
+                "x": x_.copy(),
+                "band_log_e": old_band_e[:cc].copy(),
+                "silence": silence,
+                "short_blocks": bool(short_blocks),
+                "lm": lm,
+                "stream_channels": c_,
+                "start": start,
+                "eff_end": eff_end,
+                "pf_period0": max(self.postfilter_period_old, MIN_PERIOD),
+                "pf_period1": max(self.postfilter_period, MIN_PERIOD),
+                "pf_gain0": self.postfilter_gain_old,
+                "pf_gain1": self.postfilter_gain,
+                "pf_tapset0": self.postfilter_tapset_old,
+                "pf_tapset1": self.postfilter_tapset,
+                "pf_period2": postfilter_pitch,
+                "pf_gain2": postfilter_gain,
+                "pf_tapset2": postfilter_tapset,
+            }
+            self._rotate_postfilter(lm, postfilter_pitch, postfilter_gain, postfilter_tapset)
+            self._update_energy_history(is_transient, old_band_e, m, start, end, c_)
+            self.rng = dec.rng
+            self.loss_count = 0
+            if dec.tell() > 8 * frame_bytes:
+                raise InternalError("bit budget overrun")
+            if dec.error:
+                self.error = True
+            return pcm
+
         # Synthesis: denormalise + IMDCT with TDAC into the decode memory.
         out_syn = [self.decode_mem[c][DECODE_BUFFER_SIZE - n :] for c in range(cc)]
         b_count = m if short_blocks else 1
@@ -331,28 +370,38 @@ class CeltDecoder:
                     self.postfilter_gain, postfilter_gain,
                     self.postfilter_tapset, postfilter_tapset, modes.WINDOW, ov,
                 )
+        self._rotate_postfilter(lm, postfilter_pitch, postfilter_gain, postfilter_tapset)
+        self._update_energy_history(is_transient, old_band_e, m, start, end, c_)
+        self.rng = dec.rng
+
+        self._deemphasis(out_syn, pcm, n)
+        self.loss_count = 0
+        if dec.tell() > 8 * frame_bytes:
+            raise InternalError("bit budget overrun")
+        if dec.error:
+            self.error = True
+        return pcm
+
+    def _rotate_postfilter(self, lm: int, pitch: int, gain: float, tapset: int) -> None:
         self.postfilter_period_old = self.postfilter_period
         self.postfilter_gain_old = self.postfilter_gain
         self.postfilter_tapset_old = self.postfilter_tapset
-        self.postfilter_period = postfilter_pitch
-        self.postfilter_gain = postfilter_gain
-        self.postfilter_tapset = postfilter_tapset
+        self.postfilter_period = pitch
+        self.postfilter_gain = gain
+        self.postfilter_tapset = tapset
         if lm != 0:
             self.postfilter_period_old = self.postfilter_period
             self.postfilter_gain_old = self.postfilter_gain
             self.postfilter_tapset_old = self.postfilter_tapset
 
+    def _update_energy_history(self, is_transient, old_band_e, m, start, end, c_) -> None:
         if c_ == 1:
             old_band_e[1, :] = old_band_e[0, :]
-
         # Energy history for anti-collapse and PLC.
         if not is_transient:
             self.old_log_e2[:, :] = self.old_log_e
             self.old_log_e[:, :] = old_band_e
-            if self.loss_count < 10:
-                max_inc = m * 0.001
-            else:
-                max_inc = 1.0
+            max_inc = m * 0.001 if self.loss_count < 10 else 1.0
             np.minimum(self.background_log_e + max_inc, self.old_log_e, out=self.background_log_e)
         else:
             np.minimum(self.old_log_e, old_band_e, out=self.old_log_e)
@@ -364,21 +413,9 @@ class CeltDecoder:
             self.old_log_e[c, end:] = -28.0
             self.old_log_e2[c, end:] = -28.0
 
-        self.rng = dec.rng
-
-        self._deemphasis(out_syn, pcm, n)
-        self.loss_count = 0
-        if dec.tell() > 8 * frame_bytes:
-            raise InternalError("bit budget overrun")
-        if dec.error:
-            self.error = True
-        return pcm
-
     def _decode_lost(self, n: int, lm: int) -> None:
-        """Packet-loss concealment (zeros for now; pitch-LPC PLC lands with
-        the full PLC milestone)."""
-        for c in range(self.channels):
-            dm = self.decode_mem[c]
-            dm[: DECODE_BUFFER_SIZE - n + modes.OVERLAP // 2] = dm[n : DECODE_BUFFER_SIZE + modes.OVERLAP // 2]
-            dm[DECODE_BUFFER_SIZE - n :] = 0.0
-        self.loss_count += 1
+        """Packet-loss concealment: pitch-LPC extrapolation or comfort
+        noise (opus_tpu.celt.plc)."""
+        from .plc import decode_lost
+
+        decode_lost(self, n, lm)

@@ -1,0 +1,95 @@
+"""Device synthesis plane tests: batched JAX kernel vs the scalar host
+reference, plus the sharded-mesh dry run on virtual CPU devices."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from opus_tpu.celt import modes
+from opus_tpu.celt.bands import denormalise_bands
+from opus_tpu.celt.comb_filter import comb_filter
+from opus_tpu.celt.decoder import DECODE_BUFFER_SIZE
+from opus_tpu.celt.mdct import mdct_backward
+from opus_tpu.dsp import synthesis as S
+
+DBS = DECODE_BUFFER_SIZE
+OV = modes.OVERLAP
+LM = 1  # 5 ms frames keep kernel compiles quick in CI
+N = (1 << LM) * modes.SHORT_MDCT_SIZE
+
+
+def host_synth(mem, preemph, x, loge, short, pf):
+    """Scalar reference synthesis identical to CeltDecoder's DSP half."""
+    c_count = mem.shape[0]
+    m = 1 << LM
+    b_count = m if short else 1
+    nb = modes.SHORT_MDCT_SIZE if short else N
+    pcm = np.zeros((N, c_count), np.float32)
+    for c in range(c_count):
+        dm = mem[c]
+        dm[: DBS - N + OV // 2] = dm[N : DBS + OV // 2]
+        freq = np.empty(N)
+        denormalise_bands(x[c], freq, loge[c], 0, 21, m, 1, False)
+        for b in range(b_count):
+            mdct_backward(freq[b::b_count].copy(), dm[DBS - N + nb * b :])
+    p0, p1, p2, g0, g1, g2, t0, t1, t2 = pf
+    for c in range(c_count):
+        comb_filter(mem[c], DBS - N, p0, p1, modes.SHORT_MDCT_SIZE, g0, g1, t0, t1, modes.WINDOW, OV)
+        comb_filter(mem[c], DBS - N + modes.SHORT_MDCT_SIZE, p1, p2, N - modes.SHORT_MDCT_SIZE, g1, g2, t1, t2, modes.WINDOW, OV)
+    for c in range(c_count):
+        acc = preemph[c]
+        scratch = np.empty(N)
+        xs = mem[c][DBS - N : DBS]
+        for j in range(N):
+            tmp = xs[j] + 1e-30 + acc
+            acc = 0.8500061 * tmp
+            scratch[j] = tmp
+        preemph[c] = acc
+        pcm[:, c] = scratch / 32768.0
+    return pcm, mem, preemph
+
+
+@pytest.mark.parametrize("short", [False, True])
+@pytest.mark.parametrize(
+    "pf",
+    [
+        (15, 15, 0, 0.0, 0.0, 0.0, 0, 0, 0),
+        (15, 60, 200, 0.375, 0.1875, 0.28125, 1, 2, 0),
+    ],
+)
+def test_synthesis_kernel_matches_host(short, pf):
+    rng = np.random.default_rng(0)
+    c_count = 2
+    mem = (rng.standard_normal((c_count, DBS + OV)) * 100).astype(np.float32).astype(np.float64)
+    pre = (rng.standard_normal(c_count) * 10).astype(np.float32).astype(np.float64)
+    x = (rng.standard_normal((c_count, N)) * 0.2).astype(np.float32).astype(np.float64)
+    loge = (rng.standard_normal((c_count, 21)) * 2).astype(np.float32)
+    state = S.SynthState(
+        jnp.asarray(mem[None].astype(np.float32)), jnp.asarray(pre[None].astype(np.float32))
+    )
+    step = S.make_synthesis_step(LM, short, c_count, 1)
+    st2, pcm_d = step(
+        state,
+        jnp.asarray(x[None].astype(np.float32)),
+        jnp.asarray(loge[None]),
+        jnp.asarray([(1 << LM) * 100], jnp.int32),
+        jnp.asarray([[pf[0], pf[1], pf[2]]], jnp.int32),
+        jnp.asarray([[pf[3], pf[4], pf[5]]], jnp.float32),
+        jnp.asarray([[pf[6], pf[7], pf[8]]], jnp.int32),
+    )
+    pcm_h, mem_h, _ = host_synth(mem.copy(), pre.copy(), x, loge, short, pf)
+    scale = max(float(np.abs(pcm_h).max()), 1e-6)
+    assert float(np.abs(np.asarray(pcm_d)[0] - pcm_h).max()) < 2e-5 * max(1.0, scale * 32768 / 100)
+    # State memory parity in celt_sig units (relative to its scale).
+    dm = float(np.abs(np.asarray(st2.mem)[0][:, :DBS] - mem_h[:, :DBS]).max())
+    assert dm < 0.05
+
+
+def test_dryrun_multichip_cpu_mesh():
+    from __graft_entry__ import dryrun_multichip
+
+    if len(jax.devices("cpu")) < 2:
+        pytest.skip("needs >= 2 virtual CPU devices (xla_force_host_platform_device_count)")
+    dryrun_multichip(2)
