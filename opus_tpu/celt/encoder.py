@@ -1,0 +1,186 @@
+"""CELT encoder (RFC 6716 sec. 4.3, encode direction).
+
+Fills the reference's sketch at /root/reference/src/encoder.rs with a
+working encoder: pre-emphasis, forward MDCT filterbank, band energy
+analysis + coarse/fine coding, shared bit allocation, PVQ shape search
+(opus_tpu.celt.vq.alg_quant) and finalisation.
+
+Analysis *decisions* are deliberately simple for this milestone — long
+blocks only, normal spreading, no dynalloc boosts, trim 5, full stereo
+(theta) coding — every one of them a legal bitstream choice, so any
+conformant decoder (libopus included) reproduces our audio exactly.  The
+RDO/transient analysis layers slot in above this without changing the
+coding machinery.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..rc import RangeEncoder
+from . import modes
+from .bands import compute_band_energies, normalise_bands, quant_all_bands
+from .decoder import SPREAD_ICDF, TAPSET_ICDF, TF_SELECT_TABLE, TRIM_ICDF, tf_decode
+from .energy_encode import amp2_log2, quant_coarse_energy, quant_energy_finalise, quant_fine_energy
+from .mdct import mdct_forward
+from .rate import BITRES, compute_allocation, init_caps
+from .vq import SPREAD_NORMAL
+
+
+class CeltEncoder:
+    """Stateful CELT encoder for one stream (mono or stereo, 48 kHz)."""
+
+    def __init__(self, channels: int):
+        assert channels in (1, 2)
+        self.channels = channels
+        self.stream_channels = channels
+        self.start_band = 0
+        self.end_band = modes.NB_E_BANDS
+        self.reset()
+
+    def reset(self) -> None:
+        ov = modes.OVERLAP
+        self.in_mem = np.zeros((self.channels, ov), dtype=np.float64)
+        self.preemph_mem = np.zeros(self.channels, dtype=np.float64)
+        self.old_band_e = np.zeros((2, modes.NB_E_BANDS), dtype=np.float32)
+        self.rng = 0
+        self.frame_count = 0
+
+    def encode(self, pcm: np.ndarray, nb_bytes: int) -> bytes:
+        """Encode one frame of pcm [N, channels] (N in 2.5-20 ms at 48 kHz)
+        into exactly nb_bytes of CELT payload (constant bitrate)."""
+        n = pcm.shape[0]
+        lm = -1
+        for l in range(modes.MAX_LM + 1):
+            if modes.SHORT_MDCT_SIZE << l == n:
+                lm = l
+                break
+        assert lm >= 0, "frame must be 120/240/480/960 samples"
+        m = 1 << lm
+        cc = self.channels
+        c_ = self.stream_channels
+        ov = modes.OVERLAP
+        start, end = self.start_band, self.end_band
+        eff_end = min(end, modes.EFF_E_BANDS)
+        nb_bytes = min(nb_bytes, 1275)
+
+        buf = bytearray(nb_bytes)
+        enc = RangeEncoder(buf)
+        total_bits = nb_bytes * 8
+
+        # --- pre-emphasis + MDCT analysis --------------------------------
+        freq = np.zeros(cc * n)
+        band_input = np.zeros((cc, ov + n))
+        for c in range(cc):
+            x = pcm[:, c].astype(np.float64) * 32768.0
+            pre = x - np.concatenate([[self.preemph_mem[c]], float(modes.PREEMPH) * x[:-1]])
+            self.preemph_mem[c] = float(modes.PREEMPH) * x[-1]
+            band_input[c, :ov] = self.in_mem[c]
+            band_input[c, ov:] = pre
+            self.in_mem[c] = pre[n - ov :]
+            # Long-block forward MDCT (B=1).
+            freq[c * n : (c + 1) * n] = mdct_forward(band_input[c])
+        if c_ == 1 and cc == 2:
+            freq = 0.5 * (freq[:n] + freq[n:])
+            freq = np.concatenate([freq, freq])
+
+        band_e = compute_band_energies(freq, c_, m, eff_end)
+        x_ = np.zeros(c_ * n)
+        normalise_bands(freq, x_, band_e, c_, m, eff_end)
+        band_log_e = amp2_log2(band_e, eff_end, c_)
+
+        # --- header flags --------------------------------------------------
+        tell = enc.tell()
+        if tell == 1:
+            enc.encode_bit_logp(0, 15)  # not silence
+        tell = enc.tell()
+        if start == 0 and tell + 16 <= total_bits:
+            enc.encode_bit_logp(0, 1)  # no post-filter
+            tell = enc.tell()
+        is_transient = False
+        if lm > 0 and tell + 3 <= total_bits:
+            enc.encode_bit_logp(0, 3)  # long blocks only
+            tell = enc.tell()
+
+        # --- energy + per-band params --------------------------------------
+        intra = self.frame_count == 0
+        error = quant_coarse_energy(
+            enc, band_log_e, self.old_band_e, start, end, intra, lm, c_,
+            total_bits, nb_bytes,
+        )
+
+        # tf_res all zeros.
+        self._tf_encode(enc, start, end, is_transient, lm, nb_bytes)
+
+        if enc.tell() + 4 <= total_bits:
+            enc.encode_icdf(SPREAD_NORMAL, SPREAD_ICDF, 5)
+
+        cap = init_caps(lm, c_)
+        # Dynalloc: no boosts — one zero flag per band where affordable.
+        dynalloc_logp = 6
+        total_bits_frac = total_bits << BITRES
+        tell_frac = enc.tell_frac()
+        offsets = [0] * modes.NB_E_BANDS
+        for i in range(start, end):
+            if tell_frac + (dynalloc_logp << BITRES) < total_bits_frac:
+                enc.encode_bit_logp(0, dynalloc_logp)
+                tell_frac = enc.tell_frac()
+
+        alloc_trim = 5
+        if tell_frac + (6 << BITRES) <= total_bits_frac:
+            enc.encode_icdf(alloc_trim, TRIM_ICDF, 7)
+
+        bits = (nb_bytes * 8 << BITRES) - enc.tell_frac() - 1
+        anti_collapse_rsv = 0
+        intensity = end  # full stereo coding
+        dual_stereo = False
+        pulses, fine_quant, fine_priority, coded_bands, intensity, dual_stereo, balance = compute_allocation(
+            start, end, offsets, cap, alloc_trim, intensity, dual_stereo,
+            bits, c_, lm, enc, True, 0, end,
+        )
+
+        quant_fine_energy(enc, self.old_band_e, error, fine_quant, start, end, c_)
+
+        # --- band shapes -----------------------------------------------------
+        collapse_masks = np.zeros((modes.NB_E_BANDS, c_), dtype=np.int32)
+        tf_res = [0] * modes.NB_E_BANDS
+        self.rng = quant_all_bands(
+            True, start, end, x_, x_[n:] if c_ == 2 else None, collapse_masks,
+            band_e, pulses, False, SPREAD_NORMAL, dual_stereo, intensity, tf_res,
+            nb_bytes * (8 << BITRES) - anti_collapse_rsv, balance, enc, lm,
+            coded_bands, self.rng, complexity=0,
+        )
+
+        quant_energy_finalise(
+            enc, self.old_band_e, error, fine_quant, fine_priority,
+            nb_bytes * 8 - enc.tell(), start, end, c_,
+        )
+        if c_ == 1:
+            self.old_band_e[1, :] = self.old_band_e[0, :]
+        for c in range(2):
+            self.old_band_e[c, :start] = 0.0
+            self.old_band_e[c, end:] = 0.0
+
+        enc.done()
+        self.rng = enc.rng
+        self.frame_count += 1
+        return bytes(buf)
+
+    def _tf_encode(self, enc, start, end, is_transient, lm, nb_bytes) -> None:
+        """tf_res = all zeros (libopus tf_encode with zero changes)."""
+        budget = nb_bytes * 8
+        tell = enc.tell()
+        logp = 2 if is_transient else 4
+        tf_select_rsv = 1 if (lm > 0 and tell + logp + 1 <= budget) else 0
+        budget -= tf_select_rsv
+        curr = 0
+        tf_changed = 0
+        for _ in range(start, end):
+            if tell + logp <= budget:
+                enc.encode_bit_logp(0 ^ curr, logp)
+                tell = enc.tell()
+                curr = 0
+            logp = 4 if is_transient else 5
+        base = 4 if is_transient else 0
+        if tf_select_rsv and TF_SELECT_TABLE[lm][base + tf_changed] != TF_SELECT_TABLE[lm][base + 2 + tf_changed]:
+            enc.encode_bit_logp(0, 1)
