@@ -220,3 +220,75 @@ class Decoder:
     def __del__(self):
         if getattr(self, "ptr", None) and self.lib:
             self.lib.opus_decoder_destroy(self.ptr)
+
+
+class MultistreamEncoder:
+    """opus_multistream_encoder wrapper."""
+
+    def __init__(self, rate, channels, streams, coupled, mapping, application=APPLICATION_AUDIO):
+        self.lib = load()
+        err = ctypes.c_int()
+        m = (ctypes.c_ubyte * channels)(*mapping)
+        self.ptr = ctypes.c_void_p(
+            self.lib.opus_multistream_encoder_create(
+                rate, channels, streams, coupled, m, application, ctypes.byref(err)
+            )
+        )
+        _check(err.value, "ms_encoder_create")
+        self.channels = channels
+
+    def ctl(self, request: int, value: int) -> int:
+        return _check(self.lib.opus_multistream_encoder_ctl(self.ptr, request, ctypes.c_int(value)), "ms ctl")
+
+    def encode_float(self, pcm, frame_size, max_bytes=8000) -> bytes:
+        import numpy as _np
+
+        pcm = _np.ascontiguousarray(pcm, dtype=_np.float32)
+        buf = ctypes.create_string_buffer(max_bytes)
+        n = _check(
+            self.lib.opus_multistream_encode_float(
+                self.ptr, pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                frame_size, buf, max_bytes,
+            ),
+            "ms_encode",
+        )
+        return buf.raw[:n]
+
+    @property
+    def final_range(self) -> int:
+        out = ctypes.c_uint32()
+        _check(self.lib.opus_multistream_encoder_ctl(self.ptr, GET_FINAL_RANGE, ctypes.byref(out)), "fr")
+        return out.value
+
+
+class MultistreamDecoder:
+    """opus_multistream_decoder wrapper."""
+
+    def __init__(self, rate, channels, streams, coupled, mapping):
+        self.lib = load()
+        err = ctypes.c_int()
+        m = (ctypes.c_ubyte * channels)(*mapping)
+        self.ptr = ctypes.c_void_p(
+            self.lib.opus_multistream_decoder_create(rate, channels, streams, coupled, m, ctypes.byref(err))
+        )
+        _check(err.value, "ms_decoder_create")
+        self.channels = channels
+
+    def decode_float(self, packet, frame_size):
+        import numpy as _np
+
+        out = _np.zeros(frame_size * self.channels, dtype=_np.float32)
+        n = _check(
+            self.lib.opus_multistream_decode_float(
+                self.ptr, packet, 0 if packet is None else len(packet),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), frame_size, 0,
+            ),
+            "ms_decode",
+        )
+        return out[: n * self.channels].reshape(n, self.channels)
+
+    @property
+    def final_range(self) -> int:
+        out = ctypes.c_uint32()
+        _check(self.lib.opus_multistream_decoder_ctl(self.ptr, GET_FINAL_RANGE, ctypes.byref(out)), "fr")
+        return out.value
