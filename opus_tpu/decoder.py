@@ -67,13 +67,16 @@ class Decoder:
         self.decode_gain = int(self.config.gain)
         self.downsample = 48000 // rate
         self.celt = CeltDecoder(self.channels, self.downsample)
-        self.silk = None  # constructed by the SILK milestone
+        from .silk.api import SilkLayer
+
+        self.silk = SilkLayer(rate, self.channels)
         self.reset()
 
     # -- public accessors (reference: decoder.rs:80-123) --------------------
 
     def reset(self) -> None:
         self.celt.reset()
+        self.silk.reset()
         self.stream_channels = self.channels
         self.bandwidth: Bandwidth | None = None
         self.mode: CodecMode | None = None
@@ -114,6 +117,8 @@ class Decoder:
         return convert_samples(pcm, dtype)
 
     def decode_float(self, packet: bytes | None, frame_size: int, decode_fec: bool = False) -> np.ndarray:
+        if packet is not None and len(packet) == 0:
+            packet = None
         return self._decode_native(packet, frame_size, decode_fec, soft_clip=False)
 
     def _decode_native(self, packet, frame_size, decode_fec, soft_clip, self_delimited=False):
@@ -271,10 +276,14 @@ class Decoder:
 
         # --- SILK layer -----------------------------------------------------
         silk_pcm = None
-        if mode != CodecMode.CELT_ONLY and data is not None:
-            if self.silk is None:
-                raise UnsupportedMode("SILK/hybrid decoding requires the SILK milestone")
-            silk_pcm = self.silk.decode(dec, mode, bandwidth, frame_size, self.stream_channels, decode_fec)
+        if mode != CodecMode.CELT_ONLY:
+            if data is not None and self.prev_mode == CodecMode.CELT_ONLY:
+                # CELT-only -> SILK/hybrid: SILK state is stale; reset.
+                self.silk.reset()
+            silk_pcm = self.silk.decode(
+                dec if data is not None else None,
+                mode, bandwidth, frame_size, self.stream_channels, decode_fec,
+            )
 
         # --- redundancy flags (reference: decoder.rs:626-656) ---------------
         length_eff = length

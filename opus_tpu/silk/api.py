@@ -249,3 +249,63 @@ class SilkDecoder:
         if lost_flag != FLAG_PACKET_LOST:
             self.prev_decode_only_middle = decode_only_middle
         return out
+
+
+class SilkLayer:
+    """Adapter matching opus_decode_frame's SILK invocation (dec_API).
+
+    Chunks 40/60 ms Opus frames into silk_Decode calls, caches the
+    DecControl fields across PLC frames, and converts int16 -> float32.
+    """
+
+    def __init__(self, api_rate_hz: int, channels: int):
+        self.core = SilkDecoder()
+        self.api_rate = api_rate_hz
+        self.channels = channels
+        self._internal_rate = 16000
+        self._stream_channels = channels
+
+    def reset(self):
+        self.core.reset()
+
+    def decode(self, dec, mode, bandwidth, frame_size, stream_channels, decode_fec):
+        """Decode frame_size samples at the API rate; dec=None means loss."""
+        from ..types import Bandwidth, CodecMode
+
+        payload_ms = max(10, 1000 * frame_size // self.api_rate)
+        if dec is not None:
+            self._stream_channels = stream_channels
+            if mode == CodecMode.SILK_ONLY:
+                if bandwidth == Bandwidth.NARROWBAND:
+                    self._internal_rate = 8000
+                elif bandwidth == Bandwidth.MEDIUMBAND:
+                    self._internal_rate = 12000
+                else:
+                    self._internal_rate = 16000
+            else:
+                self._internal_rate = 16000
+        if dec is None:
+            lost_flag = FLAG_PACKET_LOST
+        elif decode_fec:
+            lost_flag = FLAG_DECODE_LBRR
+        else:
+            lost_flag = FLAG_DECODE_NORMAL
+        decoded = 0
+        outs = []
+        first = True
+        while decoded < frame_size:
+            out = self.core.decode(
+                dec,
+                self._stream_channels,
+                self.channels,
+                self._internal_rate,
+                self.api_rate,
+                payload_ms,
+                new_packet=first,
+                lost_flag=lost_flag,
+            )
+            first = False
+            outs.append(out)
+            decoded += out.shape[0]
+        pcm = np.concatenate(outs).astype(np.float32) / np.float32(32768.0)
+        return pcm[:frame_size]
