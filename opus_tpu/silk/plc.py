@@ -52,7 +52,7 @@ class PlcState:
         self.ltp_coef_q14 = [0] * LTP_ORDER
         self.prev_lpc_q12 = [0] * MAX_LPC_ORDER
         self.last_frame_lost = 0
-        self.rand_seed = 3176576
+        self.rand_seed = 0  # silk_init_decoder memsets the PLC struct
         self.rand_scale_q14 = 1 << 14
         self.conc_energy = 0
         self.conc_energy_shift = 0
@@ -170,7 +170,7 @@ def plc_conceal(st) -> list:
     rand_ptr = exc[rand_base : rand_base + RAND_BUF_SIZE]
     rand_ptr += [0] * (RAND_BUF_SIZE - len(rand_ptr))
 
-    b_q14 = list(plc.ltp_coef_q14)
+    b_q14 = plc.ltp_coef_q14  # aliased: decay persists in PLC state (C: pointer)
     rand_scale_q14 = plc.rand_scale_q14
 
     harm_gain_q15 = HARM_ATT_Q15[min(NB_ATT - 1, st.loss_cnt)]

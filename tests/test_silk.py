@@ -167,25 +167,27 @@ def test_silk_fec_decode():
     assert float(np.abs(m - r).max()) < 1e-7
 
 
-def test_silk_plc_survives():
-    """Loss concealment: not yet bit-exact vs libopus, but must be stable,
-    bounded, and resynchronise on the next good frame."""
-    enc = oracle.Encoder(16000, 1)
+@pytest.mark.parametrize(
+    "lost,rate,frame_ms,ch,kbps",
+    [
+        ((4, 5), 16000, 20, 1, 24),
+        ((6, 7, 8, 9, 10), 16000, 20, 1, 24),
+        ((4,), 8000, 60, 1, 12),
+        ((5, 6), 16000, 20, 2, 32),
+    ],
+)
+def test_silk_plc_bit_exact(lost, rate, frame_ms, ch, kbps):
+    """Loss concealment (PLC + CNG + glue) is bit-exact vs libopus."""
+    enc = oracle.Encoder(rate, ch)
     enc.ctl(oracle.SET_FORCE_MODE, oracle.MODE_SILK_ONLY)
-    enc.ctl(oracle.SET_BITRATE, 24000)
-    frame = 320
-    pcm = _speechy(16000, frame * 10, 1, seed=3)
-    pkts = [enc.encode_float(pcm[f * frame : (f + 1) * frame].ravel(), frame) for f in range(10)]
-    mine = Decoder(DecoderConfiguration(SamplingRate.HZ_16000, Channels.MONO))
-    ref = oracle.Decoder(16000, 1)
-    for f in range(10):
-        if f in (4, 5):
-            m = mine.decode_float(None, frame)
-            ref.decode_float(None, frame)
-            assert np.all(np.isfinite(m)) and float(np.abs(m).max()) <= 1.5
-        else:
-            r = np.asarray(ref.decode_float(pkts[f], frame)).reshape(-1)
-            m = mine.decode_float(pkts[f], frame)[:, 0]
-            assert ref.final_range == mine.final_range, f"frame {f}"
-            if f >= 8:  # two good frames later the states have re-converged
-                assert float(np.abs(m - r).max()) < 0.05
+    enc.ctl(oracle.SET_BITRATE, kbps * 1000)
+    frame = rate * frame_ms // 1000
+    pcm = _speechy(rate, frame * 14, ch, seed=3)
+    pkts = [enc.encode_float(pcm[f * frame : (f + 1) * frame].ravel(), frame) for f in range(14)]
+    mine = Decoder(DecoderConfiguration(SamplingRate(rate), Channels(ch)))
+    ref = oracle.Decoder(rate, ch)
+    for f in range(14):
+        pkt = None if f in lost else pkts[f]
+        r = np.asarray(ref.decode_float(pkt, frame)).reshape(-1)[: frame * ch]
+        m = mine.decode_float(pkt, frame).reshape(-1)
+        assert float(np.abs(m - r).max()) < 1e-7, f"frame {f}"
