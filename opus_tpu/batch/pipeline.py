@@ -25,17 +25,37 @@ from ..dsp.synthesis import SynthState, init_state, make_synthesis_step
 
 
 class BatchedCeltDecoder:
-    """Decode a fixed batch of CELT streams, one frame per stream per step."""
+    """Decode a fixed batch of CELT streams, one frame per stream per step.
 
-    def __init__(self, batch: int, channels: int = 2, downsample: int = 1):
+    Plane A runs on the native engine (opus_tpu/native, C++) when built;
+    `use_native=False` forces the pure-Python front end (same planes,
+    ~200x slower — kept as the executable reference).
+    """
+
+    def __init__(self, batch: int, channels: int = 2, downsample: int = 1, use_native: bool | None = None):
         self.batch = batch
         self.channels = channels
         self.downsample = downsample
-        self.fronts = []
-        for _ in range(batch):
-            d = CeltDecoder(channels, downsample)
-            d.synthesize_host = False
-            self.fronts.append(d)
+        if use_native is None:
+            try:
+                from ..native.frontend import available
+
+                use_native = available()
+            except Exception:
+                use_native = False
+        self.use_native = use_native
+        if use_native:
+            from ..native.frontend import NativeBatchFrontEnd
+
+            self.native = NativeBatchFrontEnd(batch, channels, downsample)
+            self.fronts = None
+        else:
+            self.native = None
+            self.fronts = []
+            for _ in range(batch):
+                d = CeltDecoder(channels, downsample)
+                d.synthesize_host = False
+                self.fronts.append(d)
         self.state = init_state(batch, channels)
         self._steps: dict = {}
 
@@ -49,11 +69,44 @@ class BatchedCeltDecoder:
 
     def extract(self, packets: list[bytes], frame_size: int) -> list[dict]:
         """Plane A: run the entropy front end for every stream."""
+        if self.use_native:
+            x, ble, meta, gains = self.native.decode_batch(packets, frame_size)
+            planes = []
+            for i in range(self.batch):
+                m = meta[i]
+                lm = int(m[2])
+                c_ = int(m[3])
+                n = 120 << lm
+                planes.append({
+                    "x": x[i, : c_ * n],
+                    "band_log_e": ble[i, : self.channels],
+                    "silence": bool(m[0]),
+                    "short_blocks": bool(m[1]),
+                    "lm": lm,
+                    "stream_channels": c_,
+                    "start": int(m[4]),
+                    "eff_end": int(m[5]),
+                    "pf_period0": int(m[6]),
+                    "pf_period1": int(m[7]),
+                    "pf_period2": int(m[8]),
+                    "pf_tapset0": int(m[9]),
+                    "pf_tapset1": int(m[10]),
+                    "pf_tapset2": int(m[11]),
+                    "pf_gain0": float(gains[i][0]),
+                    "pf_gain1": float(gains[i][1]),
+                    "pf_gain2": float(gains[i][2]),
+                })
+            return planes
         planes = []
         for front, data in zip(self.fronts, packets):
             front.decode(data, frame_size)
             planes.append(front.last_planes)
         return planes
+
+    def final_ranges(self) -> list[int]:
+        if self.use_native:
+            return self.native.final_ranges()
+        return [f.rng for f in self.fronts]
 
     def _stack(self, planes: list[dict], idx: list[int], lm: int):
         n = (1 << lm) * modes.SHORT_MDCT_SIZE
@@ -112,6 +165,61 @@ class BatchedCeltDecoder:
         )
         return np.asarray(jnp.where(m[:, None, None], pcm_short, pcm_long))
 
+    def extract_stacked(self, packets: list[bytes], frame_size: int):
+        """Native plane A straight to stacked arrays (no per-stream dicts).
+
+        Returns (arrays, lm, short_mask) where arrays matches _stack()'s
+        output layout.  Vectorised numpy on the batch axis.
+        """
+        assert self.use_native
+        x, ble, meta, gains64 = self.native.decode_batch(packets, frame_size)
+        lm = int(meta[0, 2])
+        if not (meta[:, 2] == lm).all():
+            raise ValueError("mixed frame sizes in one step not supported")
+        n = (1 << lm) * modes.SHORT_MDCT_SIZE
+        cc = self.channels
+        B = self.batch
+        xs = x[:, : 2 * n].reshape(B, 2, n)
+        if cc == 2:
+            mono = (meta[:, 3] == 1)[:, None, None]
+            xq = np.where(mono, np.broadcast_to(xs[:, :1, :], (B, 2, n)), xs)
+        else:
+            xq = xs[:, :1, :]
+        loge = ble[:, :cc, :]
+        m = 1 << lm
+        bound = m * modes.E_BANDS[meta[:, 5]]
+        if self.downsample != 1:
+            bound = np.minimum(bound, n // self.downsample)
+        bound = np.where(meta[:, 0] != 0, 0, bound).astype(np.int32)
+        periods = meta[:, 6:9].copy()
+        periods[:, 2] = np.maximum(periods[:, 2], 0)
+        tapsets = meta[:, 9:12].astype(np.int32)
+        arrays = (
+            xq.astype(np.float32),
+            loge.astype(np.float32),
+            bound,
+            periods.astype(np.int32),
+            gains64.astype(np.float32),
+            tapsets,
+        )
+        short_mask = meta[:, 1] != 0
+        return arrays, lm, short_mask
+
     def decode_frames(self, packets: list[bytes], frame_size: int) -> np.ndarray:
         """Full pipeline step: entropy plane then device synthesis."""
+        if self.use_native:
+            arrays_np, lm, short_mask = self.extract_stacked(packets, frame_size)
+            arrays = [jnp.asarray(a) for a in arrays_np]
+            if not short_mask.any() or short_mask.all():
+                step = self._step_fn(lm, bool(short_mask[0]))
+                self.state, pcm = step(self.state, *arrays)
+                return np.asarray(pcm)
+            state_long, pcm_long = self._step_fn(lm, False)(self.state, *arrays)
+            state_short, pcm_short = self._step_fn(lm, True)(self.state, *arrays)
+            msk = jnp.asarray(short_mask)
+            self.state = SynthState(
+                jnp.where(msk[:, None, None], state_short.mem, state_long.mem),
+                jnp.where(msk[:, None], state_short.preemph, state_long.preemph),
+            )
+            return np.asarray(jnp.where(msk[:, None, None], pcm_short, pcm_long))
         return self.synthesize(self.extract(packets, frame_size), frame_size)

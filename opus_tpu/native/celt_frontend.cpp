@@ -1,0 +1,1733 @@
+// CELT bitstream front end (plane A) — native engine.
+//
+// Self-contained C++ translation of the validated Python front end
+// (opus_tpu/celt/*.py, opus_tpu/rc/*.py), which is itself pinned
+// bit-exact against libopus.  Decodes one CELT frame's symbols and emits
+// the dense planes (normalised band coefficients, band log-energies,
+// postfilter params, flags) consumed by the batched TPU synthesis kernel.
+// No DSP here: synthesis runs on the device.
+//
+// Build: python opus_tpu/native/build.py  ->  libceltfe.so (ctypes).
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <cstdlib>
+#include <vector>
+#include <algorithm>
+
+#include "celt_tables.h"
+
+using namespace celt_tables;
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Range decoder (RFC 6716 sec. 4.1) — mirrors opus_tpu/rc/decoder.py.
+// ---------------------------------------------------------------------------
+
+constexpr int BITRES = 3;
+constexpr int UINT_BITS = 8;
+constexpr int WINDOW_SIZE = 32;
+constexpr int SYM_BITS = 8;
+constexpr int CODE_BITS = 32;
+constexpr uint32_t SYM_MAX = (1u << SYM_BITS) - 1;
+constexpr uint32_t CODE_TOP = 1u << (CODE_BITS - 1);
+constexpr uint32_t CODE_BOT = CODE_TOP >> SYM_BITS;
+constexpr int CODE_EXTRA = (CODE_BITS - 2) % SYM_BITS + 1;
+
+static inline int ilog32(uint32_t v) { return v ? 32 - __builtin_clz(v) : 0; }
+
+constexpr uint16_t TELL_FRAC_CORR[8] = {35733, 38967, 42495, 46340, 50535, 55109, 60097, 65535};
+
+struct RangeDec {
+    const uint8_t* buf;
+    int storage;
+    int offs;
+    int end_offs;
+    uint32_t end_window;
+    int nend_bits;
+    int bits_total;
+    uint32_t rng;
+    uint32_t val;
+    uint32_t ext;
+    bool error;
+    uint32_t rem;
+
+    int read_byte() { return offs < storage ? buf[offs++] : 0; }
+    int read_byte_from_end() {
+        if (end_offs < storage) { end_offs++; return buf[storage - end_offs]; }
+        return 0;
+    }
+    void normalize() {
+        while (rng <= CODE_BOT) {
+            bits_total += SYM_BITS;
+            rng <<= SYM_BITS;
+            uint32_t sym = rem;
+            rem = (uint32_t)read_byte();
+            sym = ((sym << SYM_BITS) | rem) >> (SYM_BITS - CODE_EXTRA);
+            val = ((val << SYM_BITS) + (SYM_MAX & ~sym)) & (CODE_TOP - 1);
+        }
+    }
+    void init(const uint8_t* b, int len) {
+        buf = b; storage = len; offs = 0;
+        end_offs = 0; end_window = 0; nend_bits = 0;
+        bits_total = CODE_BITS + 1 - ((CODE_BITS - CODE_EXTRA) / SYM_BITS) * SYM_BITS;
+        ext = 0; error = false;
+        rng = 1u << CODE_EXTRA;
+        rem = (uint32_t)read_byte();
+        val = rng - 1 - (rem >> (SYM_BITS - CODE_EXTRA));
+        normalize();
+    }
+    int tell() const { return bits_total - ilog32(rng); }
+    uint32_t tell_frac() const {
+        uint32_t bits = (uint32_t)bits_total << BITRES;
+        int l = ilog32(rng);
+        uint32_t r = rng >> (l - 16);
+        int b = (int)(r >> 12) - 8;
+        if (r > TELL_FRAC_CORR[b]) b++;
+        return bits - (uint32_t)((l << 3) + b);
+    }
+    uint32_t decode(uint32_t ft) {
+        ext = rng / ft;
+        uint32_t s = val / ext;
+        return ft - std::min(s + 1, ft);
+    }
+    uint32_t decode_bin(int bits) {
+        ext = rng >> bits;
+        uint32_t s = val / ext;
+        return (1u << bits) - std::min(s + 1, (uint32_t)1 << bits);
+    }
+    void update(uint32_t fl, uint32_t fh, uint32_t ft) {
+        uint32_t s = ext * (ft - fh);
+        val -= s;
+        rng = fl > 0 ? ext * (fh - fl) : rng - s;
+        normalize();
+    }
+    bool decode_bit_logp(int logp) {
+        uint32_t r = rng, d = val;
+        uint32_t s = r >> logp;
+        bool ret = d < s;
+        if (!ret) val = d - s;
+        rng = ret ? s : r - s;
+        normalize();
+        return ret;
+    }
+    int decode_icdf(const uint8_t* icdf, int ftb) {
+        uint32_t s = rng, d = val, t;
+        uint32_t r = s >> ftb;
+        int ret = -1;
+        do {
+            ret++;
+            t = s;
+            s = r * icdf[ret];
+        } while (d < s);
+        val = d - s;
+        rng = t - s;
+        normalize();
+        return ret;
+    }
+    uint32_t decode_bits(int bits) {
+        uint32_t window = end_window;
+        int available = nend_bits;
+        if (available < bits) {
+            do {
+                window |= (uint32_t)read_byte_from_end() << available;
+                available += SYM_BITS;
+            } while (available <= WINDOW_SIZE - SYM_BITS);
+        }
+        uint32_t ret = window & ((bits < 32 ? (1u << bits) : 0u) - 1u);
+        window >>= bits;
+        available -= bits;
+        end_window = window;
+        nend_bits = available;
+        bits_total += bits;
+        return ret;
+    }
+    uint32_t decode_uint(uint32_t ft) {
+        // ft > 1 guaranteed by callers.
+        ft--;
+        int ftb = ilog32(ft);
+        if (ftb > UINT_BITS) {
+            ftb -= UINT_BITS;
+            uint32_t ft1 = (ft >> ftb) + 1;
+            uint32_t s = decode(ft1);
+            update(s, s + 1, ft1);
+            uint32_t t = (s << ftb) | decode_bits(ftb);
+            if (t <= ft) return t;
+            error = true;
+            return ft;
+        }
+        uint32_t s = decode(ft + 1);
+        update(s, s + 1, ft + 1);
+        return s;
+    }
+};
+
+// ---------------------------------------------------------------------------
+// Laplace decode (opus_tpu/rc/laplace.py).
+// ---------------------------------------------------------------------------
+
+constexpr int LAPLACE_MINP = 1;
+constexpr int LAPLACE_NMIN = 16;
+
+static int laplace_freq1(int fs0, int decay) {
+    int ft = 32768 - LAPLACE_MINP * (2 * LAPLACE_NMIN) - fs0;
+    return (ft * (16384 - decay)) >> 15;
+}
+
+static int decode_laplace(RangeDec& dec, int fs, int decay) {
+    int val = 0;
+    uint32_t fl = 0;
+    uint32_t fm = dec.decode_bin(15);
+    if (fm >= (uint32_t)fs) {
+        val += 1;
+        fl = fs;
+        fs = laplace_freq1(fs, decay) + LAPLACE_MINP;
+        while (fs > LAPLACE_MINP && fm >= fl + 2 * (uint32_t)fs) {
+            fs *= 2;
+            fl += fs;
+            fs = ((fs - 2 * LAPLACE_MINP) * decay) >> 15;
+            fs += LAPLACE_MINP;
+            val += 1;
+        }
+        if (fs <= LAPLACE_MINP) {
+            int di = (int)((fm - fl) >> 1);
+            val += di;
+            fl += 2u * (uint32_t)di * LAPLACE_MINP;
+        }
+        if (fm < fl + (uint32_t)fs) {
+            val = -val;
+        } else {
+            fl += fs;
+        }
+    }
+    uint32_t fh = std::min<uint32_t>(fl + fs, 32768);
+    dec.update(fl, fh, 32768);
+    return val;
+}
+
+// ---------------------------------------------------------------------------
+// Bit-exact integer math helpers (opus_tpu/mathops.py).
+// ---------------------------------------------------------------------------
+
+static inline int16_t frac_mul16(int a, int b) {
+    return (int16_t)((16384 + a * b) >> 15);
+}
+static int bitexact_cos(int x) {
+    int x2 = x * x;
+    int y = (int16_t)((x2 + 4096) >> 13);
+    return (int16_t)(1 + (32767 - y) + frac_mul16(y, -7651 + frac_mul16(y, 8277 + frac_mul16(-626, y))));
+}
+static int bitexact_log2tan(int isin, int icos) {
+    int ls = ilog32((uint32_t)isin);
+    int lc = ilog32((uint32_t)icos);
+    icos = (int16_t)(icos << (15 - lc));
+    isin = (int16_t)(isin << (15 - ls));
+    int a = frac_mul16(isin, frac_mul16(isin, -2597) + 7932);
+    int b = frac_mul16(icos, frac_mul16(icos, -2597) + 7932);
+    return (ls - lc) * (1 << 11) + a - b;
+}
+static inline int celt_sudiv(int n, int d) {
+    int q = std::abs(n) / d;
+    return n < 0 ? -q : q;
+}
+static inline uint32_t lcg_rand(uint32_t seed) {
+    return 1664525u * seed + 1013904223u;
+}
+static inline double celt_exp2d(double x) { return std::exp(0.6931471805599453094 * x); }
+
+// ---------------------------------------------------------------------------
+// CWRS: lazy saturating U rows (opus_tpu/celt/cwrs.py).
+// ---------------------------------------------------------------------------
+
+struct URows {
+    std::vector<std::vector<uint64_t>> rows;
+    static constexpr uint64_t SAT = ~0ull >> 1;
+
+    static uint64_t sat_add(uint64_t a, uint64_t b) {
+        uint64_t s = a + b;
+        return (s < a || s > SAT) ? SAT : s;
+    }
+    const std::vector<uint64_t>& row(int n, int kmax) {
+        if ((int)rows.size() <= n) rows.resize(n + 1);
+        auto& r = rows[n];
+        if ((int)r.size() > kmax) return r;
+        if (n == 0) {
+            if (r.empty()) r.push_back(1);
+            r.resize(kmax + 1, 0);
+            return r;
+        }
+        if (r.empty()) r.push_back(0);
+        if (n == 1) {
+            r.resize(kmax + 1, 1);
+            return r;
+        }
+        const auto& prev = row(n - 1, kmax);
+        for (int k = (int)r.size(); k <= kmax; k++)
+            r.push_back(sat_add(sat_add(prev[k], r[k - 1]), prev[k - 1]));
+        return r;
+    }
+    uint64_t u(int n, int k) {
+        if (n < k) std::swap(n, k);
+        return row(n, k)[k];
+    }
+    uint64_t v(int n, int k) { return sat_add(u(n, k), u(n, k + 1)); }
+};
+
+static URows g_urows;  // warmed read-only before decode (thread-safe after warm)
+
+static void warm_urows() {
+    // Precompute every row reachable by the decoder: leaf sizes after the
+    // split rule stay <= 176 dims and <= 128+1 pulses; 256/192 is safely
+    // above.  After this, concurrent readers never mutate the table.
+    static bool warmed = false;
+    if (warmed) return;
+    for (int n = 0; n <= 256; n++) g_urows.row(n, 192);
+    warmed = true;
+}
+
+static int get_pulses(int i) { return i < 8 ? i : (8 + (i & 7)) << ((i >> 3) - 1); }
+
+// Index -> codeword (cwrsi).  y must hold n entries.
+static void cwrsi(int n, int k, uint32_t i, int32_t* y) {
+    int out = 0;
+    while (n > 2) {
+        uint32_t p;
+        int s, val, k0;
+        if (k >= n) {
+            p = (uint32_t)g_urows.u(n, k + 1);
+            s = i >= p;
+            if (s) i -= p;
+            k0 = k;
+            uint32_t q = (uint32_t)g_urows.u(n, n);
+            if (q > i) {
+                k = n;
+                do { k--; p = (uint32_t)g_urows.u(n, k); } while (p > i);
+            } else {
+                for (;;) {
+                    p = (uint32_t)g_urows.u(n, k);
+                    if (p <= i) break;
+                    k--;
+                }
+            }
+            i -= p;
+            val = k0 - k;
+            y[out] = s ? -val : val;
+        } else {
+            p = (uint32_t)g_urows.u(k, n);
+            uint32_t q = (uint32_t)g_urows.u(k + 1, n);
+            if (p <= i && i < q) {
+                i -= p;
+                y[out] = 0;
+            } else {
+                s = i >= q;
+                if (s) i -= q;
+                k0 = k;
+                do { k--; p = (uint32_t)g_urows.u(k, n); } while (p > i);
+                i -= p;
+                val = k0 - k;
+                y[out] = s ? -val : val;
+            }
+        }
+        out++;
+        n--;
+    }
+    // n == 2
+    {
+        uint32_t p = 2u * k + 1;
+        int s = i >= p;
+        if (s) i -= p;
+        int k0 = k;
+        k = (i + 1) >> 1;
+        if (k) i -= 2u * k - 1;
+        int val = k0 - k;
+        y[out] = s ? -val : val;
+        out++;
+    }
+    // n == 1
+    y[out] = i ? -k : k;
+}
+
+static uint32_t decode_pulses(RangeDec& dec, int n, int k, int32_t* y, uint64_t* ryy_out) {
+    uint32_t idx = dec.decode_uint((uint32_t)g_urows.v(n, k));
+    cwrsi(n, k, idx, y);
+    uint64_t ryy = 0;
+    for (int j = 0; j < n; j++) ryy += (int64_t)y[j] * y[j];
+    *ryy_out = ryy;
+    return idx;
+}
+
+}  // namespace
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Energy envelope decode (opus_tpu/celt/energy.py).  float32 arithmetic.
+// ---------------------------------------------------------------------------
+
+constexpr float PRED_COEF[4] = {0.8984375f, 0.796875f, 0.6484375f, 0.5f};
+constexpr float BETA_COEF[4] = {30147.f / 32768.f, 22282.f / 32768.f, 12124.f / 32768.f, 6554.f / 32768.f};
+constexpr float BETA_INTRA = 4915.f / 32768.f;
+
+static void unquant_coarse_energy(RangeDec& dec, float old_ebands[2][NB_E_BANDS],
+                                  int start, int end, bool intra, int lm, int channels) {
+    const int16_t* prob = E_PROB_MODEL[lm][intra ? 1 : 0];
+    float coef = intra ? 0.0f : PRED_COEF[lm];
+    float beta = intra ? BETA_INTRA : BETA_COEF[lm];
+    int budget = dec.storage * 8;
+    float prev[2] = {0.0f, 0.0f};
+    for (int band = start; band < end; band++) {
+        for (int c = 0; c < channels; c++) {
+            int tell = dec.tell();
+            int qi;
+            if (budget - tell >= 15) {
+                int pi = 2 * std::min(band, 20);
+                qi = decode_laplace(dec, (int)prob[pi] << 7, (int)prob[pi + 1] << 6);
+            } else if (budget - tell >= 2) {
+                qi = dec.decode_icdf(SMALL_ENERGY_ICDF, 2);
+                qi = (qi >> 1) ^ -(qi & 1);
+            } else if (budget - tell >= 1) {
+                qi = -(int)dec.decode_bit_logp(1);
+            } else {
+                qi = -1;
+            }
+            float q = (float)qi;
+            float old = std::max(-9.0f, old_ebands[c][band]);
+            old_ebands[c][band] = coef * old + prev[c] + q;
+            prev[c] = prev[c] + q - beta * q;
+        }
+    }
+}
+
+static void unquant_fine_energy(RangeDec& dec, float old_ebands[2][NB_E_BANDS],
+                                const int* fine_quant, int start, int end, int channels) {
+    for (int band = start; band < end; band++) {
+        int bits = fine_quant[band];
+        if (bits <= 0) continue;
+        for (int c = 0; c < channels; c++) {
+            int q2 = (int)dec.decode_bits(bits);
+            float offset = ((float)q2 + 0.5f) * (float)(1 << (14 - bits)) * (1.0f / 16384.0f) - 0.5f;
+            old_ebands[c][band] = old_ebands[c][band] + offset;
+        }
+    }
+}
+
+static void unquant_energy_finalise(RangeDec& dec, float old_ebands[2][NB_E_BANDS],
+                                    const int* fine_quant, const int* fine_priority,
+                                    int bits_left, int start, int end, int channels) {
+    for (int prio = 0; prio < 2; prio++) {
+        for (int band = start; band < end && bits_left >= channels; ) {
+            if (fine_quant[band] >= MAX_FINE_BITS || fine_priority[band] != prio) { band++; continue; }
+            for (int c = 0; c < channels; c++) {
+                int q2 = (int)dec.decode_bits(1);
+                float offset = ((float)q2 - 0.5f) * (float)(1 << (14 - fine_quant[band] - 1)) * (1.0f / 16384.0f);
+                old_ebands[c][band] = old_ebands[c][band] + offset;
+                bits_left -= 1;
+            }
+            band++;
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
+// tf_decode (opus_tpu/celt/decoder.py).
+// ---------------------------------------------------------------------------
+
+static void tf_decode(int start, int end, bool is_transient, int* tf_res, int lm, RangeDec& dec) {
+    int budget = dec.storage * 8;
+    int tell = dec.tell();
+    int logp = is_transient ? 2 : 4;
+    int tf_select_rsv = (lm > 0 && tell + logp + 1 <= budget) ? 1 : 0;
+    budget -= tf_select_rsv;
+    int tf_changed = 0, curr = 0;
+    for (int i = start; i < end; i++) {
+        if (tell + logp <= budget) {
+            curr ^= dec.decode_bit_logp(logp) ? 1 : 0;
+            tell = dec.tell();
+            tf_changed |= curr;
+        }
+        tf_res[i] = curr;
+        logp = is_transient ? 4 : 5;
+    }
+    int tf_select = 0;
+    int base = is_transient ? 4 : 0;
+    if (tf_select_rsv &&
+        TF_SELECT_TABLE[lm][base + 0 + tf_changed] != TF_SELECT_TABLE[lm][base + 2 + tf_changed]) {
+        tf_select = dec.decode_bit_logp(1) ? 1 : 0;
+    }
+    for (int i = start; i < end; i++)
+        tf_res[i] = TF_SELECT_TABLE[lm][base + 2 * tf_select + tf_res[i]];
+}
+
+// ---------------------------------------------------------------------------
+// Allocation (opus_tpu/celt/rate.py).
+// ---------------------------------------------------------------------------
+
+constexpr int ALLOC_STEPS = 6;
+constexpr int LOG_MAX_PSEUDO = 6;
+constexpr int FINE_OFFSET = 21;
+
+static void init_caps(int lm, int channels, int64_t* cap) {
+    const uint8_t* caps_row = &CACHE_CAPS[(lm * 2 + (channels - 1)) * NB_E_BANDS];
+    for (int j = 0; j < NB_E_BANDS; j++) {
+        int64_t n = (int64_t)(E_BANDS[j + 1] - E_BANDS[j]) << lm;
+        cap[j] = (((int64_t)caps_row[j] + 64) * channels * n) >> 2;
+    }
+}
+
+static int bits2pulses(int band, int lm, int bits) {
+    int cache_off = CACHE_INDEX[lm + 1][band];
+    const uint8_t* cache = &CACHE_BITS[cache_off];
+    int lo = 0, hi = cache[0];
+    bits -= 1;
+    for (int it = 0; it < LOG_MAX_PSEUDO; it++) {
+        int mid = (lo + hi + 1) >> 1;
+        if ((int)cache[mid] >= bits) hi = mid; else lo = mid;
+    }
+    int lo_cost = lo == 0 ? -1 : (int)cache[lo];
+    return (bits - lo_cost <= (int)cache[hi] - bits) ? lo : hi;
+}
+
+static int pulses2bits(int band, int lm, int pulses) {
+    if (pulses == 0) return 0;
+    int cache_off = CACHE_INDEX[lm + 1][band];
+    return (int)CACHE_BITS[cache_off + pulses] + 1;
+}
+
+struct AllocResult {
+    int pulses[NB_E_BANDS];
+    int ebits[NB_E_BANDS];
+    int fine_priority[NB_E_BANDS];
+    int coded_bands;
+    int intensity;
+    bool dual_stereo;
+    int64_t balance;
+};
+
+static void interp_bits2pulses(int start, int end, int skip_start,
+                               const int64_t* bits1, const int64_t* bits2,
+                               const int64_t* thresh, const int64_t* cap,
+                               int64_t total, int64_t skip_rsv,
+                               int intensity, int64_t intensity_rsv,
+                               bool dual_stereo, int64_t dual_stereo_rsv,
+                               AllocResult& out, int C, int lm, RangeDec& ec) {
+    int64_t alloc_floor = (int64_t)C << BITRES;
+    int stereo = C > 1 ? 1 : 0;
+    int log_m = lm << BITRES;
+    int64_t bits[NB_E_BANDS] = {0};
+
+    int lo = 0, hi = 1 << ALLOC_STEPS;
+    for (int it = 0; it < ALLOC_STEPS; it++) {
+        int mid = (lo + hi) >> 1;
+        int64_t psum = 0;
+        bool done = false;
+        for (int j = end - 1; j >= start; j--) {
+            int64_t tmp = bits1[j] + (((int64_t)mid * bits2[j]) >> ALLOC_STEPS);
+            if (tmp >= thresh[j] || done) {
+                done = true;
+                psum += std::min(tmp, cap[j]);
+            } else if (tmp >= alloc_floor) {
+                psum += alloc_floor;
+            }
+        }
+        if (psum > total) hi = mid; else lo = mid;
+    }
+    int64_t psum = 0;
+    bool done = false;
+    for (int j = end - 1; j >= start; j--) {
+        int64_t tmp = bits1[j] + (((int64_t)lo * bits2[j]) >> ALLOC_STEPS);
+        if (tmp < thresh[j] && !done) {
+            tmp = tmp >= alloc_floor ? alloc_floor : 0;
+        } else {
+            done = true;
+        }
+        tmp = std::min(tmp, cap[j]);
+        bits[j] = tmp;
+        psum += tmp;
+    }
+
+    int coded_bands = end;
+    for (;;) {
+        int j = coded_bands - 1;
+        if (j <= skip_start) { total += skip_rsv; break; }
+        int64_t left = total - psum;
+        int64_t denom = E_BANDS[coded_bands] - E_BANDS[start];
+        int64_t percoeff = left / denom;
+        left -= denom * percoeff;
+        int64_t rem = std::max<int64_t>(left - (E_BANDS[j] - E_BANDS[start]), 0);
+        int band_width = E_BANDS[coded_bands] - E_BANDS[j];
+        int64_t band_bits = bits[j] + percoeff * band_width + rem;
+        if (band_bits >= std::max(thresh[j], alloc_floor + (1 << BITRES))) {
+            if (ec.decode_bit_logp(1)) break;
+            psum += 1 << BITRES;
+            band_bits -= 1 << BITRES;
+        }
+        psum -= bits[j] + intensity_rsv;
+        if (intensity_rsv > 0) intensity_rsv = LOG2_FRAC_TABLE[j - start];
+        psum += intensity_rsv;
+        if (band_bits >= alloc_floor) {
+            psum += alloc_floor;
+            bits[j] = alloc_floor;
+        } else {
+            bits[j] = 0;
+        }
+        coded_bands--;
+    }
+
+    if (intensity_rsv > 0) {
+        intensity = start + (int)ec.decode_uint((uint32_t)(coded_bands + 1 - start));
+    } else {
+        intensity = 0;
+    }
+    if (intensity <= start) {
+        total += dual_stereo_rsv;
+        dual_stereo_rsv = 0;
+    }
+    if (dual_stereo_rsv > 0) {
+        dual_stereo = ec.decode_bit_logp(1);
+    } else {
+        dual_stereo = false;
+    }
+
+    int64_t left = total - psum;
+    int64_t denom = E_BANDS[coded_bands] - E_BANDS[start];
+    int64_t percoeff = left / denom;
+    left -= denom * percoeff;
+    for (int i = start; i < coded_bands; i++)
+        bits[i] += percoeff * (E_BANDS[i + 1] - E_BANDS[i]);
+    for (int i = start; i < coded_bands; i++) {
+        int64_t tmp = std::min<int64_t>(left, E_BANDS[i + 1] - E_BANDS[i]);
+        bits[i] += tmp;
+        left -= tmp;
+    }
+
+    int64_t balance = 0;
+    for (int i = start; i < coded_bands; i++) {
+        int n0 = E_BANDS[i + 1] - E_BANDS[i];
+        int n = n0 << lm;
+        int64_t bit = bits[i] + balance;
+        int64_t excess = 0;
+        if (n > 1) {
+            excess = std::max<int64_t>(bit - cap[i], 0);
+            bits[i] = bit - excess;
+            int den = C * n + ((C == 2 && n > 2 && !dual_stereo && i < intensity) ? 1 : 0);
+            int64_t nclogn = (int64_t)den * (LOG_N[i] + log_m);
+            int64_t offset = (nclogn >> 1) - (int64_t)den * FINE_OFFSET;
+            if (n == 2) offset += ((int64_t)den << BITRES) >> 2;
+            if (bits[i] + offset < ((int64_t)den * 2) << BITRES) offset += nclogn >> 2;
+            else if (bits[i] + offset < ((int64_t)den * 3) << BITRES) offset += nclogn >> 3;
+            int64_t eb = std::max<int64_t>(0, bits[i] + offset + ((int64_t)den << (BITRES - 1)));
+            eb = (eb / den) >> BITRES;
+            if ((int64_t)C * eb > (bits[i] >> BITRES)) eb = bits[i] >> stereo >> BITRES;
+            eb = std::min<int64_t>(eb, MAX_FINE_BITS);
+            out.fine_priority[i] = eb * ((int64_t)den << BITRES) >= bits[i] + offset ? 1 : 0;
+            bits[i] -= ((int64_t)C * eb) << BITRES;
+            out.ebits[i] = (int)eb;
+        } else {
+            excess = std::max<int64_t>(0, bit - ((int64_t)C << BITRES));
+            bits[i] = bit - excess;
+            out.ebits[i] = 0;
+            out.fine_priority[i] = 1;
+        }
+        if (excess > 0) {
+            int extra_fine = (int)std::min<int64_t>(excess >> (stereo + BITRES), MAX_FINE_BITS - out.ebits[i]);
+            out.ebits[i] += extra_fine;
+            int64_t extra_bits = ((int64_t)extra_fine * C) << BITRES;
+            out.fine_priority[i] = extra_bits >= excess - balance ? 1 : 0;
+            excess -= extra_bits;
+        }
+        balance = excess;
+        out.pulses[i] = (int)bits[i];
+    }
+    for (int i = coded_bands; i < end; i++) {
+        out.ebits[i] = (int)(bits[i] >> stereo >> BITRES);
+        out.pulses[i] = 0;
+        out.fine_priority[i] = out.ebits[i] < 1 ? 1 : 0;
+    }
+    out.coded_bands = coded_bands;
+    out.intensity = intensity;
+    out.dual_stereo = dual_stereo;
+    out.balance = balance;
+}
+
+static void compute_allocation(int start, int end, const int64_t* offsets, const int64_t* cap,
+                               int alloc_trim, int64_t total, int C, int lm,
+                               RangeDec& ec, AllocResult& out) {
+    total = std::max<int64_t>(total, 0);
+    int skip_start = start;
+    int64_t skip_rsv = total >= (1 << BITRES) ? (1 << BITRES) : 0;
+    total -= skip_rsv;
+    int64_t intensity_rsv = 0, dual_stereo_rsv = 0;
+    if (C == 2) {
+        intensity_rsv = LOG2_FRAC_TABLE[end - start];
+        if (intensity_rsv > total) {
+            intensity_rsv = 0;
+        } else {
+            total -= intensity_rsv;
+            dual_stereo_rsv = total >= (1 << BITRES) ? (1 << BITRES) : 0;
+            total -= dual_stereo_rsv;
+        }
+    }
+
+    int64_t thresh[NB_E_BANDS], trim_offset[NB_E_BANDS];
+    for (int j = start; j < end; j++) {
+        int width = E_BANDS[j + 1] - E_BANDS[j];
+        thresh[j] = std::max<int64_t>((int64_t)C << BITRES, ((int64_t)(3 * width) << lm << BITRES) >> 4);
+        trim_offset[j] = ((int64_t)C * width * (alloc_trim - 5 - lm) * (end - j - 1) * (1 << (lm + BITRES))) >> 6;
+        if ((width << lm) == 1) trim_offset[j] -= (int64_t)C << BITRES;
+    }
+
+    int lo = 1, hi = NB_ALLOC_VECTORS - 1;
+    while (lo <= hi) {
+        int mid = (lo + hi) >> 1;
+        int64_t psum = 0;
+        bool done = false;
+        for (int j = end - 1; j >= start; j--) {
+            int width = E_BANDS[j + 1] - E_BANDS[j];
+            int64_t bitsj = ((int64_t)C * width * ALLOC_VECTORS[mid][j] << lm) >> 2;
+            if (bitsj > 0) bitsj = std::max<int64_t>(0, bitsj + trim_offset[j]);
+            bitsj += offsets[j];
+            if (bitsj >= thresh[j] || done) {
+                done = true;
+                psum += std::min(bitsj, cap[j]);
+            } else if (bitsj >= (int64_t)C << BITRES) {
+                psum += (int64_t)C << BITRES;
+            }
+        }
+        if (psum > total) hi = mid - 1; else lo = mid + 1;
+    }
+    hi = lo;
+    lo -= 1;
+
+    int64_t bits1[NB_E_BANDS] = {0}, bits2[NB_E_BANDS] = {0};
+    for (int j = start; j < end; j++) {
+        int width = E_BANDS[j + 1] - E_BANDS[j];
+        int64_t bits1j = ((int64_t)C * width * ALLOC_VECTORS[lo][j] << lm) >> 2;
+        int64_t bits2j = hi >= NB_ALLOC_VECTORS
+                             ? cap[j]
+                             : ((int64_t)C * width * ALLOC_VECTORS[hi][j] << lm) >> 2;
+        if (bits1j > 0) bits1j = std::max<int64_t>(0, bits1j + trim_offset[j]);
+        if (bits2j > 0) bits2j = std::max<int64_t>(0, bits2j + trim_offset[j]);
+        if (lo > 0) bits1j += offsets[j];
+        bits2j += offsets[j];
+        if (offsets[j] > 0) skip_start = j;
+        bits2j = std::max<int64_t>(0, bits2j - bits1j);
+        bits1[j] = bits1j;
+        bits2[j] = bits2j;
+    }
+    interp_bits2pulses(start, end, skip_start, bits1, bits2, thresh, cap, total, skip_rsv,
+                       0, intensity_rsv, false, dual_stereo_rsv, out, C, lm, ec);
+}
+
+}  // namespace
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// PVQ shape decode (opus_tpu/celt/vq.py), decode side only.
+// ---------------------------------------------------------------------------
+
+constexpr int SPREAD_NONE_ = 0;
+constexpr int SPREAD_AGGRESSIVE_ = 3;
+constexpr int SPREAD_FACTOR[3] = {15, 10, 5};
+constexpr double EPSILON = 1e-15;
+
+static void exp_rotation1(double* x, int len, int stride, double c, double s) {
+    double ms = -s;
+    for (int i = 0; i < len - stride; i++) {
+        double x1 = x[i], x2 = x[i + stride];
+        x[i + stride] = c * x2 + s * x1;
+        x[i] = c * x1 + ms * x2;
+    }
+    for (int i = len - 2 * stride - 1; i >= 0; i--) {
+        double x1 = x[i], x2 = x[i + stride];
+        x[i + stride] = c * x2 + s * x1;
+        x[i] = c * x1 + ms * x2;
+    }
+}
+
+static void exp_rotation(double* x, int len, int direction, int stride, int k, int spread) {
+    if (2 * k >= len || spread == SPREAD_NONE_) return;
+    int factor = SPREAD_FACTOR[spread - 1];
+    double gain = (double)len / (double)(len + factor * k);
+    double theta = 0.5 * gain * gain;
+    double c = std::cos(0.5 * M_PI * theta);
+    double s = std::cos(0.5 * M_PI * (1.0 - theta));
+    int stride2 = 0;
+    if (len >= 8 * stride) {
+        stride2 = 1;
+        while ((stride2 * stride2 + stride2) * stride + (stride >> 2) < len) stride2++;
+    }
+    len /= stride;
+    for (int i = 0; i < stride; i++) {
+        double* seg = x + i * len;
+        if (direction < 0) {
+            if (stride2) exp_rotation1(seg, len, stride2, s, c);
+            exp_rotation1(seg, len, 1, c, s);
+        } else {
+            exp_rotation1(seg, len, 1, c, -s);
+            if (stride2) exp_rotation1(seg, len, stride2, s, -c);
+        }
+    }
+}
+
+static uint32_t extract_collapse_mask(const int32_t* iy, int n, int b) {
+    if (b <= 1) return 1;
+    int n0 = n / b;
+    uint32_t mask = 0;
+    for (int i = 0; i < b; i++) {
+        bool any = false;
+        for (int j = 0; j < n0; j++) any |= iy[i * n0 + j] != 0;
+        if (any) mask |= 1u << i;
+    }
+    return mask;
+}
+
+static void renormalise_vector(double* x, int n, double gain) {
+    double e = EPSILON;
+    for (int j = 0; j < n; j++) e += x[j] * x[j];
+    double g = gain / std::sqrt(e);
+    for (int j = 0; j < n; j++) x[j] *= g;
+}
+
+static uint32_t alg_unquant(double* x, int n, int k, int spread, int b, RangeDec& dec, double gain) {
+    int32_t iy[256];
+    uint64_t ryy;
+    decode_pulses(dec, n, k, iy, &ryy);
+    double g = gain / std::sqrt((double)ryy);
+    for (int j = 0; j < n; j++) x[j] = g * iy[j];
+    exp_rotation(x, n, -1, b, k, spread);
+    return extract_collapse_mask(iy, n, b);
+}
+
+// ---------------------------------------------------------------------------
+// Band coding (opus_tpu/celt/bands.py), decode side.
+// ---------------------------------------------------------------------------
+
+constexpr int QTHETA_OFFSET = 4;
+constexpr int QTHETA_OFFSET_TWOPHASE = 16;
+
+static const int ORDERY2[2] = {1, 0};
+static const int ORDERY4[4] = {3, 0, 2, 1};
+static const int ORDERY8[8] = {7, 0, 4, 3, 6, 1, 5, 2};
+static const int ORDERY16[16] = {15, 0, 8, 7, 12, 3, 11, 4, 14, 1, 9, 6, 13, 2, 10, 5};
+static const int* ordery_for(int stride) {
+    switch (stride) {
+        case 2: return ORDERY2;
+        case 4: return ORDERY4;
+        case 8: return ORDERY8;
+        default: return ORDERY16;
+    }
+}
+
+constexpr uint8_t BIT_INTERLEAVE[16] = {0, 1, 1, 1, 2, 3, 3, 3, 2, 3, 3, 3, 2, 3, 3, 3};
+constexpr uint8_t BIT_DEINTERLEAVE[16] = {0x00, 0x03, 0x0C, 0x0F, 0x30, 0x33, 0x3C, 0x3F,
+                                          0xC0, 0xC3, 0xCC, 0xCF, 0xF0, 0xF3, 0xFC, 0xFF};
+constexpr int EXP2_TABLE8[8] = {16384, 17866, 19483, 21247, 23170, 25267, 27554, 30048};
+
+static void haar1(double* x, int n0, int stride) {
+    n0 >>= 1;
+    const double c = 0.70710678;
+    for (int i = 0; i < stride; i++) {
+        for (int j = 0; j < n0; j++) {
+            int idx = i + stride * 2 * j;
+            double a = c * x[idx];
+            double b = c * x[idx + stride];
+            x[idx] = a + b;
+            x[idx + stride] = a - b;
+        }
+    }
+}
+
+static void deinterleave_hadamard(double* x, int n0, int stride, bool hadamard, std::vector<double>& tmpbuf) {
+    int n = n0 * stride;
+    if ((int)tmpbuf.size() < n) tmpbuf.resize(n);
+    double* tmp = tmpbuf.data();
+    if (hadamard) {
+        const int* ordery = ordery_for(stride);
+        for (int i = 0; i < stride; i++)
+            for (int j = 0; j < n0; j++) tmp[ordery[i] * n0 + j] = x[i + j * stride];
+    } else {
+        for (int i = 0; i < stride; i++)
+            for (int j = 0; j < n0; j++) tmp[i * n0 + j] = x[i + j * stride];
+    }
+    std::memcpy(x, tmp, n * sizeof(double));
+}
+
+static void interleave_hadamard(double* x, int n0, int stride, bool hadamard, std::vector<double>& tmpbuf) {
+    int n = n0 * stride;
+    if ((int)tmpbuf.size() < n) tmpbuf.resize(n);
+    double* tmp = tmpbuf.data();
+    if (hadamard) {
+        const int* ordery = ordery_for(stride);
+        for (int i = 0; i < stride; i++)
+            for (int j = 0; j < n0; j++) tmp[i + j * stride] = x[ordery[i] * n0 + j];
+    } else {
+        for (int i = 0; i < stride; i++)
+            for (int j = 0; j < n0; j++) tmp[i + j * stride] = x[i * n0 + j];
+    }
+    std::memcpy(x, tmp, n * sizeof(double));
+}
+
+static int compute_qn(int n, int b, int offset, int pulse_cap, bool stereo) {
+    int n2 = 2 * n - 1;
+    if (stereo && n == 2) n2--;
+    int qb = celt_sudiv(b + n2 * offset, n2);
+    qb = std::min(b - pulse_cap - (4 << BITRES), qb);
+    qb = std::min(8 << BITRES, qb);
+    if (qb < (1 << BITRES >> 1)) return 1;
+    int qn = EXP2_TABLE8[qb & 0x7] >> (14 - (qb >> BITRES));
+    qn = ((qn + 1) >> 1) << 1;
+    return qn;
+}
+
+static void stereo_merge(double* x, double* y, double mid, int n) {
+    double xp = 0, side = 0;
+    for (int j = 0; j < n; j++) { xp += y[j] * x[j]; side += y[j] * y[j]; }
+    xp *= mid;
+    double el = mid * mid + side - 2 * xp;
+    double er = mid * mid + side + 2 * xp;
+    if (er < 6e-4 || el < 6e-4) {
+        std::memcpy(y, x, n * sizeof(double));
+        return;
+    }
+    double lgain = 1.0 / std::sqrt(el);
+    double rgain = 1.0 / std::sqrt(er);
+    for (int j = 0; j < n; j++) {
+        double l = mid * x[j];
+        double r = y[j];
+        x[j] = lgain * (l - r);
+        y[j] = rgain * (l + r);
+    }
+}
+
+static uint32_t isqrt32(uint32_t v) {
+    uint32_t r = (uint32_t)std::sqrt((double)v);
+    while (r > 0 && (uint64_t)r * r > v) r--;
+    while ((uint64_t)(r + 1) * (r + 1) <= v) r++;
+    return r;
+}
+
+struct BandCtx {
+    int band;
+    int intensity;
+    int spread;
+    int tf_change;
+    RangeDec* ec;
+    int64_t remaining_bits;
+    uint32_t seed;
+    bool disable_inv;
+};
+
+struct SplitCtx {
+    bool inv = false;
+    int imid = 0, iside = 0, delta = 0, itheta = 0;
+    int64_t qalloc = 0;
+};
+
+// Decode-side compute_theta.
+static void compute_theta_dec(BandCtx& ctx, SplitCtx& sctx, int n, int64_t& b, int B, int B0,
+                              int lm, bool stereo, uint32_t& fill) {
+    RangeDec& ec = *ctx.ec;
+    int band = ctx.band;
+    int pulse_cap = LOG_N[band] + lm * (1 << BITRES);
+    int offset = (pulse_cap >> 1) - ((stereo && n == 2) ? QTHETA_OFFSET_TWOPHASE : QTHETA_OFFSET);
+    int qn = compute_qn(n, (int)b, offset, pulse_cap, stereo);
+    if (stereo && band >= ctx.intensity) qn = 1;
+    int itheta = 0;
+    bool inv = false;
+    uint32_t tell = ec.tell_frac();
+    if (qn != 1) {
+        if (stereo && n > 2) {
+            const int p0 = 3;
+            int x0 = qn / 2;
+            uint32_t ft = (uint32_t)(p0 * (x0 + 1) + x0);
+            uint32_t fs = ec.decode(ft);
+            int t = fs < (uint32_t)((x0 + 1) * p0) ? (int)(fs / p0) : x0 + 1 + (int)(fs - (x0 + 1) * p0);
+            uint32_t fl = t <= x0 ? (uint32_t)(p0 * t) : (uint32_t)((t - 1 - x0) + (x0 + 1) * p0);
+            uint32_t fh = t <= x0 ? (uint32_t)(p0 * (t + 1)) : (uint32_t)((t - x0) + (x0 + 1) * p0);
+            ec.update(fl, fh, ft);
+            itheta = t;
+        } else if (B0 > 1 || stereo) {
+            itheta = (int)ec.decode_uint((uint32_t)qn + 1);
+        } else {
+            uint32_t ft = (uint32_t)(((qn >> 1) + 1) * ((qn >> 1) + 1));
+            uint32_t fm = ec.decode(ft);
+            uint32_t fl, fs;
+            if (fm < (uint32_t)((qn >> 1) * ((qn >> 1) + 1) >> 1)) {
+                itheta = (int)((isqrt32(8 * fm + 1) - 1) >> 1);
+                fs = itheta + 1;
+                fl = (uint32_t)(itheta * (itheta + 1) >> 1);
+            } else {
+                itheta = (int)((2 * (qn + 1) - isqrt32(8 * (ft - fm - 1) + 1)) >> 1);
+                fs = qn + 1 - itheta;
+                fl = ft - (uint32_t)((qn + 1 - itheta) * (qn + 2 - itheta) >> 1);
+            }
+            ec.update(fl, fl + fs, ft);
+        }
+        itheta = (int)(((int64_t)itheta * 16384) / qn);
+    } else if (stereo) {
+        if (b > (int64_t)(2 << BITRES) && ctx.remaining_bits > (int64_t)(2 << BITRES)) {
+            inv = ec.decode_bit_logp(2);
+        } else {
+            inv = false;
+        }
+        if (ctx.disable_inv) inv = false;
+        itheta = 0;
+    }
+    int64_t qalloc = (int64_t)(int32_t)(ec.tell_frac() - tell);
+    b -= qalloc;
+
+    int imid, iside, delta;
+    if (itheta == 0) {
+        imid = 32767; iside = 0;
+        fill &= (1u << B) - 1;
+        delta = -16384;
+    } else if (itheta == 16384) {
+        imid = 0; iside = 32767;
+        fill &= ((1u << B) - 1) << B;
+        delta = 16384;
+    } else {
+        imid = bitexact_cos(itheta);
+        iside = bitexact_cos(16384 - itheta);
+        delta = frac_mul16((n - 1) << 7, bitexact_log2tan(iside, imid));
+    }
+    sctx.inv = inv;
+    sctx.imid = imid;
+    sctx.iside = iside;
+    sctx.delta = delta;
+    sctx.itheta = itheta;
+    sctx.qalloc = qalloc;
+}
+
+static uint32_t quant_band_n1(BandCtx& ctx, double* x, double* y, double* lowband_out) {
+    double* vec = x;
+    int count = y ? 2 : 1;
+    for (int c = 0; c < count; c++) {
+        int sign = 0;
+        if (ctx.remaining_bits >= (1 << BITRES)) {
+            sign = (int)ctx.ec->decode_bits(1);
+            ctx.remaining_bits -= 1 << BITRES;
+        }
+        vec[0] = sign ? -1.0 : 1.0;
+        vec = y;
+    }
+    if (lowband_out) lowband_out[0] = x[0];
+    return 1;
+}
+
+static uint32_t quant_partition(BandCtx& ctx, double* x, int n, int64_t b, int B,
+                                double* lowband, int lm, double gain, uint32_t fill) {
+    int band = ctx.band;
+    int B0 = B;
+    int cache_off = CACHE_INDEX[lm + 1][band];
+    const uint8_t* cache = CACHE_BITS;
+    if (lm != -1 && b > (int64_t)cache[cache_off + cache[cache_off]] + 12 && n > 2) {
+        n >>= 1;
+        double* y = x + n;
+        lm -= 1;
+        if (B == 1) fill = (fill & 1) | (fill << 1);
+        B = (B + 1) >> 1;
+
+        SplitCtx sctx;
+        compute_theta_dec(ctx, sctx, n, b, B, B0, lm, false, fill);
+        int imid = sctx.imid, iside = sctx.iside;
+        int64_t delta = sctx.delta;
+        int itheta = sctx.itheta;
+        int64_t qalloc = sctx.qalloc;
+        double mid = imid / 32768.0;
+        double side = iside / 32768.0;
+
+        if (B0 > 1 && (itheta & 0x3FFF)) {
+            if (itheta > 8192) {
+                delta -= delta >> (4 - lm);
+            } else {
+                delta = std::min<int64_t>(0, delta + ((int64_t)n << BITRES >> (5 - lm)));
+            }
+        }
+        int64_t mbits = std::max<int64_t>(0, std::min<int64_t>(b, celt_sudiv((int)(b - delta), 2)));
+        int64_t sbits = b - mbits;
+        ctx.remaining_bits -= qalloc;
+
+        double* next_lowband2 = lowband ? lowband + n : nullptr;
+        int64_t rebalance = ctx.remaining_bits;
+        uint32_t cm;
+        if (mbits >= sbits) {
+            cm = quant_partition(ctx, x, n, mbits, B, lowband, lm, gain * mid, fill);
+            rebalance = mbits - (rebalance - ctx.remaining_bits);
+            if (rebalance > (int64_t)(3 << BITRES) && itheta != 0)
+                sbits += rebalance - (3 << BITRES);
+            cm |= quant_partition(ctx, y, n, sbits, B, next_lowband2, lm, gain * side, fill >> B) << (B0 >> 1);
+        } else {
+            cm = quant_partition(ctx, y, n, sbits, B, next_lowband2, lm, gain * side, fill >> B) << (B0 >> 1);
+            rebalance = sbits - (rebalance - ctx.remaining_bits);
+            if (rebalance > (int64_t)(3 << BITRES) && itheta != 16384)
+                mbits += rebalance - (3 << BITRES);
+            cm |= quant_partition(ctx, x, n, mbits, B, lowband, lm, gain * mid, fill);
+        }
+        return cm;
+    }
+
+    // Leaf.
+    int q = bits2pulses(band, lm, (int)b);
+    int curr_bits = pulses2bits(band, lm, q);
+    ctx.remaining_bits -= curr_bits;
+    while (ctx.remaining_bits < 0 && q > 0) {
+        ctx.remaining_bits += curr_bits;
+        q--;
+        curr_bits = pulses2bits(band, lm, q);
+        ctx.remaining_bits -= curr_bits;
+    }
+    if (q != 0) {
+        int k = get_pulses(q);
+        return alg_unquant(x, n, k, ctx.spread, B, *ctx.ec, gain);
+    }
+    uint32_t cm_mask = (1u << B) - 1;
+    fill &= cm_mask;
+    uint32_t cm = 0;
+    if (!fill) {
+        std::memset(x, 0, n * sizeof(double));
+    } else {
+        if (lowband == nullptr) {
+            for (int j = 0; j < n; j++) {
+                ctx.seed = lcg_rand(ctx.seed);
+                x[j] = (double)((int32_t)ctx.seed >> 20);
+            }
+            cm = cm_mask;
+        } else {
+            for (int j = 0; j < n; j++) {
+                ctx.seed = lcg_rand(ctx.seed);
+                double tmp = 1.0 / 256.0;
+                if (!(ctx.seed & 0x8000)) tmp = -tmp;
+                x[j] = lowband[j] + tmp;
+            }
+            cm = fill;
+        }
+        renormalise_vector(x, n, gain);
+    }
+    return cm;
+}
+
+static uint32_t quant_band(BandCtx& ctx, double* x, int n, int64_t b, int B,
+                           double* lowband, int lm, double* lowband_out, double gain,
+                           double* lowband_scratch, uint32_t fill, std::vector<double>& tmpbuf) {
+    int n0 = n;
+    int n_b = n / B;
+    int B0 = B;
+    int time_divide = 0;
+    int recombine = 0;
+    bool long_blocks = B0 == 1;
+    int tf_change = ctx.tf_change;
+
+    if (n == 1) return quant_band_n1(ctx, x, nullptr, lowband_out);
+
+    if (tf_change > 0) recombine = tf_change;
+
+    if (lowband_scratch && lowband &&
+        (recombine || ((n_b & 1) == 0 && tf_change < 0) || B0 > 1)) {
+        std::memcpy(lowband_scratch, lowband, n * sizeof(double));
+        lowband = lowband_scratch;
+    }
+
+    for (int k = 0; k < recombine; k++) {
+        if (lowband) haar1(lowband, n >> k, 1 << k);
+        fill = BIT_INTERLEAVE[fill & 0xF] | (uint32_t)BIT_INTERLEAVE[fill >> 4] << 2;
+    }
+    B >>= recombine;
+    n_b <<= recombine;
+
+    while ((n_b & 1) == 0 && tf_change < 0) {
+        if (lowband) haar1(lowband, n_b, B);
+        fill |= fill << B;
+        B <<= 1;
+        n_b >>= 1;
+        time_divide++;
+        tf_change++;
+    }
+    B0 = B;
+    int n_b0 = n_b;
+
+    if (B0 > 1 && lowband)
+        deinterleave_hadamard(lowband, n_b >> recombine, B0 << recombine, long_blocks, tmpbuf);
+
+    uint32_t cm = quant_partition(ctx, x, n, b, B, lowband, lm, gain, fill);
+
+    // Resynthesis reshaping (decode side always resynthesises).
+    if (B0 > 1)
+        interleave_hadamard(x, n_b >> recombine, B0 << recombine, long_blocks, tmpbuf);
+    n_b = n_b0;
+    B = B0;
+    for (int k = 0; k < time_divide; k++) {
+        B >>= 1;
+        n_b <<= 1;
+        cm |= cm >> B;
+        haar1(x, n_b, B);
+    }
+    for (int k = 0; k < recombine; k++) {
+        cm = BIT_DEINTERLEAVE[cm];
+        haar1(x, n0 >> k, 1 << k);
+    }
+    B <<= recombine;
+
+    if (lowband_out) {
+        double scale = std::sqrt((double)n0);
+        for (int j = 0; j < n0; j++) lowband_out[j] = scale * x[j];
+    }
+    cm &= (1u << B) - 1;
+    return cm;
+}
+
+static uint32_t quant_band_stereo(BandCtx& ctx, double* x, double* y, int n, int64_t b, int B,
+                                  double* lowband, int lm, double* lowband_out,
+                                  double* lowband_scratch, uint32_t fill, std::vector<double>& tmpbuf) {
+    if (n == 1) return quant_band_n1(ctx, x, y, lowband_out);
+
+    uint32_t orig_fill = fill;
+    SplitCtx sctx;
+    compute_theta_dec(ctx, sctx, n, b, B, B, lm, true, fill);
+    bool inv = sctx.inv;
+    int imid = sctx.imid, iside = sctx.iside;
+    int64_t delta = sctx.delta;
+    int itheta = sctx.itheta;
+    int64_t qalloc = sctx.qalloc;
+    double mid = imid / 32768.0;
+    double side = iside / 32768.0;
+    uint32_t cm;
+
+    if (n == 2) {
+        int64_t mbits = b;
+        int64_t sbits = 0;
+        if (itheta != 0 && itheta != 16384) sbits = 1 << BITRES;
+        mbits -= sbits;
+        bool c = itheta > 8192;
+        ctx.remaining_bits -= qalloc + sbits;
+        double* x2 = c ? y : x;
+        double* y2 = c ? x : y;
+        int sign = 0;
+        if (sbits) sign = (int)ctx.ec->decode_bits(1);
+        sign = 1 - 2 * sign;
+        cm = quant_band(ctx, x2, n, mbits, B, lowband, lm, lowband_out, 1.0, lowband_scratch, orig_fill, tmpbuf);
+        y2[0] = -sign * x2[1];
+        y2[1] = sign * x2[0];
+        x[0] = mid * x[0];
+        x[1] = mid * x[1];
+        y[0] = side * y[0];
+        y[1] = side * y[1];
+        double tmp = x[0];
+        x[0] = tmp - y[0];
+        y[0] = tmp + y[0];
+        tmp = x[1];
+        x[1] = tmp - y[1];
+        y[1] = tmp + y[1];
+    } else {
+        int64_t mbits = std::max<int64_t>(0, std::min<int64_t>(b, celt_sudiv((int)(b - delta), 2)));
+        int64_t sbits = b - mbits;
+        ctx.remaining_bits -= qalloc;
+        int64_t rebalance = ctx.remaining_bits;
+        if (mbits >= sbits) {
+            cm = quant_band(ctx, x, n, mbits, B, lowband, lm, lowband_out, 1.0, lowband_scratch, fill, tmpbuf);
+            rebalance = mbits - (rebalance - ctx.remaining_bits);
+            if (rebalance > (int64_t)(3 << BITRES) && itheta != 0)
+                sbits += rebalance - (3 << BITRES);
+            cm |= quant_band(ctx, y, n, sbits, B, nullptr, lm, nullptr, side, nullptr, fill >> B, tmpbuf);
+        } else {
+            cm = quant_band(ctx, y, n, sbits, B, nullptr, lm, nullptr, side, nullptr, fill >> B, tmpbuf);
+            rebalance = sbits - (rebalance - ctx.remaining_bits);
+            if (rebalance > (int64_t)(3 << BITRES) && itheta != 16384)
+                mbits += rebalance - (3 << BITRES);
+            cm |= quant_band(ctx, x, n, mbits, B, lowband, lm, lowband_out, 1.0, lowband_scratch, fill, tmpbuf);
+        }
+    }
+    if (n != 2) stereo_merge(x, y, mid, n);
+    if (inv)
+        for (int j = 0; j < n; j++) y[j] = -y[j];
+    return cm;
+}
+
+}  // namespace
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// quant_all_bands + anti_collapse (opus_tpu/celt/bands.py), decode side.
+// ---------------------------------------------------------------------------
+
+static uint32_t quant_all_bands_dec(int start, int end, double* x_, double* y_,
+                                    int32_t collapse_masks[NB_E_BANDS][2],
+                                    const int* pulses, bool short_blocks, int spread,
+                                    bool dual_stereo, int intensity, const int* tf_res,
+                                    int64_t total_bits, int64_t balance, RangeDec& ec,
+                                    int lm, int coded_bands, uint32_t seed, bool disable_inv) {
+    int M = 1 << lm;
+    int B = short_blocks ? M : 1;
+    int C = y_ ? 2 : 1;
+    int norm_offset = M * E_BANDS[start];
+    int norm_len = M * E_BANDS[NB_E_BANDS - 1] - norm_offset;
+    static thread_local std::vector<double> norm_buf, norm2_buf, scratch_buf, tmpbuf;
+    norm_buf.assign(norm_len, 0.0);
+    double* norm = norm_buf.data();
+    double* norm2 = norm;
+    if (C == 2) {
+        norm2_buf.assign(norm_len, 0.0);
+        norm2 = norm2_buf.data();
+    }
+    scratch_buf.assign(M * (E_BANDS[NB_E_BANDS] - E_BANDS[NB_E_BANDS - 1]), 0.0);
+
+    BandCtx ctx;
+    ctx.band = 0;
+    ctx.intensity = intensity;
+    ctx.spread = spread;
+    ctx.tf_change = 0;
+    ctx.ec = &ec;
+    ctx.remaining_bits = 0;
+    ctx.seed = seed;
+    ctx.disable_inv = disable_inv;
+
+    int lowband_offset = 0;
+    bool update_lowband = true;
+    for (int i = start; i < end; i++) {
+        ctx.band = i;
+        bool last = i == end - 1;
+        double* X = x_ + M * E_BANDS[i];
+        double* Y = y_ ? y_ + M * E_BANDS[i] : nullptr;
+        int n = M * E_BANDS[i + 1] - M * E_BANDS[i];
+        int64_t tell = (int64_t)(int32_t)ec.tell_frac();
+
+        if (i != start) balance -= tell;
+        int64_t remaining_bits = total_bits - tell - 1;
+        ctx.remaining_bits = remaining_bits;
+        int64_t b = 0;
+        if (i <= coded_bands - 1) {
+            int64_t curr_balance = celt_sudiv((int)balance, std::min(3, coded_bands - i));
+            b = std::max<int64_t>(0, std::min<int64_t>(16383,
+                    std::min<int64_t>(remaining_bits + 1, pulses[i] + curr_balance)));
+        }
+
+        if ((M * E_BANDS[i] - n >= M * E_BANDS[start] || i == start + 1) &&
+            (update_lowband || lowband_offset == 0))
+            lowband_offset = i;
+        if (i == start + 1) {
+            // special_hybrid_folding
+            int n1 = M * (E_BANDS[start + 1] - E_BANDS[start]);
+            int n2 = M * (E_BANDS[start + 2] - E_BANDS[start + 1]);
+            std::memcpy(norm + n1, norm + 2 * n1 - n2, (n2 - n1) * sizeof(double));
+            if (dual_stereo)
+                std::memcpy(norm2 + n1, norm2 + 2 * n1 - n2, (n2 - n1) * sizeof(double));
+        }
+
+        ctx.tf_change = tf_res[i];
+        double* scratch = scratch_buf.data();
+        if (i >= EFF_E_BANDS) {
+            X = norm;
+            Y = y_ ? norm : nullptr;
+            scratch = nullptr;
+        }
+        if (last) scratch = nullptr;
+
+        int effective_lowband = -1;
+        uint32_t x_cm, y_cm;
+        if (lowband_offset != 0 && (spread != SPREAD_AGGRESSIVE_ || B > 1 || ctx.tf_change < 0)) {
+            effective_lowband = std::max(0, M * E_BANDS[lowband_offset] - norm_offset - n);
+            int fold_start = lowband_offset - 1;
+            while (M * E_BANDS[fold_start] > effective_lowband + norm_offset) fold_start--;
+            int fold_end = lowband_offset - 1;
+            do {
+                fold_end++;
+            } while (fold_end < i && M * E_BANDS[fold_end] < effective_lowband + norm_offset + n);
+            x_cm = y_cm = 0;
+            for (int fi = fold_start; fi < std::max(fold_end, fold_start + 1); fi++) {
+                x_cm |= (uint32_t)collapse_masks[fi][0];
+                y_cm |= (uint32_t)collapse_masks[fi][C - 1];
+            }
+        } else {
+            x_cm = y_cm = (1u << B) - 1;
+        }
+
+        if (dual_stereo && i == intensity) {
+            dual_stereo = false;
+            int upto = M * E_BANDS[i] - norm_offset;
+            for (int j = 0; j < upto; j++) norm[j] = 0.5 * (norm[j] + norm2[j]);
+        }
+
+        double* lowband = effective_lowband != -1 ? norm + effective_lowband : nullptr;
+        double* lowband2 = effective_lowband != -1 ? norm2 + effective_lowband : nullptr;
+        double* lowband_out = last ? nullptr : norm + (M * E_BANDS[i] - norm_offset);
+        double* lowband_out2 = last ? nullptr : norm2 + (M * E_BANDS[i] - norm_offset);
+
+        if (dual_stereo) {
+            x_cm = quant_band(ctx, X, n, b / 2, B, lowband, lm, lowband_out, 1.0, scratch, x_cm, tmpbuf);
+            y_cm = quant_band(ctx, Y, n, b / 2, B, lowband2, lm, lowband_out2, 1.0, scratch, y_cm, tmpbuf);
+        } else {
+            if (Y) {
+                x_cm = quant_band_stereo(ctx, X, Y, n, b, B, lowband, lm, lowband_out, scratch, x_cm | y_cm, tmpbuf);
+            } else {
+                x_cm = quant_band(ctx, X, n, b, B, lowband, lm, lowband_out, 1.0, scratch, x_cm, tmpbuf);
+            }
+            y_cm = x_cm;
+        }
+        collapse_masks[i][0] = (int32_t)(x_cm & 0xFF);
+        collapse_masks[i][C - 1] = (int32_t)(y_cm & 0xFF);
+        balance += pulses[i] + tell;
+        update_lowband = b > ((int64_t)n << BITRES);
+    }
+    return ctx.seed;
+}
+
+static uint32_t anti_collapse_c(double* x_, const int32_t collapse_masks[NB_E_BANDS][2],
+                                int lm, int C, int size, int start, int end,
+                                const float log_e[2][NB_E_BANDS],
+                                const float prev1_log_e[2][NB_E_BANDS],
+                                const float prev2_log_e[2][NB_E_BANDS],
+                                const int* pulses, uint32_t seed) {
+    for (int i = start; i < end; i++) {
+        int n0 = E_BANDS[i + 1] - E_BANDS[i];
+        int depth = ((1 + pulses[i]) / n0) >> lm;
+        double thresh = 0.5 * celt_exp2d(-0.125 * depth);
+        double sqrt_1 = 1.0 / std::sqrt((double)(n0 << lm));
+        for (int c = 0; c < C; c++) {
+            float prev1 = prev1_log_e[c][i];
+            float prev2 = prev2_log_e[c][i];
+            if (C == 1) {
+                prev1 = std::max(prev1, prev1_log_e[1][i]);
+                prev2 = std::max(prev2, prev2_log_e[1][i]);
+            }
+            double ediff = std::max(0.0, (double)log_e[c][i] - (double)std::min(prev1, prev2));
+            double r = 2.0 * celt_exp2d(-ediff);
+            if (lm == 3) r *= 1.41421356;
+            r = std::min(thresh, r) * sqrt_1;
+            int base = c * size + (E_BANDS[i] << lm);
+            bool renorm = false;
+            for (int k = 0; k < (1 << lm); k++) {
+                if (!(collapse_masks[i][c] & (1 << k))) {
+                    for (int j = 0; j < n0; j++) {
+                        seed = lcg_rand(seed);
+                        x_[base + (j << lm) + k] = (seed & 0x8000) ? r : -r;
+                    }
+                    renorm = true;
+                }
+            }
+            if (renorm) renormalise_vector(x_ + base, n0 << lm, 1.0);
+        }
+    }
+    return seed;
+}
+
+// ---------------------------------------------------------------------------
+// Front-end state + frame decode (opus_tpu/celt/decoder.py, plane path).
+// ---------------------------------------------------------------------------
+
+constexpr int SPREAD_NORMAL = 2;
+constexpr int MIN_PERIOD = 15;
+
+struct FrontEnd {
+    int channels;
+    int downsample;
+    int start_band;
+    int end_band;
+    bool disable_inv;
+    uint32_t rng;
+    float old_band_e[2][NB_E_BANDS];
+    float old_log_e[2][NB_E_BANDS];
+    float old_log_e2[2][NB_E_BANDS];
+    float background_log_e[2][NB_E_BANDS];
+    int postfilter_period, postfilter_period_old;
+    double postfilter_gain, postfilter_gain_old;
+    int postfilter_tapset, postfilter_tapset_old;
+    int loss_count;
+    bool error;
+
+    void reset() {
+        std::memset(old_band_e, 0, sizeof(old_band_e));
+        for (int c = 0; c < 2; c++)
+            for (int j = 0; j < NB_E_BANDS; j++) {
+                old_log_e[c][j] = -28.0f;
+                old_log_e2[c][j] = -28.0f;
+                background_log_e[c][j] = -28.0f;
+            }
+        postfilter_period = postfilter_period_old = 0;
+        postfilter_gain = postfilter_gain_old = 0.0;
+        postfilter_tapset = postfilter_tapset_old = 0;
+        loss_count = 0;
+        rng = 0;
+        error = false;
+    }
+};
+
+// meta layout (int32): 0 silence, 1 short_blocks, 2 lm, 3 stream_channels,
+// 4 start, 5 eff_end, 6 pf_period0, 7 pf_period1, 8 pf_period2,
+// 9 pf_tapset0, 10 pf_tapset1, 11 pf_tapset2, 12 error
+// pf_gains (double[3]): gain0, gain1, gain2
+
+static int decode_frame(FrontEnd& st, const uint8_t* data, int len, int frame_size48,
+                        int stream_channels, double* x_out, float* band_log_e_out,
+                        int32_t* meta, double* pf_gains) {
+    int frame_size = frame_size48;  // caller passes samples at 48 kHz
+    int lm = -1;
+    for (int l = 0; l <= MAX_LM; l++)
+        if (SHORT_MDCT_SIZE << l == frame_size) { lm = l; break; }
+    if (lm < 0 || len < 2 || len > 1275) return -1;
+    int m = 1 << lm;
+    int n = m * SHORT_MDCT_SIZE;
+    int c_ = stream_channels;
+    int cc = st.channels;
+    int start = st.start_band, end = st.end_band;
+    int eff_end = std::min(end, (int)EFF_E_BANDS);
+
+    RangeDec dec;
+    dec.init(data, len);
+    int frame_bytes = len;
+
+    float(*old_band_e)[NB_E_BANDS] = st.old_band_e;
+    if (c_ == 1)
+        for (int j = 0; j < NB_E_BANDS; j++)
+            old_band_e[0][j] = std::max(old_band_e[0][j], old_band_e[1][j]);
+
+    int total_bits = frame_bytes * 8;
+    int tell = dec.tell();
+    bool silence;
+    if (tell >= total_bits) silence = true;
+    else if (tell == 1) silence = dec.decode_bit_logp(15);
+    else silence = false;
+    if (silence) {
+        dec.bits_total += total_bits - dec.tell();
+        tell = total_bits;
+    }
+
+    double postfilter_gain = 0.0;
+    int postfilter_pitch = 0;
+    int postfilter_tapset = 0;
+    if (start == 0 && tell + 16 <= total_bits) {
+        if (dec.decode_bit_logp(1)) {
+            int octave = (int)dec.decode_uint(6);
+            postfilter_pitch = (16 << octave) + (int)dec.decode_bits(4 + octave) - 1;
+            int qg = (int)dec.decode_bits(3);
+            if (dec.tell() + 2 <= total_bits)
+                postfilter_tapset = dec.decode_icdf(TAPSET_ICDF, 2);
+            postfilter_gain = 0.09375 * (qg + 1);
+        }
+        tell = dec.tell();
+    }
+
+    bool is_transient = false;
+    if (lm > 0 && tell + 3 <= total_bits) {
+        is_transient = dec.decode_bit_logp(3);
+        tell = dec.tell();
+    }
+    bool short_blocks = is_transient;
+
+    bool intra_ener = tell + 3 <= total_bits ? dec.decode_bit_logp(3) : false;
+    unquant_coarse_energy(dec, old_band_e, start, end, intra_ener, lm, c_);
+
+    int tf_res[NB_E_BANDS] = {0};
+    tf_decode(start, end, is_transient, tf_res, lm, dec);
+
+    tell = dec.tell();
+    int spread_decision = SPREAD_NORMAL;
+    if (tell + 4 <= total_bits) spread_decision = dec.decode_icdf(SPREAD_ICDF, 5);
+
+    int64_t cap[NB_E_BANDS];
+    init_caps(lm, c_, cap);
+
+    int64_t offsets[NB_E_BANDS] = {0};
+    int dynalloc_logp = 6;
+    int64_t total_bits_frac = (int64_t)total_bits << BITRES;
+    int64_t tell_frac = (int64_t)(int32_t)dec.tell_frac();
+    for (int i = start; i < end; i++) {
+        int width = (c_ * (E_BANDS[i + 1] - E_BANDS[i])) << lm;
+        int64_t quanta = std::min<int64_t>((int64_t)width << BITRES,
+                                           std::max<int64_t>(6 << BITRES, width));
+        int dynalloc_loop_logp = dynalloc_logp;
+        int64_t boost = 0;
+        while (tell_frac + ((int64_t)dynalloc_loop_logp << BITRES) < total_bits_frac && boost < cap[i]) {
+            bool flag = dec.decode_bit_logp(dynalloc_loop_logp);
+            tell_frac = (int64_t)(int32_t)dec.tell_frac();
+            if (!flag) break;
+            boost += quanta;
+            total_bits_frac -= quanta;
+            dynalloc_loop_logp = 1;
+        }
+        offsets[i] = boost;
+        if (boost > 0) dynalloc_logp = std::max(2, dynalloc_logp - 1);
+    }
+
+    int alloc_trim = 5;
+    if (tell_frac + (6 << BITRES) <= total_bits_frac)
+        alloc_trim = dec.decode_icdf(TRIM_ICDF, 7);
+
+    int64_t bits = ((int64_t)frame_bytes * 8 << BITRES) - (int64_t)(int32_t)dec.tell_frac() - 1;
+    int64_t anti_collapse_rsv =
+        (is_transient && lm >= 2 && bits >= ((int64_t)(lm + 2) << BITRES)) ? (1 << BITRES) : 0;
+    bits -= anti_collapse_rsv;
+
+    AllocResult alloc;
+    compute_allocation(start, end, offsets, cap, alloc_trim, bits, c_, lm, dec, alloc);
+
+    unquant_fine_energy(dec, old_band_e, alloc.ebits, start, end, c_);
+
+    int32_t collapse_masks[NB_E_BANDS][2];
+    std::memset(collapse_masks, 0, sizeof(collapse_masks));
+    std::memset(x_out, 0, (size_t)c_ * n * sizeof(double));
+    double* y_ = c_ == 2 ? x_out + n : nullptr;
+
+    st.rng = quant_all_bands_dec(start, end, x_out, y_, collapse_masks, alloc.pulses,
+                                 short_blocks, spread_decision, alloc.dual_stereo,
+                                 alloc.intensity, tf_res,
+                                 (int64_t)frame_bytes * (8 << BITRES) - anti_collapse_rsv,
+                                 alloc.balance, dec, lm, alloc.coded_bands, st.rng,
+                                 st.disable_inv);
+
+    bool anti_collapse_on = false;
+    if (anti_collapse_rsv > 0) anti_collapse_on = dec.decode_bits(1) != 0;
+
+    unquant_energy_finalise(dec, old_band_e, alloc.ebits, alloc.fine_priority,
+                            frame_bytes * 8 - dec.tell(), start, end, c_);
+
+    if (anti_collapse_on)
+        st.rng = anti_collapse_c(x_out, collapse_masks, lm, c_, n, start, end,
+                                 (const float(*)[NB_E_BANDS])old_band_e, st.old_log_e,
+                                 st.old_log_e2, alloc.pulses, st.rng);
+
+    if (silence)
+        for (int c = 0; c < 2; c++)
+            for (int j = 0; j < NB_E_BANDS; j++) old_band_e[c][j] = -28.0f;
+
+    // Emit planes.
+    for (int c = 0; c < cc; c++)
+        for (int j = 0; j < NB_E_BANDS; j++)
+            band_log_e_out[c * NB_E_BANDS + j] = old_band_e[c][j];
+    meta[0] = silence ? 1 : 0;
+    meta[1] = short_blocks ? 1 : 0;
+    meta[2] = lm;
+    meta[3] = c_;
+    meta[4] = start;
+    meta[5] = eff_end;
+    meta[6] = std::max(st.postfilter_period_old, MIN_PERIOD);
+    meta[7] = std::max(st.postfilter_period, MIN_PERIOD);
+    meta[8] = postfilter_pitch;
+    meta[9] = st.postfilter_tapset_old;
+    meta[10] = st.postfilter_tapset;
+    meta[11] = postfilter_tapset;
+    pf_gains[0] = st.postfilter_gain_old;
+    pf_gains[1] = st.postfilter_gain;
+    pf_gains[2] = postfilter_gain;
+
+    // Rotate postfilter state (decoder.py _rotate_postfilter).
+    st.postfilter_period_old = st.postfilter_period;
+    st.postfilter_gain_old = st.postfilter_gain;
+    st.postfilter_tapset_old = st.postfilter_tapset;
+    st.postfilter_period = postfilter_pitch;
+    st.postfilter_gain = postfilter_gain;
+    st.postfilter_tapset = postfilter_tapset;
+    if (lm != 0) {
+        st.postfilter_period_old = st.postfilter_period;
+        st.postfilter_gain_old = st.postfilter_gain;
+        st.postfilter_tapset_old = st.postfilter_tapset;
+    }
+
+    // Energy history (decoder.py _update_energy_history).
+    if (c_ == 1)
+        for (int j = 0; j < NB_E_BANDS; j++) old_band_e[1][j] = old_band_e[0][j];
+    if (!is_transient) {
+        std::memcpy(st.old_log_e2, st.old_log_e, sizeof(st.old_log_e2));
+        std::memcpy(st.old_log_e, old_band_e, sizeof(st.old_log_e));
+        float max_inc = st.loss_count < 10 ? (float)m * 0.001f : 1.0f;
+        for (int c = 0; c < 2; c++)
+            for (int j = 0; j < NB_E_BANDS; j++)
+                st.background_log_e[c][j] =
+                    std::min(st.background_log_e[c][j] + max_inc, st.old_log_e[c][j]);
+    } else {
+        for (int c = 0; c < 2; c++)
+            for (int j = 0; j < NB_E_BANDS; j++)
+                st.old_log_e[c][j] = std::min(st.old_log_e[c][j], old_band_e[c][j]);
+    }
+    for (int c = 0; c < 2; c++) {
+        for (int j = 0; j < start; j++) {
+            old_band_e[c][j] = 0.0f;
+            st.old_log_e[c][j] = -28.0f;
+            st.old_log_e2[c][j] = -28.0f;
+        }
+        for (int j = end; j < NB_E_BANDS; j++) {
+            old_band_e[c][j] = 0.0f;
+            st.old_log_e[c][j] = -28.0f;
+            st.old_log_e2[c][j] = -28.0f;
+        }
+    }
+    st.rng = dec.rng;
+    st.loss_count = 0;
+    if (dec.tell() > 8 * frame_bytes) return -2;
+    st.error = dec.error;
+    meta[12] = dec.error ? 1 : 0;
+    return 0;
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// C ABI.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+void* celt_fe_create(int channels, int downsample) {
+    warm_urows();
+    FrontEnd* st = new FrontEnd();
+    st->channels = channels;
+    st->downsample = downsample;
+    st->start_band = 0;
+    st->end_band = NB_E_BANDS;
+    st->disable_inv = channels == 1;
+    st->reset();
+    return st;
+}
+
+void celt_fe_destroy(void* h) { delete (FrontEnd*)h; }
+void celt_fe_reset(void* h) { ((FrontEnd*)h)->reset(); }
+
+void celt_fe_config(void* h, int start_band, int end_band, int disable_inv) {
+    FrontEnd* st = (FrontEnd*)h;
+    st->start_band = start_band;
+    st->end_band = end_band;
+    if (disable_inv >= 0) st->disable_inv = disable_inv != 0;
+}
+
+uint32_t celt_fe_rng(void* h) { return ((FrontEnd*)h)->rng; }
+
+int celt_fe_decode(void* h, const uint8_t* data, int len, int frame_size48,
+                   int stream_channels, double* x_out, float* band_log_e_out,
+                   int32_t* meta, double* pf_gains) {
+    return decode_frame(*(FrontEnd*)h, data, len, frame_size48, stream_channels,
+                        x_out, band_log_e_out, meta, pf_gains);
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// Batch decode: one packet per stream handle, stacked outputs.
+// data: concatenated payloads; lens[i] gives each length.
+// x_out stride: x_stride doubles; ble stride: 2*21 floats; meta stride 16;
+// gains stride 3.  Returns number of frames decoded, negative on error.
+int celt_fe_decode_batch(void** handles, const uint8_t* data, const int32_t* lens,
+                         int n_packets, int frame_size48, const int32_t* stream_channels,
+                         double* x_out, int64_t x_stride,
+                         float* ble_out, int32_t* meta_out, double* gains_out) {
+    std::vector<int64_t> offs(n_packets + 1, 0);
+    for (int i = 0; i < n_packets; i++) offs[i + 1] = offs[i] + lens[i];
+    int bad = 0;
+#pragma omp parallel for schedule(dynamic, 8)
+    for (int i = 0; i < n_packets; i++) {
+        FrontEnd* st = (FrontEnd*)handles[i];
+        int rc = decode_frame(*st, data + offs[i], lens[i], frame_size48, stream_channels[i],
+                              x_out + (int64_t)i * x_stride, ble_out + i * 2 * NB_E_BANDS,
+                              meta_out + i * 16, gains_out + i * 3);
+        if (rc != 0) {
+#pragma omp critical
+            bad = i + 1;
+        }
+    }
+    if (bad) return -bad;
+    return n_packets;
+}
+
+}  // extern "C"

@@ -1,0 +1,186 @@
+"""ctypes wrapper over the native CELT plane-A engine (libceltfe.so).
+
+Drop-in replacement for the Python front end's plane extraction: decodes
+the symbol stream of one CELT frame and returns the same `planes` dict
+that CeltDecoder(synthesize_host=False) produces, at native speed.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import pathlib
+
+import numpy as np
+
+_HERE = pathlib.Path(__file__).parent
+_LIB = None
+
+
+def _load():
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    so = _HERE / "libceltfe.so"
+    if not so.exists():
+        from .build import build
+
+        build(verbose=False)
+    lib = ctypes.CDLL(str(so))
+    lib.celt_fe_create.restype = ctypes.c_void_p
+    lib.celt_fe_create.argtypes = [ctypes.c_int, ctypes.c_int]
+    lib.celt_fe_destroy.argtypes = [ctypes.c_void_p]
+    lib.celt_fe_reset.argtypes = [ctypes.c_void_p]
+    lib.celt_fe_config.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.celt_fe_rng.restype = ctypes.c_uint32
+    lib.celt_fe_rng.argtypes = [ctypes.c_void_p]
+    lib.celt_fe_decode.restype = ctypes.c_int
+    lib.celt_fe_decode.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_double),
+    ]
+    _LIB = lib
+    return lib
+
+
+def available() -> bool:
+    try:
+        _load()
+        return True
+    except Exception:
+        return False
+
+
+class NativeCeltFrontEnd:
+    """Native plane-A front end for one CELT stream."""
+
+    NB_E_BANDS = 21
+
+    def __init__(self, channels: int, downsample: int = 1):
+        self.lib = _load()
+        self.channels = channels
+        self.downsample = downsample
+        self.h = self.lib.celt_fe_create(channels, downsample)
+        self.stream_channels = channels
+        self.start_band = 0
+        self.end_band = self.NB_E_BANDS
+        self._x = np.zeros(2 * 960, dtype=np.float64)
+        self._ble = np.zeros(2 * self.NB_E_BANDS, dtype=np.float32)
+        self._meta = np.zeros(16, dtype=np.int32)
+        self._gains = np.zeros(3, dtype=np.float64)
+
+    def __del__(self):
+        try:
+            self.lib.celt_fe_destroy(self.h)
+        except Exception:
+            pass
+
+    def reset(self):
+        self.lib.celt_fe_reset(self.h)
+
+    @property
+    def final_range(self) -> int:
+        return int(self.lib.celt_fe_rng(self.h))
+
+    def decode_planes(self, data: bytes, frame_size: int) -> dict:
+        """frame_size in samples at the decoder rate (48000/downsample)."""
+        self.lib.celt_fe_config(self.h, self.start_band, self.end_band, -1)
+        n48 = frame_size * self.downsample
+        rc = self.lib.celt_fe_decode(
+            self.h, data, len(data), n48, self.stream_channels,
+            self._x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            self._ble.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self._meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            self._gains.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        )
+        if rc != 0:
+            raise ValueError(f"native celt frontend failed: {rc}")
+        m = self._meta
+        c_ = int(m[3])
+        n = (120 << int(m[2]))
+        return {
+            "x": self._x[: c_ * n].copy(),
+            "band_log_e": self._ble.reshape(2, self.NB_E_BANDS)[: self.channels].copy(),
+            "silence": bool(m[0]),
+            "short_blocks": bool(m[1]),
+            "lm": int(m[2]),
+            "stream_channels": c_,
+            "start": int(m[4]),
+            "eff_end": int(m[5]),
+            "pf_period0": int(m[6]),
+            "pf_period1": int(m[7]),
+            "pf_period2": int(m[8]),
+            "pf_tapset0": int(m[9]),
+            "pf_tapset1": int(m[10]),
+            "pf_tapset2": int(m[11]),
+            "pf_gain0": float(self._gains[0]),
+            "pf_gain1": float(self._gains[1]),
+            "pf_gain2": float(self._gains[2]),
+        }
+
+
+class NativeBatchFrontEnd:
+    """Plane A for a fixed batch of streams, one native handle per stream.
+
+    decode_batch() runs every stream's symbol decode in one C call and
+    returns stacked plane arrays ready for the device synthesis step.
+    """
+
+    NB = 21
+
+    def __init__(self, batch: int, channels: int, downsample: int = 1):
+        self.lib = _load()
+        self.lib.celt_fe_decode_batch.restype = ctypes.c_int
+        self.lib.celt_fe_decode_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p), ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_double),
+        ]
+        self.batch = batch
+        self.channels = channels
+        self.downsample = downsample
+        self.handles = (ctypes.c_void_p * batch)(
+            *[self.lib.celt_fe_create(channels, downsample) for _ in range(batch)]
+        )
+
+    def __del__(self):
+        try:
+            for h in self.handles:
+                self.lib.celt_fe_destroy(h)
+        except Exception:
+            pass
+
+    def reset(self):
+        for h in self.handles:
+            self.lib.celt_fe_reset(h)
+
+    def final_ranges(self) -> list:
+        return [int(self.lib.celt_fe_rng(h)) for h in self.handles]
+
+    def decode_batch(self, packets: list, frame_size: int):
+        """Returns (x[B, 2*960] f64 view sized per lm, ble[B,2,21] f32,
+        meta[B,16] i32, gains[B,3] f64)."""
+        B = self.batch
+        blob = b"".join(packets)
+        lens = np.array([len(p) for p in packets], dtype=np.int32)
+        sch = np.array([self.channels] * B, dtype=np.int32)
+        n48 = frame_size * self.downsample
+        x = np.zeros((B, 2 * 960), dtype=np.float64)
+        ble = np.zeros((B, 2, self.NB), dtype=np.float32)
+        meta = np.zeros((B, 16), dtype=np.int32)
+        gains = np.zeros((B, 3), dtype=np.float64)
+        rc = self.lib.celt_fe_decode_batch(
+            self.handles, blob,
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), B, n48,
+            sch.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), x.shape[1],
+            ble.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            gains.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        )
+        if rc != B:
+            raise ValueError(f"native batch decode failed at stream {-rc - 1}")
+        return x, ble, meta, gains

@@ -1,0 +1,67 @@
+"""Native C++ plane-A engine: exact parity with the Python front end."""
+
+import numpy as np
+import pytest
+
+from opus_tpu import oracle, parse_packet
+
+pytestmark = pytest.mark.skipif(not oracle.available(), reason="libopus not present")
+
+
+def _payloads(channels, frame, kbps, nframes=8, seed=4):
+    enc = oracle.Encoder(48000, channels)
+    enc.ctl(oracle.SET_FORCE_MODE, oracle.MODE_CELT_ONLY)
+    enc.ctl(oracle.SET_BITRATE, kbps * 1000)
+    rng = np.random.default_rng(seed)
+    t = np.arange(frame * nframes) / 48000
+    sig = 0.4 * np.sin(2 * np.pi * 440 * t) + 0.1 * np.sin(2 * np.pi * 5000 * t) + 0.05 * rng.standard_normal(t.size)
+    pcm = (np.stack([sig, 0.8 * np.roll(sig, 11)], -1) if channels == 2 else sig[:, None]).astype(np.float32)
+    out = []
+    for f in range(nframes):
+        pkt = enc.encode_float(pcm[f * frame : (f + 1) * frame].ravel(), frame)
+        out.append(pkt[parse_packet(pkt).payload_offset :])
+    return out
+
+
+@pytest.mark.parametrize(
+    "channels,frame,kbps",
+    [(1, 960, 64), (2, 960, 128), (1, 480, 48), (2, 240, 64), (1, 120, 48), (2, 960, 6), (2, 960, 510)],
+)
+def test_native_plane_parity(channels, frame, kbps):
+    from opus_tpu.celt.decoder import CeltDecoder
+    from opus_tpu.native.frontend import NativeCeltFrontEnd, available
+
+    if not available():
+        pytest.skip("native engine not built")
+    py = CeltDecoder(channels)
+    py.synthesize_host = False
+    nat = NativeCeltFrontEnd(channels)
+    for payload in _payloads(channels, frame, kbps):
+        py.decode(payload, frame)
+        pp = py.last_planes
+        pn = nat.decode_planes(payload, frame)
+        assert py.rng == nat.final_range
+        for k in pp:
+            if isinstance(pp[k], np.ndarray):
+                assert float(np.abs(pp[k] - pn[k]).max()) < 1e-12, k
+            elif isinstance(pp[k], float):
+                assert abs(pp[k] - pn[k]) < 1e-12, k
+            else:
+                assert pp[k] == pn[k], k
+
+
+def test_native_batch_pipeline_matches_python():
+    from opus_tpu.batch.pipeline import BatchedCeltDecoder
+
+    payloads = _payloads(2, 960, 96, nframes=4)
+    B = 8
+    nat = BatchedCeltDecoder(B, 2, use_native=True)
+    pyd = BatchedCeltDecoder(B, 2, use_native=False)
+    if not nat.use_native:
+        pytest.skip("native engine not built")
+    for f in range(4):
+        bp = [payloads[f]] * B
+        out_n = nat.decode_frames(bp, 960)
+        out_p = pyd.decode_frames(bp, 960)
+        assert float(np.abs(out_n - out_p).max()) == 0.0
+        assert nat.final_ranges() == pyd.final_ranges()
