@@ -1,9 +1,9 @@
-"""Top-level Opus encoder (CELT mode).
+"""Top-level Opus encoder (CELT music mode + SILK voice mode).
 
 Fills the reference's interface sketch (/root/reference/src/encoder.rs):
-``Encoder`` packetises CELT frames with the RFC 6716 ToC.  CELT-only
-full-band CBR at 48 kHz for this milestone; SILK/hybrid modes and VBR land
-with the SILK milestone.
+``Encoder`` packetises CELT or SILK frames with the RFC 6716 ToC.
+CELT: full-band CBR at 48 kHz.  SILK: mono voice frames at NB/MB/WB
+internal rates (20 ms), with input resampled from any supported rate.
 """
 
 from __future__ import annotations
@@ -19,12 +19,17 @@ from .types import Channels, SamplingRate
 #: frame samples (48 kHz) -> CELT fullband ToC config number.
 _CELT_FB_CONFIG = {120: 28, 240: 29, 480: 30, 960: 31}
 
+#: SILK internal kHz -> 20 ms SILK-only ToC config number.
+_SILK_20MS_CONFIG = {8: 1, 12: 5, 16: 9}
+
 
 @dataclasses.dataclass(frozen=True)
 class EncoderConfiguration:
     sampling_rate: SamplingRate = SamplingRate.HZ_48000
     channels: Channels = Channels.STEREO
     bitrate: int = 96000  # bits/sec, CBR
+    #: "music" -> CELT full-band; "voice" -> SILK WB (mono, 20 ms frames).
+    application: str = "music"
 
 
 class Encoder:
@@ -32,18 +37,38 @@ class Encoder:
 
     def __init__(self, configuration: EncoderConfiguration | None = None):
         self.config = configuration or EncoderConfiguration()
-        if int(self.config.sampling_rate) != 48000:
-            raise BadArguments("encoder supports 48 kHz input for now")
+        self.rate = int(self.config.sampling_rate)
         self.channels = int(self.config.channels)
-        self.celt = CeltEncoder(self.channels)
+        self.application = self.config.application
         self.bitrate = int(self.config.bitrate)
+        self._rng = 0
+        if self.application == "voice":
+            if self.channels != 1:
+                raise BadArguments("voice mode is mono for now")
+            from .silk.encoder import SilkEncoder
+            from .silk.resampler import Resampler
+
+            self.silk_fs_khz = 16 if self.rate >= 16000 else self.rate // 1000
+            self.silk = SilkEncoder(self.silk_fs_khz)
+            self.celt = None
+            self._resampler = (
+                None
+                if self.rate == self.silk_fs_khz * 1000
+                else Resampler(self.rate, self.silk_fs_khz * 1000)
+            )
+        else:
+            if self.rate != 48000:
+                raise BadArguments("music mode supports 48 kHz input for now")
+            self.celt = CeltEncoder(self.channels)
+            self.silk = None
 
     def reset(self) -> None:
-        self.celt.reset()
+        if self.celt is not None:
+            self.celt.reset()
 
     @property
     def final_range(self) -> int:
-        return self.celt.rng
+        return self.celt.rng if self.celt is not None else self._rng
 
     def max_encoded_size(self, frame_size: int) -> int:
         return 1 + min(1275, self.frame_bytes(frame_size))
@@ -52,16 +77,37 @@ class Encoder:
         return max(2, min(1275, (self.bitrate * frame_size) // (48000 * 8)))
 
     def encode(self, pcm: np.ndarray) -> bytes:
-        """Encode one frame of float PCM [N, channels] in ±1; N in
-        {120, 240, 480, 960}.  Returns a complete Opus packet."""
+        """Encode one frame of float PCM [N, channels] in ±1.
+
+        Music mode: N in {120, 240, 480, 960} at 48 kHz.
+        Voice mode: N = 20 ms at the configured rate.
+        Returns a complete Opus packet."""
         pcm = np.asarray(pcm, dtype=np.float32)
         if pcm.ndim == 1:
             pcm = pcm[:, None]
         n = pcm.shape[0]
-        if n not in _CELT_FB_CONFIG:
-            raise BadArguments("frame must be 2.5/5/10/20 ms at 48 kHz")
         if pcm.shape[1] != self.channels:
             raise BadArguments("channel count mismatch")
+        if self.application == "voice":
+            return self._encode_voice(pcm, n)
+        if n not in _CELT_FB_CONFIG:
+            raise BadArguments("frame must be 2.5/5/10/20 ms at 48 kHz")
         toc = (_CELT_FB_CONFIG[n] << 3) | (0x4 if self.channels == 2 else 0)
         payload = self.celt.encode(pcm, self.frame_bytes(n))
+        return bytes([toc]) + payload
+
+    def _encode_voice(self, pcm: np.ndarray, n: int) -> bytes:
+        from .rc.encoder import RangeEncoder
+
+        if n != self.rate // 50:
+            raise BadArguments("voice mode takes 20 ms frames")
+        x48 = np.clip(pcm[:, 0] * 32768.0, -32768, 32767).astype(np.int16)
+        if self._resampler is not None:
+            x = np.array(self._resampler.process([int(v) for v in x48]), dtype=np.int16)
+        else:
+            x = x48
+        budget = max(10, (self.bitrate * 20) // (1000 * 8))  # bytes per 20 ms
+        payload = self.silk.encode_frame_cbr(x, budget)
+        self._rng = self.silk.last_range
+        toc = _SILK_20MS_CONFIG[self.silk_fs_khz] << 3
         return bytes([toc]) + payload

@@ -1,0 +1,426 @@
+"""SILK encoder: produces RFC 6716 SILK frames decodable by any
+conforming decoder (validated against both our decoder and libopus).
+
+Design: the bitstream layer is the exact inverse of our bit-exact decoder
+(opus_tpu/silk/{bitstream,decoder}.py); all decoder-visible state (gain
+index chain, NLSF dequant) is replayed with the decoder's own integer
+code so the stream can never desynchronise.  Analysis is deliberately
+simple for round 1 — unvoiced frames only (no LTP search), Burg LPC,
+greedy NLSF codebook search, per-subframe residual-energy gains.
+Reference surface: the encoder stub at /root/reference/src/silk/encoder.rs.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from . import tables as T
+from .bitstream import NLSF_CB_NB_MB, NLSF_CB_WB, NLSF_QUANT_MAX_AMPLITUDE, NlsfCodebook, nlsf_unpack
+from .fixed_math import i16, i32, silk_rand, smulbb
+from .nlsf import nlsf2a, nlsf_decode, nlsf_stabilize
+
+SHELL_FRAME = 16
+
+
+# ---------------------------------------------------------------------------
+# Analysis (float; encoder-side choices only, never decoder-visible state).
+# ---------------------------------------------------------------------------
+
+def burg_lpc(x: np.ndarray, order: int) -> np.ndarray:
+    """Burg AR coefficients a[0..order-1]: x[n] ~= sum a_k x[n-1-k]."""
+    x = x.astype(np.float64)
+    f = x[1:].copy()
+    b = x[:-1].copy()
+    a = np.zeros(order)
+    for k in range(order):
+        den = float(np.dot(f, f) + np.dot(b, b))
+        mu = 0.0 if den <= 1e-12 else 2.0 * float(np.dot(f, b)) / den
+        mu = max(-0.999, min(0.999, mu))
+        a_prev = a.copy()
+        a[k] = mu
+        for i in range(k):
+            a[i] = a_prev[i] - mu * a_prev[k - 1 - i]
+        f_new = f - mu * b
+        b_new = b - mu * f
+        f = f_new[1:]
+        b = b_new[:-1]
+    return a
+
+
+def lpc_to_nlsf_q15(a: np.ndarray, order: int) -> list:
+    """LPC -> NLSF (Q15) via sign-change scan of the symmetric/antisymmetric
+    LSP test functions on a dense frequency grid."""
+    coefs = np.concatenate([[1.0], -a[:order]])  # A(z) in powers of z^-1
+
+    def eval_a(w):
+        z = np.exp(-1j * w * np.arange(order + 1))
+        return np.dot(coefs, z)
+
+    half = (order + 1) / 2.0
+
+    def fp(w):
+        return (np.exp(1j * half * w) * eval_a(w)).real
+
+    def fq(w):
+        return (np.exp(1j * half * w) * eval_a(w)).imag
+
+    grid = np.linspace(1e-4, math.pi - 1e-4, 64 * order)
+    roots = []
+    for g in (fp, fq):
+        vals = np.array([g(w) for w in grid])
+        sign_change = np.nonzero(np.diff(np.sign(vals)) != 0)[0]
+        for i in sign_change:
+            lo, hi = grid[i], grid[i + 1]
+            flo = g(lo)
+            for _ in range(40):
+                mid = 0.5 * (lo + hi)
+                fm = g(mid)
+                if (fm < 0) == (flo < 0):
+                    lo, flo = mid, fm
+                else:
+                    hi = mid
+            roots.append(0.5 * (lo + hi))
+    roots = sorted(roots)[:order]
+    while len(roots) < order:
+        roots.append((roots[-1] + math.pi) / 2 if roots else 1.0)
+    return [int(max(1, min(32766, round(w / math.pi * 32768)))) for w in roots]
+
+
+# ---------------------------------------------------------------------------
+# Quantisation: exact bitstream-level inverses of the decoder.
+# ---------------------------------------------------------------------------
+
+def quantize_nlsf(nlsf_q15: list, cb: NlsfCodebook):
+    """Greedy two-stage NLSF quantisation; returns indices[1+order]."""
+    order = cb.order
+    target = np.array(nlsf_q15[:order], dtype=np.float64)
+    best_i, best_err = 0, None
+    for i in range(cb.n_vectors):
+        base = np.array([int(cb.cb1_q8[i][j]) << 7 for j in range(order)], dtype=np.float64)
+        w = np.array([int(cb.cb1_wght_q9[i][j]) for j in range(order)], dtype=np.float64)
+        err = float(np.sum(w * (target - base) ** 2))
+        if best_err is None or err < best_err:
+            best_i, best_err = i, err
+    indices = [best_i] + [0] * order
+    _, pred_q8 = nlsf_unpack(cb, best_i)
+    # Residual targets in the decoder's Q10 domain.
+    res_target_q10 = [0.0] * order
+    for j in range(order):
+        base = int(cb.cb1_q8[best_i][j]) << 7
+        w = int(cb.cb1_wght_q9[best_i][j])
+        res_target_q10[j] = (target[j] - base) * w / (1 << 14)
+    # Choose idx back-to-front, replaying the decoder's dequant recurrence.
+    out_q10_next = 0
+    for j in range(order - 1, -1, -1):
+        pred_q10 = smulbb(out_q10_next, pred_q8[j]) >> 8
+        want = res_target_q10[j] - pred_q10
+        step = cb.quant_step_size_q16 / 65536.0
+        idx = int(round(want / (1024.0 * step)))
+        idx = max(-10, min(10, idx))
+        indices[1 + j] = idx
+        out_q10 = i16(idx << 10)
+        if out_q10 > 0:
+            out_q10 = i16(out_q10 - 102)
+        elif out_q10 < 0:
+            out_q10 = i16(out_q10 + 102)
+        out_q10_next = i32(pred_q10 + ((out_q10 * cb.quant_step_size_q16) >> 16))
+    return indices
+
+
+def encode_nlsf_indices(enc, cb: NlsfCodebook, indices, signal_type: int):
+    enc.encode_icdf(
+        indices[0], cb.cb1_icdf[(signal_type >> 1) * cb.n_vectors :][: cb.n_vectors], 8
+    )
+    ec_ix, _ = nlsf_unpack(cb, indices[0])
+    for i in range(cb.order):
+        ix = indices[1 + i]
+        table = cb.ec_icdf[ec_ix[i] : ec_ix[i] + 2 * NLSF_QUANT_MAX_AMPLITUDE + 1]
+        if ix <= -NLSF_QUANT_MAX_AMPLITUDE:
+            enc.encode_icdf(0, table, 8)
+            enc.encode_icdf(-ix - NLSF_QUANT_MAX_AMPLITUDE, T.NLSF_EXT_ICDF, 8)
+        elif ix >= NLSF_QUANT_MAX_AMPLITUDE:
+            enc.encode_icdf(2 * NLSF_QUANT_MAX_AMPLITUDE, table, 8)
+            enc.encode_icdf(ix - NLSF_QUANT_MAX_AMPLITUDE, T.NLSF_EXT_ICDF, 8)
+        else:
+            enc.encode_icdf(ix + NLSF_QUANT_MAX_AMPLITUDE, table, 8)
+
+
+def _gain_dequant_step(idx: int, prev_ind: int, k: int, conditional: bool):
+    """One step of the decoder's gains_dequant; returns (gain_q16, prev')."""
+    from .decoder import N_LEVELS_QGAIN
+    from .fixed_math import silk_log2lin, smulwb
+
+    if k == 0 and not conditional:
+        prev_ind = max(idx, prev_ind - 16)
+    else:
+        ind_tmp = idx - 4
+        thresh = 2 * 36 - N_LEVELS_QGAIN + prev_ind
+        if ind_tmp > thresh:
+            prev_ind += (ind_tmp << 1) - thresh
+        else:
+            prev_ind += ind_tmp
+    prev_ind = max(0, min(N_LEVELS_QGAIN - 1, prev_ind))
+    return silk_log2lin(min(smulwb(1907825, prev_ind) + 2090, 3967)), prev_ind
+
+
+def quantize_gains(target_gains_q16: list, prev_ind: int, conditional: bool):
+    """Pick gain indices by searching the decoder's own dequant step for the
+    closest realisable gain; exact replay, no drift possible."""
+    indices = []
+    gains = []
+    for k, tgt in enumerate(target_gains_q16):
+        lo, hi = (0, 63) if (k == 0 and not conditional) else (0, 40)
+        best = None
+        for idx in range(lo, hi + 1):
+            g, p2 = _gain_dequant_step(idx, prev_ind, k, conditional)
+            err = abs(math.log(max(g, 1)) - math.log(max(tgt, 1)))
+            if best is None or err < best[0]:
+                best = (err, idx, g, p2)
+        _, idx, g, prev_ind = best
+        indices.append(idx)
+        gains.append(g)
+    return indices, gains, prev_ind
+
+
+def _encode_split(enc, a: int, p: int, table) -> None:
+    if p > 0:
+        off = int(T.SHELL_CODE_TABLE_OFFSETS[p])
+        enc.encode_icdf(a, table[off : off + p + 1], 8)
+
+
+def shell_encoder(enc, pulses16: list) -> None:
+    """Inverse of bitstream.shell_decoder (same traversal order)."""
+    p1 = [pulses16[i] + pulses16[i + 1] for i in range(0, 16, 2)]
+    p2 = [p1[0] + p1[1], p1[2] + p1[3], p1[4] + p1[5], p1[6] + p1[7]]
+    p3 = [p2[0] + p2[1], p2[2] + p2[3]]
+    p4 = p3[0] + p3[1]
+    _encode_split(enc, p3[0], p4, T.SHELL_CODE_TABLE3)
+    for half in range(2):
+        if p3[half] == 0:
+            continue
+        _encode_split(enc, p2[2 * half], p3[half], T.SHELL_CODE_TABLE2)
+        for quarter in range(2):
+            q = 2 * half + quarter
+            if p2[q] == 0:
+                continue
+            _encode_split(enc, p1[2 * q], p2[q], T.SHELL_CODE_TABLE1)
+            for eighth in range(2):
+                e = 2 * q + eighth
+                if p1[e] == 0:
+                    continue
+                _encode_split(enc, pulses16[2 * e], p1[e], T.SHELL_CODE_TABLE0)
+
+
+def encode_pulses(enc, signal_type: int, quant_offset_type: int, pulses: list, frame_length: int):
+    """Inverse of bitstream.decode_pulses."""
+    n_blocks = frame_length >> 4
+    if n_blocks * SHELL_FRAME < frame_length:
+        n_blocks += 1
+    work = list(pulses) + [0] * (n_blocks * SHELL_FRAME - frame_length)
+    mags = [abs(v) for v in work]
+
+    n_lshifts = [0] * n_blocks
+    tops = [0] * (n_blocks * SHELL_FRAME)
+    sums = [0] * n_blocks
+    for i in range(n_blocks):
+        blk = mags[i * SHELL_FRAME : (i + 1) * SHELL_FRAME]
+        nls = 0
+        while sum(v >> nls for v in blk) > 16:
+            nls += 1
+        n_lshifts[i] = nls
+        for k in range(SHELL_FRAME):
+            tops[i * SHELL_FRAME + k] = blk[k] >> nls
+        sums[i] = sum(tops[i * SHELL_FRAME : (i + 1) * SHELL_FRAME])
+
+    best_level, best_cost = 0, None
+    for lev in range(9):
+        cost = 0.0
+        row = T.PULSES_PER_BLOCK_ICDF[lev]
+        for i in range(n_blocks):
+            s = sums[i] if n_lshifts[i] == 0 else 17
+            p_hi = 256 if s == 0 else row[s - 1]
+            prob = max(1, int(p_hi) - int(row[s]))
+            cost += -math.log2(prob / 256.0)
+        if best_cost is None or cost < best_cost:
+            best_level, best_cost = lev, cost
+    enc.encode_icdf(best_level, T.RATE_LEVELS_ICDF[signal_type >> 1], 8)
+
+    for i in range(n_blocks):
+        if n_lshifts[i] == 0:
+            enc.encode_icdf(sums[i], T.PULSES_PER_BLOCK_ICDF[best_level], 8)
+        else:
+            # value 17 repeated nls times (first from the chosen level's row,
+            # subsequent from row 9), then the top sum.
+            enc.encode_icdf(17, T.PULSES_PER_BLOCK_ICDF[best_level], 8)
+            for j in range(1, n_lshifts[i]):
+                row = T.PULSES_PER_BLOCK_ICDF[9]
+                enc.encode_icdf(17, row, 8)
+            row = T.PULSES_PER_BLOCK_ICDF[9]
+            if n_lshifts[i] == 10:
+                row = row[1:]
+            enc.encode_icdf(sums[i], row, 8)
+
+    for i in range(n_blocks):
+        if sums[i] > 0:
+            shell_encoder(enc, tops[i * SHELL_FRAME : (i + 1) * SHELL_FRAME])
+
+    for i in range(n_blocks):
+        nls = n_lshifts[i]
+        if nls > 0:
+            for k in range(SHELL_FRAME):
+                mag = mags[i * SHELL_FRAME + k]
+                for j in range(nls - 1, -1, -1):
+                    enc.encode_icdf((mag >> j) & 1, T.LSB_ICDF, 8)
+
+    base = 7 * (quant_offset_type + (signal_type << 1))
+    icdf_ptr = T.SIGN_ICDF[base : base + 7]
+    for i in range(n_blocks):
+        p = sums[i]
+        if n_lshifts[i] > 0:
+            p |= n_lshifts[i] << 5
+        if p > 0:
+            icdf0 = int(icdf_ptr[min(p & 0x1F, 6)])
+            for j in range(SHELL_FRAME):
+                if mags[i * SHELL_FRAME + j] > 0:
+                    enc.encode_icdf(1 if work[i * SHELL_FRAME + j] > 0 else 0, (icdf0, 0), 8)
+
+
+class SilkEncoder:
+    """One-channel SILK encoder at a fixed internal rate (8/12/16 kHz).
+
+    encode_frame() consumes one 20 ms frame of int16 samples at the
+    internal rate and appends one SILK frame (header flags + indices +
+    pulses) to a RangeEncoder.
+    """
+
+    def __init__(self, fs_khz: int):
+        self.fs_khz = fs_khz
+        self.nb_subfr = 4
+        self.frame_length = 20 * fs_khz
+        self.subfr_length = self.frame_length // 4
+        self.lpc_order = 16 if fs_khz == 16 else 10
+        self.cb = NLSF_CB_WB if fs_khz == 16 else NLSF_CB_NB_MB
+        self.gain_state = 10  # decoder LastGainIndex replay
+        self.x_hist = np.zeros(self.lpc_order)
+        self.xq_hist = np.zeros(self.lpc_order)
+        self.last_range = 0
+
+    def encode_frame_cbr(self, x: np.ndarray, budget_bytes: int) -> bytes:
+        """Encode one frame, iterating the gain headroom until the payload
+        fits the byte budget (simple CBR outer loop)."""
+        from ..rc.encoder import RangeEncoder
+
+        headroom = 1.8
+        saved = (self.gain_state, self.x_hist.copy(), self.xq_hist.copy())
+        payload = b""
+        for _ in range(6):
+            self.gain_state, self.x_hist, self.xq_hist = saved[0], saved[1].copy(), saved[2].copy()
+            buf = bytearray(1400)
+            enc = RangeEncoder(buf)
+            self.encode_frame(enc, x, headroom=headroom)
+            nbytes = min((enc.tell() + 7) >> 3, 1275)
+            enc.shrink(nbytes)
+            enc.done()
+            payload = bytes(enc.data())
+            self.last_range = enc.rng & 0xFFFFFFFF
+            if len(payload) <= budget_bytes:
+                break
+            # Too many bits: raise the gains (coarser pulses).  Floor the
+            # headroom: past it the quantisation-offset noise dominates and
+            # forces pulses right back (practical floor ~20 kbps at WB;
+            # packets stay valid, they just overshoot tiny budgets).
+            if headroom <= 0.36:
+                break
+            headroom = max(0.35, headroom / (1.15 * max(1.0, len(payload) / max(budget_bytes, 1)) ** 0.5))
+        return payload
+
+    def encode_frame(self, enc, x: np.ndarray, headroom: float = 1.8) -> None:
+        assert len(x) == self.frame_length
+        xf = x.astype(np.float64)
+        order = self.lpc_order
+
+        # Header flags: VAD=1 per frame, LBRR=0.
+        enc.encode_bit_logp(1, 1)
+        enc.encode_bit_logp(0, 1)
+        # Signal type unvoiced/low offset (type_offset_VAD symbol 0 -> ix=2).
+        signal_type, quant_offset_type = 1, 0
+        enc.encode_icdf(0, T.TYPE_OFFSET_VAD_ICDF, 8)
+
+        a = burg_lpc(np.concatenate([self.x_hist, xf]) * (1.0 / 32768.0), order)
+        nlsf_q15 = lpc_to_nlsf_q15(a, order)
+        nlsf_stabilize(nlsf_q15, self.cb.delta_min_q15, order)
+        nlsf_indices = quantize_nlsf(nlsf_q15, self.cb)
+
+        # Decoder-side coefficients drive the residual (closed loop on LPC).
+        dec_nlsf = nlsf_decode(nlsf_indices, self.cb)
+        a_q12 = nlsf2a(dec_nlsf, order)
+        af = np.array(a_q12, dtype=np.float64) / 4096.0
+
+        ext = np.concatenate([self.x_hist, xf])
+        res = np.empty(self.frame_length)
+        for i in range(self.frame_length):
+            pred = float(np.dot(af, ext[order + i - 1 :: -1][:order]))
+            res[i] = xf[i] - pred
+        self.x_hist = xf[-order:]
+
+        # Per-subframe target gains in Q16: residual RMS over the headroom
+        # (the CBR loop widens headroom to spend fewer pulses).
+        targets = []
+        for k in range(self.nb_subfr):
+            seg = res[k * self.subfr_length : (k + 1) * self.subfr_length]
+            rms = math.sqrt(float(np.mean(seg * seg)) + 1e-9)
+            targets.append(max(int(rms * 65536.0 / headroom), 65536 // 8))
+        conditional = False
+        gains_idx, gains_q16, self.gain_state = quantize_gains(targets, self.gain_state, conditional)
+
+        if conditional:
+            enc.encode_icdf(gains_idx[0], T.DELTA_GAIN_ICDF, 8)
+        else:
+            enc.encode_icdf(gains_idx[0] >> 3, T.GAIN_ICDF[signal_type], 8)
+            enc.encode_icdf(gains_idx[0] & 7, T.UNIFORM8_ICDF, 8)
+        for k in range(1, self.nb_subfr):
+            enc.encode_icdf(gains_idx[k], T.DELTA_GAIN_ICDF, 8)
+
+        encode_nlsf_indices(enc, self.cb, nlsf_indices, signal_type)
+        enc.encode_icdf(4, T.NLSF_INTERP_FACTOR_ICDF, 8)
+
+        seed = 0
+        enc.encode_icdf(seed, T.UNIFORM4_ICDF, 8)
+
+        # Excitation: closed-loop quantisation in the decoder's Q14 domain
+        # (prediction from the QUANTISED signal so encoder and decoder track),
+        # pre-compensating the decoder's pseudorandom sign flips.
+        offset16 = int(T.QUANTIZATION_OFFSETS_Q10[signal_type >> 1][quant_offset_type]) << 4
+        adj16 = QUANT_LEVEL_ADJUST_Q10_X16 = 80 << 4
+        pulses = [0] * self.frame_length
+        rand_seed = seed
+        xq_ext = np.concatenate([self.xq_hist, np.zeros(self.frame_length)])
+        for i in range(self.frame_length):
+            rand_seed = silk_rand(rand_seed)
+            flip = -1 if rand_seed < 0 else 1
+            k = i // self.subfr_length
+            g = max(gains_q16[k], 1)
+            pred = float(np.dot(af, xq_ext[order + i - 1 :: -1][:order]))
+            want = (xf[i] - pred) * (1 << 30) / g  # desired exc_q14
+            v = want * flip
+            p0 = int(round((v - offset16) / 16384.0))
+            best = None
+            for p in (p0 - 1, p0, p0 + 1):
+                pc = max(-31, min(31, p))
+                dv = pc << 14
+                if dv > 0:
+                    dv -= adj16
+                elif dv < 0:
+                    dv += adj16
+                dv += offset16
+                err = abs(dv - v)
+                if best is None or err < best[0]:
+                    best = (err, pc, dv)
+            _, pulses[i], dv = best
+            xq_ext[order + i] = pred + (dv * flip) * g / (1 << 30)
+            rand_seed = i32(rand_seed + pulses[i])
+        self.xq_hist = xq_ext[self.frame_length : self.frame_length + order].copy()
+
+        encode_pulses(enc, signal_type, quant_offset_type, pulses, self.frame_length)

@@ -40,11 +40,14 @@ _ORDER_FIR2 = 36
 _ORDER_FIR_12 = 8  # interpolator history for IIR_FIR
 
 # Decoder-side delay compensation, samples at the input rate
-# (resampler.c delay_matrix_dec, rodata 0x52094).
+# (resampler.c delay_matrix_dec, rodata 0x52094).  Rows for 24/48 kHz
+# inputs are ours (encoder-direction use; any delay is valid there).
 _DELAY_DEC = {
     8: {8: 4, 12: 0, 16: 2, 24: 0, 48: 0},
     12: {8: 0, 12: 9, 16: 4, 24: 7, 48: 4},
     16: {8: 0, 12: 3, 16: 12, 24: 7, 48: 7},
+    24: {8: 0, 12: 0, 16: 0, 24: 0, 48: 0},
+    48: {8: 0, 12: 0, 16: 0, 24: 0, 48: 0},
 }
 
 

@@ -1,0 +1,71 @@
+"""SILK encoder: streams must decode identically on our decoder and
+libopus (final_range equality), hit the byte budget, and reach a quality
+floor (SURVEY item 21, voice side)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from opus_tpu import oracle
+from opus_tpu.decoder import Decoder, DecoderConfiguration
+from opus_tpu.encoder import Encoder, EncoderConfiguration
+from opus_tpu.types import Channels, SamplingRate
+
+pytestmark = pytest.mark.skipif(not oracle.available(), reason="libopus not present")
+
+
+def _speech(rate, n, seed=7):
+    t = np.arange(n) / rate
+    rng = np.random.default_rng(seed)
+    phase = np.cumsum(2 * np.pi * (120 + 30 * np.sin(2 * np.pi * 3 * t)) / rate)
+    s = 0.35 * np.sign(np.sin(phase)) * np.exp(-3 * (t % 0.01) * 100) + 0.02 * rng.standard_normal(n)
+    return s.astype(np.float32)
+
+
+@pytest.mark.parametrize(
+    "in_rate,kbps,min_snr",
+    [(16000, 24, 12.0), (16000, 40, 19.0), (8000, 16, 12.0), (12000, 20, 12.0)],
+)
+def test_silk_encoder_roundtrip(in_rate, kbps, min_snr):
+    frame = in_rate // 50
+    nf = 20
+    sig = _speech(in_rate, frame * nf)
+    enc = Encoder(EncoderConfiguration(SamplingRate(in_rate), Channels.MONO, kbps * 1000, application="voice"))
+    dec_rate = enc.silk_fs_khz * 1000
+    mine = Decoder(DecoderConfiguration(SamplingRate(dec_rate), Channels.MONO))
+    ref = oracle.Decoder(dec_rate, 1)
+    oframe = dec_rate // 50
+    outs, sizes = [], []
+    for f in range(nf):
+        pkt = enc.encode(sig[f * frame : (f + 1) * frame])
+        sizes.append(len(pkt))
+        toc = pkt[0]
+        assert (toc >> 3) in (1, 5, 9) and not (toc & 0x83)  # SILK-only 20 ms mono
+        m = mine.decode_float(pkt, oframe)[:, 0]
+        r = np.asarray(ref.decode_float(pkt, oframe)).reshape(-1)
+        assert mine.final_range == ref.final_range, f"frame {f}"
+        assert float(np.abs(m - r).max()) < 1e-7, f"frame {f}"
+        outs.append(m)
+    rate = sum(sizes) * 8 / (nf * 0.02)
+    assert rate <= kbps * 1000 * 1.1, f"rate {rate} exceeds budget"
+    dec = np.concatenate(outs)
+    inp = sig.astype(np.float64)
+    d = {16: 13, 12: 10, 8: 5}[enc.silk_fs_khz]
+    nmin = len(dec) - d
+    err = dec[d:] - inp[:nmin]
+    snr = 10 * math.log10(float(np.dot(inp[:nmin], inp[:nmin])) / max(float(np.dot(err, err)), 1e-12))
+    assert snr > min_snr, f"snr {snr:.1f} dB"
+
+
+def test_silk_encoder_48k_input():
+    sig = _speech(48000, 960 * 10)
+    enc = Encoder(EncoderConfiguration(SamplingRate.HZ_48000, Channels.MONO, 32000, application="voice"))
+    mine = Decoder(DecoderConfiguration(SamplingRate.HZ_48000, Channels.MONO))
+    ref = oracle.Decoder(48000, 1)
+    for f in range(10):
+        pkt = enc.encode(sig[f * 960 : (f + 1) * 960])
+        m = mine.decode_float(pkt, 960)[:, 0]
+        r = np.asarray(ref.decode_float(pkt, 960)).reshape(-1)
+        assert mine.final_range == ref.final_range
+        assert float(np.abs(m - r).max()) < 1e-7
