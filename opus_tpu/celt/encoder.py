@@ -46,9 +46,14 @@ class CeltEncoder:
         self.rng = 0
         self.frame_count = 0
 
-    def encode(self, pcm: np.ndarray, nb_bytes: int) -> bytes:
+    def encode(self, pcm: np.ndarray, nb_bytes: int, enc: RangeEncoder | None = None) -> bytes:
         """Encode one frame of pcm [N, channels] (N in 2.5-20 ms at 48 kHz)
-        into exactly nb_bytes of CELT payload (constant bitrate)."""
+        into exactly nb_bytes of CELT payload (constant bitrate).
+
+        When ``enc`` is given (hybrid mode), CELT symbols append to that
+        shared range coder up to its nb_bytes budget and the caller
+        finalises; otherwise a fresh coder is created and flushed here."""
+        shared = enc is not None
         n = pcm.shape[0]
         lm = -1
         for l in range(modes.MAX_LM + 1):
@@ -64,8 +69,9 @@ class CeltEncoder:
         eff_end = min(end, modes.EFF_E_BANDS)
         nb_bytes = min(nb_bytes, 1275)
 
-        buf = bytearray(nb_bytes)
-        enc = RangeEncoder(buf)
+        if not shared:
+            buf = bytearray(nb_bytes)
+            enc = RangeEncoder(buf)
         total_bits = nb_bytes * 8
 
         # --- pre-emphasis + MDCT analysis --------------------------------
@@ -161,6 +167,10 @@ class CeltEncoder:
             self.old_band_e[c, :start] = 0.0
             self.old_band_e[c, end:] = 0.0
 
+        if shared:
+            self.rng = enc.rng
+            self.frame_count += 1
+            return b""
         enc.done()
         self.rng = enc.rng
         self.frame_count += 1

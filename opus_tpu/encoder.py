@@ -21,6 +21,8 @@ _CELT_FB_CONFIG = {120: 28, 240: 29, 480: 30, 960: 31}
 
 #: SILK internal kHz -> 20 ms SILK-only ToC config number.
 _SILK_20MS_CONFIG = {8: 1, 12: 5, 16: 9}
+#: Hybrid 20 ms ToC configs: SWB=13, FB=15.
+_HYBRID_20MS_SWB = 13
 
 
 @dataclasses.dataclass(frozen=True)
@@ -28,7 +30,8 @@ class EncoderConfiguration:
     sampling_rate: SamplingRate = SamplingRate.HZ_48000
     channels: Channels = Channels.STEREO
     bitrate: int = 96000  # bits/sec, CBR
-    #: "music" -> CELT full-band; "voice" -> SILK WB (mono, 20 ms frames).
+    #: "music" -> CELT full-band; "voice" -> SILK WB (mono, 20 ms frames);
+    #: "hybrid" -> SILK WB low band + CELT bands 17+ (mono SWB, 20 ms, 48 kHz).
     application: str = "music"
 
 
@@ -56,6 +59,24 @@ class Encoder:
                 if self.rate == self.silk_fs_khz * 1000
                 else Resampler(self.rate, self.silk_fs_khz * 1000)
             )
+        elif self.application == "hybrid":
+            if self.channels != 1:
+                raise BadArguments("hybrid mode is mono for now")
+            if self.rate != 48000:
+                raise BadArguments("hybrid mode takes 48 kHz input")
+            from .silk.encoder import SilkEncoder
+            from .silk.resampler import Resampler
+
+            self.silk_fs_khz = 16
+            self.silk = SilkEncoder(16)
+            self.celt = CeltEncoder(1)
+            self.celt.start_band = 17
+            self.celt.end_band = 19  # SWB
+            self._resampler = Resampler(48000, 16000)
+            # Align the band paths: CELT's MDCT overlap costs ~120 samples
+            # @48 kHz, the SILK path ~54 (13 @16 kHz decoder delay + the
+            # 48->16 resampler); delay the SILK input by the difference.
+            self._silk_delay = np.zeros(66, dtype=np.float32)
         else:
             if self.rate != 48000:
                 raise BadArguments("music mode supports 48 kHz input for now")
@@ -90,6 +111,8 @@ class Encoder:
             raise BadArguments("channel count mismatch")
         if self.application == "voice":
             return self._encode_voice(pcm, n)
+        if self.application == "hybrid":
+            return self._encode_hybrid(pcm, n)
         if n not in _CELT_FB_CONFIG:
             raise BadArguments("frame must be 2.5/5/10/20 ms at 48 kHz")
         toc = (_CELT_FB_CONFIG[n] << 3) | (0x4 if self.channels == 2 else 0)
@@ -111,3 +134,46 @@ class Encoder:
         self._rng = self.silk.last_range
         toc = _SILK_20MS_CONFIG[self.silk_fs_khz] << 3
         return bytes([toc]) + payload
+
+    def _encode_hybrid(self, pcm: np.ndarray, n: int) -> bytes:
+        """SILK WB low band + CELT bands 17.. in one shared range coder
+        (RFC 6716 hybrid framing, SWB 20 ms mono, CBR)."""
+        from .rc.encoder import RangeEncoder
+
+        if n != 960:
+            raise BadArguments("hybrid mode takes 20 ms frames")
+        nb_bytes = max(25, min(1275, (self.bitrate * 20) // (1000 * 8)))
+        silk_in = np.concatenate([self._silk_delay, pcm[:, 0]])
+        self._silk_delay = silk_in[n:].astype(np.float32)
+        x48 = np.clip(silk_in[:n] * 32768.0, -32768, 32767).astype(np.int16)
+        x16 = np.array(self._resampler.process([int(v) for v in x48]), dtype=np.int16)
+
+        # SILK should take roughly 60% of the budget; retry coarser if over.
+        headroom = 1.2
+        saved = (self.silk.gain_state, self.silk.x_hist.copy(), self.silk.xq_hist.copy())
+        celt_state = (self.celt.in_mem.copy(), self.celt.preemph_mem.copy(),
+                      self.celt.old_band_e.copy(), self.celt.rng, self.celt.frame_count)
+        for _ in range(5):
+            self.silk.gain_state, self.silk.x_hist, self.silk.xq_hist = (
+                saved[0], saved[1].copy(), saved[2].copy())
+            (self.celt.in_mem, self.celt.preemph_mem, self.celt.old_band_e,
+             self.celt.rng, self.celt.frame_count) = (
+                celt_state[0].copy(), celt_state[1].copy(), celt_state[2].copy(),
+                celt_state[3], celt_state[4])
+            buf = bytearray(nb_bytes)
+            enc = RangeEncoder(buf)
+            self.silk.encode_frame(enc, x16, headroom=headroom)
+            silk_bits = enc.tell()
+            if silk_bits > int(nb_bytes * 8 * 0.72) and headroom > 0.4:
+                headroom = max(0.38, headroom * 0.6)
+                continue
+            break
+        # Redundancy flag (decoder reads it when budget allows).
+        if enc.tell() + 37 <= 8 * nb_bytes:
+            enc.encode_bit_logp(0, 12)
+        # CELT high bands share the remaining budget.
+        self.celt.encode(pcm, nb_bytes, enc=enc)
+        enc.done()
+        self._rng = enc.rng & 0xFFFFFFFF
+        toc = _HYBRID_20MS_SWB << 3
+        return bytes([toc]) + bytes(buf)

@@ -69,3 +69,35 @@ def test_silk_encoder_48k_input():
         r = np.asarray(ref.decode_float(pkt, 960)).reshape(-1)
         assert mine.final_range == ref.final_range
         assert float(np.abs(m - r).max()) < 1e-7
+
+
+def test_hybrid_encoder_roundtrip():
+    import math
+
+    frame, nf = 960, 12
+    t = np.arange(frame * nf) / 48000
+    rng = np.random.default_rng(7)
+    phase = np.cumsum(2 * np.pi * (120 + 30 * np.sin(2 * np.pi * 3 * t)) / 48000)
+    sig = (0.3 * np.sign(np.sin(phase)) * np.exp(-3 * (t % 0.01) * 100)
+           + 0.06 * np.sin(2 * np.pi * 9500 * t) + 0.02 * rng.standard_normal(frame * nf)).astype(np.float32)
+    enc = Encoder(EncoderConfiguration(SamplingRate.HZ_48000, Channels.MONO, 48000, application="hybrid"))
+    mine = Decoder(DecoderConfiguration(SamplingRate.HZ_48000, Channels.MONO))
+    ref = oracle.Decoder(48000, 1)
+    outs, sizes = [], []
+    for f in range(nf):
+        pkt = enc.encode(sig[f * frame : (f + 1) * frame])
+        assert (pkt[0] >> 3) == 13 and not (pkt[0] & 0x87)  # hybrid SWB 20ms mono
+        sizes.append(len(pkt))
+        m = mine.decode_float(pkt, frame)[:, 0]
+        r = np.asarray(ref.decode_float(pkt, frame)).reshape(-1)
+        assert mine.final_range == ref.final_range, f"frame {f}"
+        assert float(np.abs(m - r).max()) < 2e-5
+        outs.append(r)
+    rate = sum(sizes) * 8 / (nf * 0.02)
+    assert rate <= 48000 * 1.15
+    dec = np.concatenate(outs)
+    d = 120
+    nmin = len(dec) - d
+    err = dec[d:] - sig[:nmin]
+    snr = 10 * math.log10(float(np.dot(sig[:nmin], sig[:nmin])) / max(float(np.dot(err, err)), 1e-9))
+    assert snr > 8.0, f"hybrid snr {snr:.1f}"
