@@ -74,8 +74,7 @@ class CeltEncoder:
             enc = RangeEncoder(buf)
         total_bits = nb_bytes * 8
 
-        # --- pre-emphasis + MDCT analysis --------------------------------
-        freq = np.zeros(cc * n)
+        # --- pre-emphasis + transient analysis + MDCT analysis -----------
         band_input = np.zeros((cc, ov + n))
         for c in range(cc):
             x = pcm[:, c].astype(np.float64) * 32768.0
@@ -84,8 +83,14 @@ class CeltEncoder:
             band_input[c, :ov] = self.in_mem[c]
             band_input[c, ov:] = pre
             self.in_mem[c] = pre[n - ov :]
-            # Long-block forward MDCT (B=1).
-            freq[c * n : (c + 1) * n] = mdct_forward(band_input[c])
+
+        is_transient = lm > 0 and self._transient_decision(band_input[:, ov:], m)
+        B = m if is_transient else 1
+        nb = n // B
+        freq = np.zeros(cc * n)
+        for c in range(cc):
+            for b in range(B):
+                freq[c * n :][b : n : B] = mdct_forward(band_input[c, b * nb : b * nb + nb + ov])
         if c_ == 1 and cc == 2:
             freq = 0.5 * (freq[:n] + freq[n:])
             freq = np.concatenate([freq, freq])
@@ -103,10 +108,11 @@ class CeltEncoder:
         if start == 0 and tell + 16 <= total_bits:
             enc.encode_bit_logp(0, 1)  # no post-filter
             tell = enc.tell()
-        is_transient = False
         if lm > 0 and tell + 3 <= total_bits:
-            enc.encode_bit_logp(0, 3)  # long blocks only
+            enc.encode_bit_logp(1 if is_transient else 0, 3)
             tell = enc.tell()
+        else:
+            is_transient = False
 
         # --- energy + per-band params --------------------------------------
         intra = self.frame_count == 0
@@ -137,7 +143,12 @@ class CeltEncoder:
             enc.encode_icdf(alloc_trim, TRIM_ICDF, 7)
 
         bits = (nb_bytes * 8 << BITRES) - enc.tell_frac() - 1
-        anti_collapse_rsv = 0
+        anti_collapse_rsv = (
+            (1 << BITRES)
+            if (is_transient and lm >= 2 and bits >= ((lm + 2) << BITRES))
+            else 0
+        )
+        bits -= anti_collapse_rsv
         intensity = end  # full stereo coding
         dual_stereo = False
         pulses, fine_quant, fine_priority, coded_bands, intensity, dual_stereo, balance = compute_allocation(
@@ -152,10 +163,12 @@ class CeltEncoder:
         tf_res = [0] * modes.NB_E_BANDS
         self.rng = quant_all_bands(
             True, start, end, x_, x_[n:] if c_ == 2 else None, collapse_masks,
-            band_e, pulses, False, SPREAD_NORMAL, dual_stereo, intensity, tf_res,
+            band_e, pulses, is_transient, SPREAD_NORMAL, dual_stereo, intensity, tf_res,
             nb_bytes * (8 << BITRES) - anti_collapse_rsv, balance, enc, lm,
             coded_bands, self.rng, complexity=0,
         )
+        if anti_collapse_rsv > 0:
+            enc.encode_bits(0, 1)  # anti-collapse off (decoder skips fill)
 
         quant_energy_finalise(
             enc, self.old_band_e, error, fine_quant, fine_priority,
@@ -175,6 +188,18 @@ class CeltEncoder:
         self.rng = enc.rng
         self.frame_count += 1
         return bytes(buf)
+
+    def _transient_decision(self, pre: np.ndarray, m: int) -> bool:
+        """Energy-ratio transient heuristic: short blocks when one 2.5 ms
+        sub-block jumps far above the frame's trailing energy floor."""
+        n = pre.shape[1]
+        sub = n // m if m > 1 else n
+        e = (pre.reshape(pre.shape[0], -1, sub) ** 2).sum(axis=2).max(axis=0) + 1e-9
+        if len(e) < 2:
+            return False
+        floor = np.minimum.accumulate(np.concatenate([[e[0]], e[:-1]]))
+        ratio = float(np.max(e[1:] / np.maximum(floor[1:], 1e-9)))
+        return ratio > 6.0
 
     def _tf_encode(self, enc, start, end, is_transient, lm, nb_bytes) -> None:
         """tf_res = all zeros (libopus tf_encode with zero changes)."""

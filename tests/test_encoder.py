@@ -77,3 +77,36 @@ def test_encoder_decoder_roundtrip_without_libopus():
     # Untuned analysis (no dynalloc/trim/tf decisions yet) gives ~17 dB on
     # this noisy stereo signal at 128k; libopus' tuned encoder gives ~20.
     assert snr > 15.0, snr
+
+
+def test_transient_frames_roundtrip():
+    """Click train triggers short-block frames; packets stay range-exact."""
+    import opus_tpu.celt.encoder as CE
+    from opus_tpu.encoder import Encoder, EncoderConfiguration
+
+    frame, nf = 960, 8
+    sig = np.zeros((frame * nf, 1), np.float32)
+    for i in range(1500, frame * nf - 200, 2300):
+        sig[i : i + 60, 0] = 0.8 * np.exp(-np.arange(60) / 10)
+    count = {"n": 0}
+    orig = CE.CeltEncoder._transient_decision
+
+    def counting(self, pre, m):
+        r = orig(self, pre, m)
+        count["n"] += bool(r)
+        return r
+
+    CE.CeltEncoder._transient_decision = counting
+    try:
+        enc = Encoder(EncoderConfiguration(SamplingRate.HZ_48000, Channels.MONO, 96000))
+        ref = oracle.Decoder(48000, 1)
+        mine = Decoder(DecoderConfiguration(SamplingRate.HZ_48000, Channels.MONO))
+        for f in range(nf):
+            pkt = enc.encode(sig[f * frame : (f + 1) * frame])
+            m = mine.decode_float(pkt, frame)[:, 0]
+            r = np.asarray(ref.decode_float(pkt, frame)).reshape(-1)
+            assert mine.final_range == ref.final_range
+            assert float(np.abs(m - r).max()) < 2e-5
+    finally:
+        CE.CeltEncoder._transient_decision = orig
+    assert count["n"] >= 2, "transient analysis never fired on a click train"
