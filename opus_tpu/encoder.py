@@ -150,12 +150,13 @@ class Encoder:
 
         # SILK should take roughly 60% of the budget; retry coarser if over.
         headroom = 1.2
-        saved = (self.silk.gain_state, self.silk.x_hist.copy(), self.silk.xq_hist.copy())
+        saved = (self.silk.gain_state, self.silk.x_hist.copy(), self.silk.xq_hist.copy(),
+                 self.silk.xq_buf.copy())
         celt_state = (self.celt.in_mem.copy(), self.celt.preemph_mem.copy(),
                       self.celt.old_band_e.copy(), self.celt.rng, self.celt.frame_count)
         for _ in range(5):
-            self.silk.gain_state, self.silk.x_hist, self.silk.xq_hist = (
-                saved[0], saved[1].copy(), saved[2].copy())
+            self.silk.gain_state, self.silk.x_hist, self.silk.xq_hist, self.silk.xq_buf = (
+                saved[0], saved[1].copy(), saved[2].copy(), saved[3].copy())
             (self.celt.in_mem, self.celt.preemph_mem, self.celt.old_band_e,
              self.celt.rng, self.celt.frame_count) = (
                 celt_state[0].copy(), celt_state[1].copy(), celt_state[2].copy(),

@@ -305,6 +305,7 @@ class SilkEncoder:
         self.gain_state = 10  # decoder LastGainIndex replay
         self.x_hist = np.zeros(self.lpc_order)
         self.xq_hist = np.zeros(self.lpc_order)
+        self.xq_buf = np.zeros(20 * fs_khz)  # quantised-signal history (LTP)
         self.last_range = 0
 
     def encode_frame_cbr(self, x: np.ndarray, budget_bytes: int) -> bytes:
@@ -313,10 +314,11 @@ class SilkEncoder:
         from ..rc.encoder import RangeEncoder
 
         headroom = 1.8
-        saved = (self.gain_state, self.x_hist.copy(), self.xq_hist.copy())
+        saved = (self.gain_state, self.x_hist.copy(), self.xq_hist.copy(), self.xq_buf.copy())
         payload = b""
         for _ in range(6):
-            self.gain_state, self.x_hist, self.xq_hist = saved[0], saved[1].copy(), saved[2].copy()
+            self.gain_state, self.x_hist, self.xq_hist, self.xq_buf = (
+                saved[0], saved[1].copy(), saved[2].copy(), saved[3].copy())
             buf = bytearray(1400)
             enc = RangeEncoder(buf)
             self.encode_frame(enc, x, headroom=headroom)
@@ -336,24 +338,55 @@ class SilkEncoder:
             headroom = max(0.35, headroom / (1.15 * max(1.0, len(payload) / max(budget_bytes, 1)) ** 0.5))
         return payload
 
+    def _pitch_search(self, xf: np.ndarray):
+        """Normalised-autocorrelation pitch over [2, 18] ms; None if weak."""
+        x = np.concatenate([self.xq_buf[-18 * self.fs_khz :], xf])
+        n0 = len(self.xq_buf[-18 * self.fs_khz :])
+        seg = xf
+        e0 = float(np.dot(seg, seg)) + 1e-9
+        best_c, best_lag = 0.0, None
+        for lag in range(2 * self.fs_khz, 18 * self.fs_khz):
+            past = x[n0 - lag : n0 - lag + len(seg)]
+            num = float(np.dot(seg, past))
+            den = (e0 * (float(np.dot(past, past)) + 1e-9)) ** 0.5
+            c = num / den
+            if c > best_c:
+                best_c, best_lag = c, lag
+        return best_lag if best_c > 0.45 else None
+
+    def _ltp_search(self, res: np.ndarray, sub_lags, vq: np.ndarray):
+        """Per subframe, pick the VQ row minimising LTP residual energy over
+        the open-loop LPC residual; returns (total_energy, row_indices)."""
+        sub = self.subfr_length
+        h0 = 18 * self.fs_khz + 3
+        hist = np.concatenate([np.zeros(h0), res])
+        idx = np.zeros(4, np.int32)
+        e_tot = 0.0
+        for k in range(4):
+            L = sub_lags[k]
+            tgt = res[k * sub : (k + 1) * sub]
+            cols = np.stack([
+                hist[h0 + k * sub - L + 2 - j : h0 + (k + 1) * sub - L + 2 - j]
+                for j in range(5)
+            ])
+            pred = vq @ cols                  # [rows, sub]
+            errs = ((tgt[None, :] - pred) ** 2).sum(axis=1)
+            r = int(np.argmin(errs))
+            idx[k] = r
+            e_tot += float(errs[r])
+        return e_tot, idx
+
     def encode_frame(self, enc, x: np.ndarray, headroom: float = 1.8) -> None:
         assert len(x) == self.frame_length
         xf = x.astype(np.float64)
         order = self.lpc_order
+        sub = self.subfr_length
 
-        # Header flags: VAD=1 per frame, LBRR=0.
-        enc.encode_bit_logp(1, 1)
-        enc.encode_bit_logp(0, 1)
-        # Signal type unvoiced/low offset (type_offset_VAD symbol 0 -> ix=2).
-        signal_type, quant_offset_type = 1, 0
-        enc.encode_icdf(0, T.TYPE_OFFSET_VAD_ICDF, 8)
-
+        # ---- analysis: LPC, open-loop residual, pitch/LTP decision -------
         a = burg_lpc(np.concatenate([self.x_hist, xf]) * (1.0 / 32768.0), order)
         nlsf_q15 = lpc_to_nlsf_q15(a, order)
         nlsf_stabilize(nlsf_q15, self.cb.delta_min_q15, order)
         nlsf_indices = quantize_nlsf(nlsf_q15, self.cb)
-
-        # Decoder-side coefficients drive the residual (closed loop on LPC).
         dec_nlsf = nlsf_decode(nlsf_indices, self.cb)
         a_q12 = nlsf2a(dec_nlsf, order)
         af = np.array(a_q12, dtype=np.float64) / 4096.0
@@ -365,45 +398,99 @@ class SilkEncoder:
             res[i] = xf[i] - pred
         self.x_hist = xf[-order:]
 
-        # Per-subframe target gains in Q16: residual RMS over the headroom
-        # (the CBR loop widens headroom to spend fewer pulses).
+        lag = self._pitch_search(xf)
+        signal_type, quant_offset_type = 1, 0
+        contour = 0
+        per_index = 1
+        b_taps = np.zeros((4, 5), np.float64)
+        ltp_idx = np.zeros(4, np.int32)
+        sub_lags = [0] * 4
+        ltp_scale = 0.0
+        e_plain = float(np.dot(res, res)) + 1e-9
+        if lag is not None:
+            min_lag = 2 * self.fs_khz
+            lag = max(min_lag + 2, min(18 * self.fs_khz, lag))
+            vq = np.array(T.LTP_GAIN_VQ_1, np.float64) * (1.0 / 128.0)
+            cb_lags = T.CB_LAGS_STAGE3 if self.fs_khz != 8 else T.CB_LAGS_STAGE2
+            n_ctr = len(cb_lags[0])
+            best = None
+            for ctr in range(n_ctr):
+                lags_k = [max(min_lag, min(18 * self.fs_khz, lag + int(cb_lags[k][ctr]))) for k in range(4)]
+                e_tot, idxs = self._ltp_search(res, lags_k, vq)
+                if best is None or e_tot < best[0]:
+                    best = (e_tot, ctr, idxs, lags_k)
+            e_ltp, contour, ltp_idx, sub_lags = best
+            if e_ltp < 0.55 * e_plain:
+                signal_type = 2
+                for k in range(4):
+                    b_taps[k] = vq[ltp_idx[k]]
+                ltp_scale = int(T.LTP_SCALES_TABLE_Q14[0]) / 16384.0
+
+        # ---- gains from the coding residual ------------------------------
+        if signal_type == 2:
+            gain_res = self._ltp_residual(res, sub_lags, b_taps)
+        else:
+            gain_res = res
         targets = []
-        for k in range(self.nb_subfr):
-            seg = res[k * self.subfr_length : (k + 1) * self.subfr_length]
+        for k in range(4):
+            seg = gain_res[k * sub : (k + 1) * sub]
             rms = math.sqrt(float(np.mean(seg * seg)) + 1e-9)
             targets.append(max(int(rms * 65536.0 / headroom), 65536 // 8))
         conditional = False
         gains_idx, gains_q16, self.gain_state = quantize_gains(targets, self.gain_state, conditional)
 
-        if conditional:
-            enc.encode_icdf(gains_idx[0], T.DELTA_GAIN_ICDF, 8)
-        else:
-            enc.encode_icdf(gains_idx[0] >> 3, T.GAIN_ICDF[signal_type], 8)
-            enc.encode_icdf(gains_idx[0] & 7, T.UNIFORM8_ICDF, 8)
-        for k in range(1, self.nb_subfr):
+        # ---- bitstream ----------------------------------------------------
+        enc.encode_bit_logp(1, 1)  # VAD
+        enc.encode_bit_logp(0, 1)  # LBRR
+        enc.encode_icdf(2 * signal_type + quant_offset_type - 2, T.TYPE_OFFSET_VAD_ICDF, 8)
+        enc.encode_icdf(gains_idx[0] >> 3, T.GAIN_ICDF[signal_type], 8)
+        enc.encode_icdf(gains_idx[0] & 7, T.UNIFORM8_ICDF, 8)
+        for k in range(1, 4):
             enc.encode_icdf(gains_idx[k], T.DELTA_GAIN_ICDF, 8)
-
         encode_nlsf_indices(enc, self.cb, nlsf_indices, signal_type)
         enc.encode_icdf(4, T.NLSF_INTERP_FACTOR_ICDF, 8)
-
+        if signal_type == 2:
+            min_lag = 2 * self.fs_khz
+            lag_index = lag - min_lag
+            half = self.fs_khz >> 1
+            enc.encode_icdf(lag_index // half, T.PITCH_LAG_ICDF, 8)
+            low_tbl = {4: T.UNIFORM4_ICDF, 6: T.UNIFORM6_ICDF, 8: T.UNIFORM8_ICDF}[half]
+            enc.encode_icdf(lag_index % half, low_tbl, 8)
+            contour_tbl = T.PITCH_CONTOUR_ICDF if self.fs_khz != 8 else T.PITCH_CONTOUR_NB_ICDF
+            enc.encode_icdf(contour, contour_tbl, 8)
+            enc.encode_icdf(per_index, T.LTP_PER_INDEX_ICDF, 8)
+            for k in range(4):
+                enc.encode_icdf(int(ltp_idx[k]), T.LTP_GAIN_ICDF_1, 8)
+            enc.encode_icdf(0, T.LTPSCALE_ICDF, 8)  # CODE_INDEPENDENTLY
         seed = 0
         enc.encode_icdf(seed, T.UNIFORM4_ICDF, 8)
 
-        # Excitation: closed-loop quantisation in the decoder's Q14 domain
-        # (prediction from the QUANTISED signal so encoder and decoder track),
-        # pre-compensating the decoder's pseudorandom sign flips.
+        # ---- closed-loop excitation quantisation --------------------------
         offset16 = int(T.QUANTIZATION_OFFSETS_Q10[signal_type >> 1][quant_offset_type]) << 4
-        adj16 = QUANT_LEVEL_ADJUST_Q10_X16 = 80 << 4
+        adj16 = 80 << 4
         pulses = [0] * self.frame_length
         rand_seed = seed
         xq_ext = np.concatenate([self.xq_hist, np.zeros(self.frame_length)])
+        head_len = 18 * self.fs_khz + 2
+        P = np.zeros(head_len + self.frame_length)
+        if signal_type == 2:
+            hist = np.concatenate([np.zeros(order), self.xq_buf])
+            white = np.empty(len(self.xq_buf))
+            for i in range(len(self.xq_buf)):
+                white[i] = hist[order + i] - float(np.dot(af, hist[order + i - 1 :: -1][:order]))
+            P[:head_len] = white[-head_len:] * ltp_scale
         for i in range(self.frame_length):
             rand_seed = silk_rand(rand_seed)
             flip = -1 if rand_seed < 0 else 1
-            k = i // self.subfr_length
+            k = i // sub
             g = max(gains_q16[k], 1)
             pred = float(np.dot(af, xq_ext[order + i - 1 :: -1][:order]))
-            want = (xf[i] - pred) * (1 << 30) / g  # desired exc_q14
+            ltp_pred = 0.0
+            if signal_type == 2:
+                base = head_len + i - sub_lags[k] + 2
+                for j in range(5):
+                    ltp_pred += b_taps[k][j] * P[base - j]
+            want = (xf[i] - pred - ltp_pred) * (1 << 30) / g
             v = want * flip
             p0 = int(round((v - offset16) / 16384.0))
             best = None
@@ -419,8 +506,25 @@ class SilkEncoder:
                 if best is None or err < best[0]:
                     best = (err, pc, dv)
             _, pulses[i], dv = best
-            xq_ext[order + i] = pred + (dv * flip) * g / (1 << 30)
+            pres = (dv * flip) * g / (1 << 30) + ltp_pred
+            P[head_len + i] = pres
+            xq_ext[order + i] = pred + pres
             rand_seed = i32(rand_seed + pulses[i])
         self.xq_hist = xq_ext[self.frame_length : self.frame_length + order].copy()
+        self.xq_buf = np.concatenate([self.xq_buf, xq_ext[order:]])[-len(self.xq_buf):]
 
         encode_pulses(enc, signal_type, quant_offset_type, pulses, self.frame_length)
+
+    def _ltp_residual(self, res, sub_lags, b_taps):
+        sub = self.subfr_length
+        out = res.copy()
+        hist = np.concatenate([np.zeros(18 * self.fs_khz + 3), res])
+        h0 = 18 * self.fs_khz + 3
+        for k in range(4):
+            L = sub_lags[k]
+            for i in range(k * sub, (k + 1) * sub):
+                p = 0.0
+                for j in range(5):
+                    p += b_taps[k][j] * hist[h0 + i - L + 2 - j]
+                out[i] = res[i] - p
+        return out
