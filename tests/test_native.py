@@ -65,3 +65,34 @@ def test_native_batch_pipeline_matches_python():
         out_p = pyd.decode_frames(bp, 960)
         assert float(np.abs(out_n - out_p).max()) == 0.0
         assert nat.final_ranges() == pyd.final_ranges()
+
+
+def test_batched_multistream_vs_libopus():
+    from opus_tpu.batch.multistream_pipeline import BatchedMultistreamDecoder
+
+    B, streams, coupled, ch = 3, 6, 2, 8
+    mapping = list(range(8))
+    encs, refs = [], []
+    for b in range(B):
+        e = oracle.MultistreamEncoder(48000, ch, streams, coupled, mapping)
+        e.ctl(oracle.SET_BITRATE, 384000)
+        e.ctl(oracle.SET_FORCE_MODE, oracle.MODE_CELT_ONLY)
+        encs.append(e)
+        refs.append(oracle.MultistreamDecoder(48000, ch, streams, coupled, mapping))
+    frame, nf = 960, 3
+    t = np.arange(frame * nf) / 48000
+    rng = np.random.default_rng(5)
+    bmd = BatchedMultistreamDecoder(B, ch, streams, coupled, mapping)
+    for f in range(nf):
+        pkts = []
+        for b in range(B):
+            pcm = np.stack(
+                [0.3 * np.sin(2 * np.pi * (200 + 60 * k + 15 * b) * t[f * frame : (f + 1) * frame])
+                 + 0.02 * rng.standard_normal(frame) for k in range(ch)], -1).astype(np.float32)
+            pkts.append(encs[b].encode_float(pcm.ravel(), frame))
+        out = bmd.decode_frames(pkts, frame)
+        frs = bmd.final_ranges()
+        for b in range(B):
+            r = np.asarray(refs[b].decode_float(pkts[b], frame)).reshape(frame, ch)
+            assert frs[b] == refs[b].final_range
+            assert float(np.abs(out[b] - r).max()) < 1e-5

@@ -191,3 +191,34 @@ def test_silk_plc_bit_exact(lost, rate, frame_ms, ch, kbps):
         r = np.asarray(ref.decode_float(pkt, frame)).reshape(-1)[: frame * ch]
         m = mine.decode_float(pkt, frame).reshape(-1)
         assert float(np.abs(m - r).max()) < 1e-7, f"frame {f}"
+
+
+def test_hybrid_stereo_fec_plc_mixed():
+    """BASELINE config 3: hybrid SWB/FB stereo with PLC/FEC vs libopus."""
+    enc = oracle.Encoder(48000, 2)
+    enc.ctl(oracle.SET_FORCE_MODE, oracle.MODE_HYBRID)
+    enc.ctl(oracle.SET_BITRATE, 64000)
+    enc.ctl(oracle.SET_INBAND_FEC, 1)
+    enc.ctl(oracle.SET_PACKET_LOSS_PERC, 20)
+    frame, nf = 960, 16
+    t = np.arange(frame * nf) / 48000
+    rng = np.random.default_rng(11)
+    phase = np.cumsum(2 * np.pi * (130 + 40 * np.sin(2 * np.pi * 2.5 * t)) / 48000)
+    s = (0.3 * np.sign(np.sin(phase)) * np.exp(-2 * (t % 0.012) * 80)
+         + 0.05 * np.sin(2 * np.pi * 9000 * t) + 0.02 * rng.standard_normal(frame * nf))
+    pcm = np.stack([s, np.roll(s, 23) * 0.8], -1).astype(np.float32)
+    pkts = [enc.encode_float(pcm[f * frame : (f + 1) * frame].ravel(), frame) for f in range(nf)]
+    ref = oracle.Decoder(48000, 2)
+    mine = Decoder(DecoderConfiguration(SamplingRate.HZ_48000, Channels.STEREO))
+    for f in range(nf):
+        if f == 6:
+            r = np.asarray(ref.decode_float(pkts[f + 1], frame, fec=True)).reshape(frame, 2)
+            m = mine.decode_float(pkts[f + 1], frame, decode_fec=True)
+        elif f == 10:
+            r = np.asarray(ref.decode_float(None, frame)).reshape(frame, 2)
+            m = mine.decode_float(None, frame)
+        else:
+            r = np.asarray(ref.decode_float(pkts[f], frame)).reshape(frame, 2)
+            m = mine.decode_float(pkts[f], frame)
+            assert mine.final_range == ref.final_range, f
+        assert float(np.abs(m - r).max()) < 2e-4, f
