@@ -12,12 +12,12 @@ HERE = pathlib.Path(__file__).parent
 
 
 def build(verbose: bool = True) -> pathlib.Path:
-    src = HERE / "celt_frontend.cpp"
+    srcs = [HERE / "celt_frontend.cpp", HERE / "silk_frontend.cpp"]
     out = HERE / "libceltfe.so"
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
         "-ffp-contract=off", "-fno-fast-math", "-fopenmp",
-        "-o", str(out), str(src),
+        "-o", str(out), *map(str, srcs),
     ]
     if verbose:
         print(" ".join(cmd))

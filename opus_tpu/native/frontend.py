@@ -184,3 +184,110 @@ class NativeBatchFrontEnd:
         if rc != B:
             raise ValueError(f"native batch decode failed at stream {-rc - 1}")
         return x, ble, meta, gains
+
+
+class NativeSilkFrontEnd:
+    """Native SILK plane A: bit-exact frame decode + device-plane params."""
+
+    def __init__(self, fs_khz: int):
+        self.lib = _load()
+        self.lib.silk_fe_create.restype = ctypes.c_void_p
+        self.lib.silk_fe_create.argtypes = [ctypes.c_int]
+        self.lib.silk_fe_destroy.argtypes = [ctypes.c_void_p]
+        self.lib.silk_fe_decode.restype = ctypes.c_int
+        self.lib.silk_fe_decode.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint32),
+        ]
+        self.lib.silk_fe_decode_batch.restype = ctypes.c_int
+        self.lib.silk_fe_decode_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p), ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int16), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint32),
+        ]
+        self.fs_khz = fs_khz
+        self.h = self.lib.silk_fe_create(fs_khz)
+        L = 20 * fs_khz
+        self._xq = np.zeros(L, np.int16)
+        self._gexc = np.zeros(L, np.float32)
+        self._a1 = np.zeros(16, np.float32)
+        self._a2 = np.zeros(16, np.float32)
+        self._bt = np.zeros(20, np.float32)
+        self._head = np.zeros(18 * fs_khz + 2, np.float32)
+        self._meta = np.zeros(8, np.int32)
+        self._rng = ctypes.c_uint32()
+
+    def __del__(self):
+        try:
+            self.lib.silk_fe_destroy(self.h)
+        except Exception:
+            pass
+
+    def decode(self, payload: bytes, want_planes: bool = False):
+        """Decode one 20 ms mono SILK frame -> (xq int16, planes|None)."""
+        f32p = ctypes.POINTER(ctypes.c_float)
+        args = (
+            (self._gexc.ctypes.data_as(f32p), self._a1.ctypes.data_as(f32p),
+             self._a2.ctypes.data_as(f32p), self._bt.ctypes.data_as(f32p),
+             self._head.ctypes.data_as(f32p),
+             self._meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+            if want_planes else (None, None, None, None, None, None)
+        )
+        rc = self.lib.silk_fe_decode(
+            self.h, payload, len(payload),
+            self._xq.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            *args, ctypes.byref(self._rng),
+        )
+        if rc != 0:
+            raise ValueError(f"native silk decode failed: {rc}")
+        planes = None
+        if want_planes:
+            planes = {
+                "gexc": self._gexc.copy(), "a1": self._a1.copy(), "a2": self._a2.copy(),
+                "b": self._bt.reshape(4, 5).copy(), "head": self._head.copy(),
+                "voiced": bool(self._meta[0]), "lags": self._meta[2:6].copy(),
+            }
+        return self._xq.copy(), planes
+
+    @property
+    def final_range(self) -> int:
+        return int(self._rng.value)
+
+
+class NativeSilkBatch:
+    """Batch of native SILK decoders; one C call decodes every stream."""
+
+    def __init__(self, batch: int, fs_khz: int):
+        self.proto = NativeSilkFrontEnd(fs_khz)  # loads lib + signatures
+        self.lib = self.proto.lib
+        self.batch = batch
+        self.fs_khz = fs_khz
+        self.handles = (ctypes.c_void_p * batch)(
+            *[self.lib.silk_fe_create(fs_khz) for _ in range(batch)]
+        )
+        self.L = 20 * fs_khz
+
+    def __del__(self):
+        try:
+            for h in self.handles:
+                self.lib.silk_fe_destroy(h)
+        except Exception:
+            pass
+
+    def decode_batch(self, payloads: list):
+        blob = b"".join(payloads)
+        lens = np.array([len(p) for p in payloads], dtype=np.int32)
+        xq = np.zeros((self.batch, self.L), np.int16)
+        rngs = np.zeros(self.batch, np.uint32)
+        rc = self.lib.silk_fe_decode_batch(
+            self.handles, blob, lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            self.batch, xq.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), self.L,
+            rngs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        )
+        if rc != self.batch:
+            raise ValueError(f"native silk batch failed at {-rc - 1}")
+        return xq, rngs

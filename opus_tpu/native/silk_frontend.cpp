@@ -1,0 +1,823 @@
+// SILK bitstream front end + synthesis (plane A) — native engine.
+//
+// C++ translation of the validated bit-exact Python decoder
+// (opus_tpu/silk/*.py, itself pinned sample-exact against libopus).
+// Decodes one mono SILK frame: side info, excitation, and the full
+// normative fixed-point synthesis, and also emits the parameter planes
+// the batched TPU synthesis kernel consumes.
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <vector>
+#include <algorithm>
+
+#include "ec.h"
+#include "silk_tables.h"
+
+using namespace opusfe;
+using namespace silk_tables;
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Fixed-point primitives (opus_tpu/silk/fixed_math.py).
+// ---------------------------------------------------------------------------
+
+static inline int32_t sat16i(int32_t x) { return std::max(-32768, std::min(32767, x)); }
+static inline int64_t sat32(int64_t x) {
+    return std::max<int64_t>(INT32_MIN, std::min<int64_t>(INT32_MAX, x));
+}
+static inline int32_t smulbb(int32_t a, int32_t b) { return (int32_t)((int16_t)a * (int16_t)b); }
+static inline int32_t smulwb(int32_t a, int32_t b) {
+    return (int32_t)(((int64_t)a * (int16_t)b) >> 16);
+}
+static inline int32_t smlawb(int32_t a, int32_t b, int32_t c) {
+    return (int32_t)(a + (((int64_t)b * (int16_t)c) >> 16));
+}
+static inline int32_t smulww(int32_t a, int32_t b) {
+    return (int32_t)(((int64_t)a * b) >> 16);
+}
+static inline int32_t smlaww(int32_t a, int32_t b, int32_t c) {
+    return (int32_t)(a + (((int64_t)b * c) >> 16));
+}
+static inline int32_t rshift_round(int32_t a, int shift) {
+    return shift == 1 ? (a >> 1) + (a & 1) : ((a >> (shift - 1)) + 1) >> 1;
+}
+static inline int64_t rshift_round64(int64_t a, int shift) {
+    return ((a >> (shift - 1)) + 1) >> 1;
+}
+static inline int32_t lshift_sat32(int32_t a, int shift) {
+    return (int32_t)sat32((int64_t)a << shift);
+}
+static inline int32_t add_sat32i(int32_t a, int32_t b) { return (int32_t)sat32((int64_t)a + b); }
+static inline int clz32i(uint32_t x) { return x ? __builtin_clz(x) : 32; }
+static inline int32_t silk_rand(int32_t seed) {
+    return (int32_t)(907633515u + (uint32_t)seed * 196314165u);
+}
+static inline int32_t div32_16(int32_t a, int16_t b) { return a / b; }
+
+static int32_t inverse32_varq(int32_t b32, int qres) {
+    int b_headrm = clz32i((uint32_t)std::abs(b32)) - 1;
+    int32_t b32_nrm = (int32_t)((uint32_t)b32 << b_headrm);
+    int32_t b32_inv = div32_16(INT32_MAX >> 2, (int16_t)(b32_nrm >> 16));
+    int32_t result = (int32_t)((uint32_t)b32_inv << 16);
+    int32_t err_q32 = (int32_t)((uint32_t)((1 << 29) - smulwb(b32_nrm, b32_inv)) << 3);
+    result = smlaww(result, err_q32, b32_inv);
+    int lshift = 61 - b_headrm - qres;
+    if (lshift <= 0) return lshift_sat32(result, -lshift);
+    if (lshift < 32) return result >> lshift;
+    return 0;
+}
+
+static int32_t div32_varq(int32_t a32, int32_t b32, int qres) {
+    int a_headrm = clz32i((uint32_t)std::abs(a32)) - 1;
+    int32_t a32_nrm = (int32_t)((uint32_t)a32 << a_headrm);
+    int b_headrm = clz32i((uint32_t)std::abs(b32)) - 1;
+    int32_t b32_nrm = (int32_t)((uint32_t)b32 << b_headrm);
+    int32_t b32_inv = div32_16(INT32_MAX >> 2, (int16_t)(b32_nrm >> 16));
+    int32_t result = smulwb(a32_nrm, b32_inv);
+    a32_nrm = (int32_t)((uint32_t)a32_nrm -
+                        ((uint32_t)((int32_t)(((int64_t)b32_nrm * result) >> 32)) << 3));
+    result = smlawb(result, a32_nrm, b32_inv);
+    int lshift = 29 + a_headrm - b_headrm - qres;
+    if (lshift < 0) return lshift_sat32(result, -lshift);
+    if (lshift < 32) return result >> lshift;
+    return 0;
+}
+
+static int32_t silk_log2lin(int32_t in_log_q7) {
+    if (in_log_q7 < 0) return 0;
+    if (in_log_q7 >= 3967) return INT32_MAX;
+    int32_t out = 1 << (in_log_q7 >> 7);
+    int32_t frac_q7 = in_log_q7 & 0x7F;
+    if (in_log_q7 < 2048) {
+        out = (int32_t)((uint32_t)out +
+                        (uint32_t)(((int64_t)out *
+                                    smlawb(frac_q7, smulbb(frac_q7, 128 - frac_q7), -174)) >> 7));
+    } else {
+        out = (int32_t)((uint32_t)out +
+                        (uint32_t)((out / 128) *
+                                   smlawb(frac_q7, smulbb(frac_q7, 128 - frac_q7), -174)));
+    }
+    return out;
+}
+
+// ---------------------------------------------------------------------------
+// NLSF machinery (opus_tpu/silk/nlsf.py).
+// ---------------------------------------------------------------------------
+
+struct NlsfCB {
+    int order;
+    int n_vectors;
+    int quant_step_size_q16;
+    const uint8_t* cb1_q8;
+    const int16_t* cb1_wght_q9;
+    const uint8_t* cb1_icdf;
+    const uint8_t* pred_q8;
+    const uint8_t* ec_sel;
+    const uint8_t* ec_icdf;
+    const int16_t* delta_min_q15;
+};
+
+static const NlsfCB CB_NB_MB = {
+    10, 32, 11796,
+    &NLSF_CB1_NB_MB_Q8[0][0], &NLSF_CB1_WGHT_NB_MB_Q9[0][0], NLSF_CB1_ICDF_NB_MB,
+    NLSF_PRED_NB_MB_Q8, NLSF_CB2_SELECT_NB_MB, NLSF_CB2_ICDF_NB_MB, NLSF_DELTA_MIN_NB_MB_Q15,
+};
+static const NlsfCB CB_WB = {
+    16, 32, 9830,
+    &NLSF_CB1_WB_Q8[0][0], &NLSF_CB1_WGHT_WB_Q9[0][0], NLSF_CB1_ICDF_WB,
+    NLSF_PRED_WB_Q8, NLSF_CB2_SELECT_WB, NLSF_CB2_ICDF_WB, NLSF_DELTA_MIN_WB_Q15,
+};
+
+constexpr int NLSF_QMA = 4;  // NLSF_QUANT_MAX_AMPLITUDE
+constexpr int MAX_LPC_ORDER = 16;
+constexpr int LTP_ORDER = 5;
+
+static void nlsf_unpack(const NlsfCB& cb, int cb1, int* ec_ix, int* pred_q8) {
+    const uint8_t* sel = &cb.ec_sel[cb1 * cb.order / 2];
+    for (int i = 0; i < cb.order; i += 2) {
+        int entry = sel[i / 2];
+        ec_ix[i] = ((entry >> 1) & 7) * (2 * NLSF_QMA + 1);
+        pred_q8[i] = cb.pred_q8[i + (entry & 1) * (cb.order - 1)];
+        ec_ix[i + 1] = ((entry >> 5) & 7) * (2 * NLSF_QMA + 1);
+        pred_q8[i + 1] = cb.pred_q8[i + 1 + ((entry >> 4) & 1) * (cb.order - 1)];
+    }
+}
+
+static void nlsf_stabilize(int* nlsf, const int16_t* dmin, int order) {
+    for (int loops = 0; loops < 20; loops++) {
+        int min_diff = nlsf[0] - dmin[0];
+        int idx = 0;
+        for (int i = 1; i < order; i++) {
+            int diff = nlsf[i] - (nlsf[i - 1] + dmin[i]);
+            if (diff < min_diff) { min_diff = diff; idx = i; }
+        }
+        int diff = (1 << 15) - (nlsf[order - 1] + dmin[order]);
+        if (diff < min_diff) { min_diff = diff; idx = order; }
+        if (min_diff >= 0) return;
+        if (idx == 0) {
+            nlsf[0] = dmin[0];
+        } else if (idx == order) {
+            nlsf[order - 1] = (1 << 15) - dmin[order];
+        } else {
+            int min_c = 0;
+            for (int k = 0; k < idx; k++) min_c += dmin[k];
+            min_c += dmin[idx] >> 1;
+            int max_c = 1 << 15;
+            for (int k = order; k > idx; k--) max_c -= dmin[k];
+            max_c -= dmin[idx] >> 1;
+            int center = rshift_round(nlsf[idx - 1] + nlsf[idx], 1);
+            center = std::max(min_c, std::min(max_c, center));
+            nlsf[idx - 1] = center - (dmin[idx] >> 1);
+            nlsf[idx] = nlsf[idx - 1] + dmin[idx];
+        }
+    }
+    std::sort(nlsf, nlsf + order);
+    nlsf[0] = std::max(nlsf[0], (int)dmin[0]);
+    for (int i = 1; i < order; i++)
+        nlsf[i] = std::max(nlsf[i], (int)sat16i(nlsf[i - 1] + dmin[i]));
+    nlsf[order - 1] = std::min(nlsf[order - 1], (1 << 15) - dmin[order]);
+    for (int i = order - 2; i >= 0; i--)
+        nlsf[i] = std::min(nlsf[i], nlsf[i + 1] - dmin[i + 1]);
+}
+
+static void nlsf_decode(const int* indices, const NlsfCB& cb, int* nlsf_q15) {
+    int ec_ix[MAX_LPC_ORDER], pred_q8[MAX_LPC_ORDER];
+    nlsf_unpack(cb, indices[0], ec_ix, pred_q8);
+    int res_q10[MAX_LPC_ORDER];
+    int out_q10 = 0;
+    for (int i = cb.order - 1; i >= 0; i--) {
+        int pred_q10 = smulbb(out_q10, pred_q8[i]) >> 8;
+        out_q10 = (int16_t)(indices[1 + i] << 10);
+        if (out_q10 > 0) out_q10 = (int16_t)(out_q10 - 102);
+        else if (out_q10 < 0) out_q10 = (int16_t)(out_q10 + 102);
+        out_q10 = (int32_t)(pred_q10 + (((int64_t)out_q10 * cb.quant_step_size_q16) >> 16));
+        res_q10[i] = out_q10;
+    }
+    for (int i = 0; i < cb.order; i++) {
+        int w = cb.cb1_wght_q9[indices[0] * cb.order + i];
+        int base = (int)cb.cb1_q8[indices[0] * cb.order + i] << 7;
+        int val = div32_16(res_q10[i] << 14, (int16_t)w) + base;
+        nlsf_q15[i] = std::max(0, std::min(32767, val));
+    }
+    nlsf_stabilize(nlsf_q15, cb.delta_min_q15, cb.order);
+}
+
+constexpr int QA16 = 16;
+constexpr int QA24 = 24;
+constexpr int A_LIMIT_Q24 = 16773022;
+constexpr int INV_MAX_PRED_GAIN_Q30 = 107374;
+constexpr int ORDERING16[16] = {0, 15, 8, 7, 4, 11, 12, 3, 2, 13, 10, 5, 6, 9, 14, 1};
+constexpr int ORDERING10[10] = {0, 9, 6, 3, 4, 5, 8, 1, 2, 7};
+
+static void find_poly(const int32_t* c_lsf, int off, int dd, int32_t* out) {
+    out[0] = 1 << QA16;
+    out[1] = -c_lsf[off];
+    for (int k = 1; k < dd; k++) {
+        int32_t ftmp = c_lsf[off + 2 * k];
+        out[k + 1] = (int32_t)(((uint32_t)out[k - 1] << 1) -
+                               (uint32_t)(int32_t)rshift_round64((int64_t)ftmp * out[k], QA16));
+        for (int n = k; n > 1; n--)
+            out[n] = (int32_t)((uint32_t)out[n] + (uint32_t)out[n - 2] -
+                               (uint32_t)(int32_t)rshift_round64((int64_t)ftmp * out[n - 1], QA16));
+        out[1] = (int32_t)((uint32_t)out[1] - (uint32_t)ftmp);
+    }
+}
+
+static void bwexpander_32(int32_t* ar, int d, int32_t chirp_q16) {
+    int32_t cm1 = chirp_q16 - 65536;
+    for (int i = 0; i < d - 1; i++) {
+        ar[i] = smulww(chirp_q16, ar[i]);
+        chirp_q16 = (int32_t)((uint32_t)chirp_q16 +
+                              (uint32_t)rshift_round((int32_t)((int64_t)chirp_q16 * cm1), 16));
+    }
+    ar[d - 1] = smulww(chirp_q16, ar[d - 1]);
+}
+
+static void bwexpander_16(int16_t* ar, int d, int32_t chirp_q16) {
+    int32_t cm1 = chirp_q16 - 65536;
+    for (int i = 0; i < d - 1; i++) {
+        ar[i] = (int16_t)rshift_round((int32_t)((int64_t)chirp_q16 * ar[i]), 16);
+        chirp_q16 = (int32_t)((uint32_t)chirp_q16 +
+                              (uint32_t)rshift_round((int32_t)((int64_t)chirp_q16 * cm1), 16));
+    }
+    ar[d - 1] = (int16_t)rshift_round((int32_t)((int64_t)chirp_q16 * ar[d - 1]), 16);
+}
+
+static inline int32_t smmul(int32_t a, int32_t b) { return (int32_t)(((int64_t)a * b) >> 32); }
+
+static int32_t lpc_inverse_pred_gain(const int16_t* a_q12, int order) {
+    int32_t dc = 0;
+    for (int k = 0; k < order; k++) dc += a_q12[k];
+    if (dc >= 4096) return 0;
+    int64_t a_qa[MAX_LPC_ORDER];
+    for (int k = 0; k < order; k++) a_qa[k] = (int32_t)((uint32_t)a_q12[k] << (QA24 - 12));
+    int32_t inv_gain = 1 << 30;
+    for (int k = order - 1; k > 0; k--) {
+        if (a_qa[k] > A_LIMIT_Q24 || a_qa[k] < -A_LIMIT_Q24) return 0;
+        int32_t rc_q31 = (int32_t)(-((uint32_t)(int32_t)a_qa[k] << (31 - QA24)));
+        int32_t rc_mult1 = (int32_t)((1 << 30) - smmul(rc_q31, rc_q31));
+        inv_gain = (int32_t)((uint32_t)smmul(inv_gain, rc_mult1) << 2);
+        if (inv_gain < INV_MAX_PRED_GAIN_Q30) return 0;
+        int mult2q = 32 - clz32i((uint32_t)std::abs(rc_mult1));
+        int32_t rc_mult2 = inverse32_varq(rc_mult1, mult2q + 30);
+        for (int n = 0; n < (k + 1) >> 1; n++) {
+            int64_t tmp1 = a_qa[n];
+            int64_t tmp2 = a_qa[k - n - 1];
+            int64_t t64 = rshift_round64(
+                (tmp1 - (int32_t)rshift_round64(tmp2 * rc_q31, 31)) * (int64_t)rc_mult2, mult2q);
+            if (t64 > INT32_MAX || t64 < INT32_MIN) return 0;
+            a_qa[n] = t64;
+            t64 = rshift_round64(
+                (tmp2 - (int32_t)rshift_round64(tmp1 * rc_q31, 31)) * (int64_t)rc_mult2, mult2q);
+            if (t64 > INT32_MAX || t64 < INT32_MIN) return 0;
+            a_qa[k - n - 1] = t64;
+        }
+    }
+    if (a_qa[0] > A_LIMIT_Q24 || a_qa[0] < -A_LIMIT_Q24) return 0;
+    int32_t rc_q31 = (int32_t)(-((uint32_t)(int32_t)a_qa[0] << (31 - QA24)));
+    int32_t rc_mult1 = (int32_t)((1 << 30) - smmul(rc_q31, rc_q31));
+    inv_gain = (int32_t)((uint32_t)smmul(inv_gain, rc_mult1) << 2);
+    if (inv_gain < INV_MAX_PRED_GAIN_Q30) return 0;
+    return inv_gain;
+}
+
+static void lpc_fit(int32_t* a_qin, int16_t* a_qout, int qout, int qin, int d) {
+    int i;
+    for (i = 0; i < 10; i++) {
+        int32_t maxabs = 0;
+        int idx = 0;
+        for (int k = 0; k < d; k++) {
+            int32_t absval = std::abs(a_qin[k]);
+            if (absval > maxabs) { maxabs = absval; idx = k; }
+        }
+        maxabs = rshift_round(maxabs, qin - qout);
+        if (maxabs > 32767) {
+            maxabs = std::min(maxabs, 163838);
+            int32_t denom = (int32_t)(((int64_t)maxabs * (idx + 1))) >> 2;
+            int32_t chirp = 65470 - ((int32_t)((uint32_t)(maxabs - 32767) << 14)) / denom;
+            bwexpander_32(a_qin, d, chirp);
+        } else {
+            break;
+        }
+    }
+    if (i == 10) {
+        for (int k = 0; k < d; k++) {
+            a_qout[k] = (int16_t)sat16i(rshift_round(a_qin[k], qin - qout));
+            a_qin[k] = (int32_t)((uint32_t)a_qout[k] << (qin - qout));
+        }
+    } else {
+        for (int k = 0; k < d; k++)
+            a_qout[k] = (int16_t)rshift_round(a_qin[k], qin - qout);
+    }
+}
+
+static void nlsf2a(const int* nlsf_q15, int d, int16_t* a_q12) {
+    const int* ordering = d == 16 ? ORDERING16 : ORDERING10;
+    int32_t c_lsf[MAX_LPC_ORDER];
+    for (int k = 0; k < d; k++) {
+        int f_int = nlsf_q15[k] >> 8;
+        int f_frac = nlsf_q15[k] - (f_int << 8);
+        int cos_val = LSF_COS_TAB_Q12[f_int];
+        int delta = LSF_COS_TAB_Q12[f_int + 1] - cos_val;
+        c_lsf[ordering[k]] = rshift_round((cos_val << 8) + delta * f_frac, 20 - QA16);
+    }
+    int dd = d >> 1;
+    int32_t p[MAX_LPC_ORDER / 2 + 1], q[MAX_LPC_ORDER / 2 + 1];
+    find_poly(c_lsf, 0, dd, p);
+    find_poly(c_lsf, 1, dd, q);
+    int32_t a32[MAX_LPC_ORDER];
+    for (int k = 0; k < dd; k++) {
+        int32_t ptmp = (int32_t)((uint32_t)p[k + 1] + (uint32_t)p[k]);
+        int32_t qtmp = (int32_t)((uint32_t)q[k + 1] - (uint32_t)q[k]);
+        a32[k] = (int32_t)(-(uint32_t)qtmp - (uint32_t)ptmp);
+        a32[d - k - 1] = (int32_t)((uint32_t)qtmp - (uint32_t)ptmp);
+    }
+    lpc_fit(a32, a_q12, 12, QA16 + 1, d);
+    for (int it = 0; lpc_inverse_pred_gain(a_q12, d) == 0 && it < 16; it++) {
+        bwexpander_32(a32, d, 65536 - (2 << it));
+        for (int k = 0; k < d; k++)
+            a_q12[k] = (int16_t)rshift_round(a32[k], QA16 + 1 - 12);
+    }
+}
+
+}  // namespace
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Bitstream front end (opus_tpu/silk/bitstream.py).
+// ---------------------------------------------------------------------------
+
+struct SideInfo {
+    int signal_type = 0;
+    int quant_offset_type = 0;
+    int gains_indices[4] = {0};
+    int nlsf_indices[17] = {0};
+    int nlsf_interp_q2 = 4;
+    int lag_index = 0;
+    int contour_index = 0;
+    int per_index = 0;
+    int ltp_index[4] = {0};
+    int ltp_scale_index = 0;
+    int seed = 0;
+};
+
+struct SilkState {
+    int fs_khz = 16;
+    int nb_subfr = 4;
+    int frame_length = 320;
+    int subfr_length = 80;
+    int ltp_mem_length = 320;
+    int lpc_order = 16;
+    const NlsfCB* cb = &CB_WB;
+    const uint8_t* lag_low_icdf = UNIFORM8_ICDF;
+    const uint8_t* contour_icdf = PITCH_CONTOUR_ICDF;
+    int prev_nlsf_q15[MAX_LPC_ORDER] = {0};
+    int ec_prev_signal_type = 0;
+    int ec_prev_lag_index = 0;
+    int last_gain_index = 10;
+    int32_t prev_gain_q16 = 1 << 16;
+    int first_frame_after_reset = 1;
+    int prev_signal_type = 0;
+    int lag_prev = 100;
+    int loss_cnt = 0;
+    int16_t out_buf[20 * 16 + 2 * 5 * 16] = {0};
+    int32_t s_lpc_q14[MAX_LPC_ORDER] = {0};
+    std::vector<int32_t> exc_q14;
+    int vad_flag = 1;
+
+    void set_fs(int fs) {
+        fs_khz = fs;
+        subfr_length = 5 * fs;
+        frame_length = nb_subfr * subfr_length;
+        ltp_mem_length = 20 * fs;
+        if (fs == 16) {
+            lpc_order = 16; cb = &CB_WB; lag_low_icdf = UNIFORM8_ICDF;
+        } else if (fs == 12) {
+            lpc_order = 10; cb = &CB_NB_MB; lag_low_icdf = UNIFORM6_ICDF;
+        } else {
+            lpc_order = 10; cb = &CB_NB_MB; lag_low_icdf = UNIFORM4_ICDF;
+        }
+        contour_icdf = (fs == 8) ? PITCH_CONTOUR_NB_ICDF : PITCH_CONTOUR_ICDF;
+    }
+};
+
+static const uint8_t* LTP_GAIN_ICDFS[3] = {LTP_GAIN_ICDF_0, LTP_GAIN_ICDF_1, LTP_GAIN_ICDF_2};
+static const int8_t* LTP_VQS[3] = {&LTP_GAIN_VQ_0[0][0], &LTP_GAIN_VQ_1[0][0], &LTP_GAIN_VQ_2[0][0]};
+
+static void decode_indices(RangeDec& dec, SilkState& st, SideInfo& ind, bool vad) {
+    int ix;
+    if (vad) ix = dec.decode_icdf(TYPE_OFFSET_VAD_ICDF, 8) + 2;
+    else ix = dec.decode_icdf(TYPE_OFFSET_NO_VAD_ICDF, 8);
+    ind.signal_type = ix >> 1;
+    ind.quant_offset_type = ix & 1;
+
+    // CODE_INDEPENDENTLY (one 20 ms frame per packet on this fast path).
+    ind.gains_indices[0] = dec.decode_icdf(GAIN_ICDF[ind.signal_type], 8) << 3;
+    ind.gains_indices[0] += dec.decode_icdf(UNIFORM8_ICDF, 8);
+    for (int i = 1; i < st.nb_subfr; i++)
+        ind.gains_indices[i] = dec.decode_icdf(DELTA_GAIN_ICDF, 8);
+
+    const NlsfCB& cb = *st.cb;
+    ind.nlsf_indices[0] =
+        dec.decode_icdf(&cb.cb1_icdf[(ind.signal_type >> 1) * cb.n_vectors], 8);
+    int ec_ix[MAX_LPC_ORDER], pred_q8[MAX_LPC_ORDER];
+    nlsf_unpack(cb, ind.nlsf_indices[0], ec_ix, pred_q8);
+    for (int i = 0; i < cb.order; i++) {
+        int v = dec.decode_icdf(&cb.ec_icdf[ec_ix[i]], 8);
+        if (v == 0) v -= dec.decode_icdf(NLSF_EXT_ICDF, 8);
+        else if (v == 2 * NLSF_QMA) v += dec.decode_icdf(NLSF_EXT_ICDF, 8);
+        ind.nlsf_indices[i + 1] = v - NLSF_QMA;
+    }
+    if (st.nb_subfr == 4) ind.nlsf_interp_q2 = dec.decode_icdf(NLSF_INTERP_FACTOR_ICDF, 8);
+    else ind.nlsf_interp_q2 = 4;
+
+    if (ind.signal_type == 2) {
+        ind.lag_index = dec.decode_icdf(PITCH_LAG_ICDF, 8) * (st.fs_khz >> 1);
+        ind.lag_index += dec.decode_icdf(st.lag_low_icdf, 8);
+        st.ec_prev_lag_index = ind.lag_index;
+        ind.contour_index = dec.decode_icdf(st.contour_icdf, 8);
+        ind.per_index = dec.decode_icdf(LTP_PER_INDEX_ICDF, 8);
+        for (int k = 0; k < st.nb_subfr; k++)
+            ind.ltp_index[k] = dec.decode_icdf(LTP_GAIN_ICDFS[ind.per_index], 8);
+        ind.ltp_scale_index = dec.decode_icdf(LTPSCALE_ICDF, 8);
+    }
+    st.ec_prev_signal_type = ind.signal_type;
+    ind.seed = dec.decode_icdf(UNIFORM4_ICDF, 8);
+}
+
+static void decode_split(RangeDec& dec, int p, const uint8_t* table, int* c1, int* c2) {
+    if (p > 0) {
+        int off = SHELL_CODE_TABLE_OFFSETS[p];
+        *c1 = dec.decode_icdf(&table[off], 8);
+        *c2 = p - *c1;
+    } else {
+        *c1 = *c2 = 0;
+    }
+}
+
+static void shell_decoder(RangeDec& dec, int pulses4, int* out) {
+    int p3[2], p2[4], p1[8];
+    decode_split(dec, pulses4, SHELL_CODE_TABLE3, &p3[0], &p3[1]);
+    for (int h = 0; h < 2; h++) {
+        decode_split(dec, p3[h], SHELL_CODE_TABLE2, &p2[2 * h], &p2[2 * h + 1]);
+        for (int q = 0; q < 2; q++) {
+            int e = 2 * h + q;
+            decode_split(dec, p2[e], SHELL_CODE_TABLE1, &p1[2 * e], &p1[2 * e + 1]);
+            for (int b = 0; b < 2; b++) {
+                int leaf = 2 * e + b;
+                decode_split(dec, p1[leaf], SHELL_CODE_TABLE0, &out[2 * leaf], &out[2 * leaf + 1]);
+            }
+        }
+    }
+}
+
+static void decode_pulses(RangeDec& dec, int signal_type, int quant_offset_type,
+                          int frame_length, int* pulses) {
+    int rate_level = dec.decode_icdf(RATE_LEVELS_ICDF[signal_type >> 1], 8);
+    int n_blocks = frame_length >> 4;
+    if (n_blocks * 16 < frame_length) n_blocks++;
+
+    int sums[24], nls[24];
+    for (int i = 0; i < n_blocks; i++) {
+        nls[i] = 0;
+        sums[i] = dec.decode_icdf(PULSES_PER_BLOCK_ICDF[rate_level], 8);
+        while (sums[i] == 17) {
+            nls[i]++;
+            const uint8_t* row = PULSES_PER_BLOCK_ICDF[9];
+            sums[i] = dec.decode_icdf(nls[i] == 10 ? row + 1 : row, 8);
+        }
+    }
+    std::memset(pulses, 0, n_blocks * 16 * sizeof(int));
+    for (int i = 0; i < n_blocks; i++)
+        if (sums[i] > 0) shell_decoder(dec, sums[i], &pulses[i * 16]);
+    for (int i = 0; i < n_blocks; i++) {
+        if (nls[i] > 0) {
+            for (int k = 0; k < 16; k++) {
+                int q = pulses[i * 16 + k];
+                for (int j = 0; j < nls[i]; j++)
+                    q = (q << 1) + dec.decode_icdf(LSB_ICDF, 8);
+                pulses[i * 16 + k] = q;
+            }
+            sums[i] |= nls[i] << 5;
+        }
+    }
+    int base = 7 * (quant_offset_type + (signal_type << 1));
+    for (int i = 0; i < n_blocks; i++) {
+        int p = sums[i];
+        if (p > 0) {
+            uint8_t icdf[2] = {SIGN_ICDF[base + std::min(p & 0x1F, 6)], 0};
+            for (int j = 0; j < 16; j++)
+                if (pulses[i * 16 + j] > 0)
+                    pulses[i * 16 + j] *= 2 * dec.decode_icdf(icdf, 8) - 1;
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Parameters + core synthesis (opus_tpu/silk/decoder.py).
+// ---------------------------------------------------------------------------
+
+struct Control {
+    int pitch_l[4] = {0};
+    int32_t gains_q16[4] = {0};
+    int16_t pred_coef_q12[2][MAX_LPC_ORDER] = {{0}};
+    int32_t ltp_coef_q14[4 * LTP_ORDER] = {0};
+    int32_t ltp_scale_q14 = 0;
+};
+
+static void gains_dequant(const int* idx, int* prev_ind, bool conditional, int nb,
+                          int32_t* gains_q16) {
+    int pi = *prev_ind;
+    for (int k = 0; k < nb; k++) {
+        if (k == 0 && !conditional) {
+            pi = std::max(idx[k], pi - 16);
+        } else {
+            int ind_tmp = idx[k] - 4;
+            int thresh = 2 * 36 - 64 + pi;
+            if (ind_tmp > thresh) pi += (ind_tmp << 1) - thresh;
+            else pi += ind_tmp;
+        }
+        pi = std::max(0, std::min(63, pi));
+        gains_q16[k] = silk_log2lin(std::min(smulwb(1907825, pi) + 2090, 3967));
+    }
+    *prev_ind = pi;
+}
+
+static void decode_pitch(int lag_index, int contour, int fs_khz, int nb_subfr, int* pitch_l) {
+    const int8_t* cb;
+    int stride;
+    if (fs_khz == 8) { cb = &CB_LAGS_STAGE2[0][0]; stride = 11; }
+    else { cb = &CB_LAGS_STAGE3[0][0]; stride = 34; }
+    int min_lag = 2 * fs_khz, max_lag = 18 * fs_khz;
+    int lag = min_lag + lag_index;
+    for (int k = 0; k < nb_subfr; k++)
+        pitch_l[k] = std::max(min_lag, std::min(max_lag, lag + cb[k * stride + contour]));
+}
+
+static void decode_parameters(SilkState& st, SideInfo& ind, Control& ctrl) {
+    gains_dequant(ind.gains_indices, &st.last_gain_index, false, st.nb_subfr, ctrl.gains_q16);
+    int nlsf_q15[MAX_LPC_ORDER];
+    nlsf_decode(ind.nlsf_indices, *st.cb, nlsf_q15);
+    nlsf2a(nlsf_q15, st.lpc_order, ctrl.pred_coef_q12[1]);
+    if (st.first_frame_after_reset) ind.nlsf_interp_q2 = 4;
+    if (ind.nlsf_interp_q2 < 4) {
+        int nlsf0[MAX_LPC_ORDER];
+        for (int i = 0; i < st.lpc_order; i++)
+            nlsf0[i] = st.prev_nlsf_q15[i] +
+                       ((ind.nlsf_interp_q2 * (nlsf_q15[i] - st.prev_nlsf_q15[i])) >> 2);
+        nlsf2a(nlsf0, st.lpc_order, ctrl.pred_coef_q12[0]);
+    } else {
+        std::memcpy(ctrl.pred_coef_q12[0], ctrl.pred_coef_q12[1],
+                    st.lpc_order * sizeof(int16_t));
+    }
+    std::memcpy(st.prev_nlsf_q15, nlsf_q15, st.lpc_order * sizeof(int));
+    if (st.loss_cnt) {
+        for (int h = 0; h < 2; h++)
+            bwexpander_16(ctrl.pred_coef_q12[h], st.lpc_order, 63570);
+    }
+    if (ind.signal_type == 2) {
+        decode_pitch(ind.lag_index, ind.contour_index, st.fs_khz, st.nb_subfr, ctrl.pitch_l);
+        const int8_t* vq = LTP_VQS[ind.per_index];
+        for (int k = 0; k < st.nb_subfr; k++)
+            for (int i = 0; i < LTP_ORDER; i++)
+                ctrl.ltp_coef_q14[k * LTP_ORDER + i] =
+                    (int32_t)((int)vq[ind.ltp_index[k] * LTP_ORDER + i] << 7);
+        ctrl.ltp_scale_q14 = LTP_SCALES_TABLE_Q14[ind.ltp_scale_index];
+    } else {
+        std::memset(ctrl.pitch_l, 0, sizeof(ctrl.pitch_l));
+        std::memset(ctrl.ltp_coef_q14, 0, sizeof(ctrl.ltp_coef_q14));
+        ctrl.ltp_scale_q14 = 0;
+    }
+}
+
+static void lpc_analysis_filter(int16_t* out, int out_off, const int16_t* in, int in_off,
+                                const int16_t* b_q12, int len, int order) {
+    for (int ix = order; ix < len; ix++) {
+        int in_ptr = in_off + ix - 1;
+        int32_t acc = smulbb(in[in_ptr], b_q12[0]);
+        for (int j = 1; j < order; j++)
+            acc = (int32_t)((uint32_t)acc + (uint32_t)smulbb(in[in_ptr - j], b_q12[j]));
+        acc = (int32_t)(((uint32_t)in[in_ptr + 1] << 12) - (uint32_t)acc);
+        out[out_off + ix] = (int16_t)sat16i(rshift_round(acc, 12));
+    }
+    std::memset(&out[out_off], 0, order * sizeof(int16_t));
+}
+
+static void decode_core(SilkState& st, Control& ctrl, SideInfo& ind, const int* pulses,
+                        int16_t* xq) {
+    int order = st.lpc_order;
+    int L = st.frame_length;
+    int sub = st.subfr_length;
+    int offset_q10 = QUANTIZATION_OFFSETS_Q10[ind.signal_type >> 1][ind.quant_offset_type];
+    int interp_flag = ind.nlsf_interp_q2 < 4 ? 1 : 0;
+
+    st.exc_q14.resize(L);
+    int32_t rand_seed = ind.seed;
+    for (int i = 0; i < L; i++) {
+        rand_seed = silk_rand(rand_seed);
+        int32_t v = pulses[i] << 14;
+        if (v > 0) v -= 80 << 4;
+        else if (v < 0) v += 80 << 4;
+        v += offset_q10 << 4;
+        if (rand_seed < 0) v = -v;
+        st.exc_q14[i] = v;
+        rand_seed = (int32_t)((uint32_t)rand_seed + (uint32_t)pulses[i]);
+    }
+
+    std::vector<int16_t> s_ltp(st.ltp_mem_length, 0);
+    std::vector<int32_t> s_ltp_q15(st.ltp_mem_length + L, 0);
+    std::vector<int32_t> s_lpc(MAX_LPC_ORDER + sub);
+    std::memcpy(s_lpc.data(), st.s_lpc_q14, MAX_LPC_ORDER * sizeof(int32_t));
+    int s_ltp_buf_idx = st.ltp_mem_length;
+    int lag = 0;
+
+    for (int k = 0; k < st.nb_subfr; k++) {
+        const int32_t* pexc = &st.exc_q14[k * sub];
+        const int16_t* a_q12 = ctrl.pred_coef_q12[k >> 1];
+        const int32_t* b_q14 = &ctrl.ltp_coef_q14[k * LTP_ORDER];
+        int signal_type = ind.signal_type;
+        int32_t gain_q10 = ctrl.gains_q16[k] >> 6;
+        int32_t inv_gain_q31 = inverse32_varq(ctrl.gains_q16[k], 47);
+        int32_t gain_adj_q16 = 1 << 16;
+        if (ctrl.gains_q16[k] != st.prev_gain_q16) {
+            gain_adj_q16 = div32_varq(st.prev_gain_q16, ctrl.gains_q16[k], 16);
+            for (int i = 0; i < MAX_LPC_ORDER; i++)
+                s_lpc[i] = smulww(gain_adj_q16, s_lpc[i]);
+        }
+        st.prev_gain_q16 = ctrl.gains_q16[k];
+
+        if (signal_type == 2) {
+            lag = ctrl.pitch_l[k];
+            if (k == 0 || (k == 2 && interp_flag)) {
+                int start_idx = st.ltp_mem_length - lag - order - LTP_ORDER / 2;
+                if (start_idx <= 0) start_idx = 1;
+                if (k == 2)
+                    std::memcpy(&st.out_buf[st.ltp_mem_length], xq, 2 * sub * sizeof(int16_t));
+                lpc_analysis_filter(s_ltp.data(), start_idx, st.out_buf,
+                                    start_idx + k * sub, a_q12,
+                                    st.ltp_mem_length - start_idx, order);
+                int32_t ig = inv_gain_q31;
+                if (k == 0)
+                    ig = (int32_t)((uint32_t)smulwb(inv_gain_q31, ctrl.ltp_scale_q14) << 2);
+                for (int i = 0; i < lag + LTP_ORDER / 2; i++)
+                    s_ltp_q15[s_ltp_buf_idx - i - 1] =
+                        smulwb(ig, s_ltp[st.ltp_mem_length - i - 1]);
+                if (k == 0) inv_gain_q31 = ig;
+            } else if (gain_adj_q16 != 1 << 16) {
+                for (int i = 0; i < lag + LTP_ORDER / 2; i++)
+                    s_ltp_q15[s_ltp_buf_idx - i - 1] =
+                        smulww(gain_adj_q16, s_ltp_q15[s_ltp_buf_idx - i - 1]);
+            }
+        }
+
+        std::vector<int32_t> pres_buf;
+        const int32_t* pres;
+        if (signal_type == 2) {
+            pres_buf.resize(sub);
+            int pred_lag = s_ltp_buf_idx - lag + LTP_ORDER / 2;
+            for (int i = 0; i < sub; i++) {
+                int32_t lp = 2;
+                lp = smlawb(lp, s_ltp_q15[pred_lag + 0], b_q14[0]);
+                lp = smlawb(lp, s_ltp_q15[pred_lag - 1], b_q14[1]);
+                lp = smlawb(lp, s_ltp_q15[pred_lag - 2], b_q14[2]);
+                lp = smlawb(lp, s_ltp_q15[pred_lag - 3], b_q14[3]);
+                lp = smlawb(lp, s_ltp_q15[pred_lag - 4], b_q14[4]);
+                pred_lag++;
+                pres_buf[i] = (int32_t)((uint32_t)pexc[i] + ((uint32_t)lp << 1));
+                s_ltp_q15[s_ltp_buf_idx] = (int32_t)((uint32_t)pres_buf[i] << 1);
+                s_ltp_buf_idx++;
+            }
+            pres = pres_buf.data();
+        } else {
+            pres = pexc;
+        }
+
+        for (int i = 0; i < sub; i++) {
+            int32_t lpc_pred = order >> 1;
+            for (int j = 0; j < order; j++)
+                lpc_pred = smlawb(lpc_pred, s_lpc[MAX_LPC_ORDER + i - 1 - j], a_q12[j]);
+            s_lpc[MAX_LPC_ORDER + i] = add_sat32i(pres[i], lshift_sat32(lpc_pred, 4));
+            xq[k * sub + i] =
+                (int16_t)sat16i(rshift_round(smulww(s_lpc[MAX_LPC_ORDER + i], gain_q10), 8));
+        }
+        std::memmove(s_lpc.data(), &s_lpc[sub], MAX_LPC_ORDER * sizeof(int32_t));
+    }
+    std::memcpy(st.s_lpc_q14, s_lpc.data(), MAX_LPC_ORDER * sizeof(int32_t));
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// C ABI: one 20 ms mono SILK frame decode (+ parameter planes).
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+void* silk_fe_create(int fs_khz) {
+    SilkState* st = new SilkState();
+    st->set_fs(fs_khz);
+    return st;
+}
+
+void silk_fe_destroy(void* h) { delete (SilkState*)h; }
+
+// meta: 0 voiced, 1 rng-lo32 written via out param, 2.. lags[4]
+// plane outputs sized: gexc[L] f32, a1/a2[order] f32, btaps[20] f32,
+// head[18*fs+2] f32.  Returns 0, or negative on error.
+int silk_fe_decode(void* h, const uint8_t* data, int len, int16_t* xq,
+                   float* gexc, float* a1, float* a2, float* btaps, float* head,
+                   int32_t* meta, uint32_t* rng_out) {
+    SilkState& st = *(SilkState*)h;
+    RangeDec dec;
+    dec.init(data, len);
+    int vad = dec.decode_bit_logp(1) ? 1 : 0;
+    dec.decode_bit_logp(1);  // LBRR (absent on this fast path)
+    SideInfo ind;
+    decode_indices(dec, st, ind, vad != 0);
+    int pulses[24 * 16];
+    decode_pulses(dec, ind.signal_type, ind.quant_offset_type, st.frame_length, pulses);
+    Control ctrl;
+    decode_parameters(st, ind, ctrl);
+    st.first_frame_after_reset = 0;
+    st.prev_signal_type = ind.signal_type;
+
+    // Parameter planes for the device path (output-domain formulation).
+    int L = st.frame_length, sub = st.subfr_length, order = st.lpc_order;
+    if (gexc) {
+        int offset_q10 = QUANTIZATION_OFFSETS_Q10[ind.signal_type >> 1][ind.quant_offset_type];
+        int32_t rs = ind.seed;
+        for (int i = 0; i < L; i++) {
+            rs = silk_rand(rs);
+            int32_t v = pulses[i] << 14;
+            if (v > 0) v -= 1280;
+            else if (v < 0) v += 1280;
+            v += offset_q10 << 4;
+            if (rs < 0) v = -v;
+            gexc[i] = (float)((double)v / 16384.0 *
+                              ((double)ctrl.gains_q16[i / sub] / 65536.0));
+            rs = (int32_t)((uint32_t)rs + (uint32_t)pulses[i]);
+        }
+        for (int j = 0; j < order; j++) {
+            a1[j] = ctrl.pred_coef_q12[0][j] / 4096.0f;
+            a2[j] = ctrl.pred_coef_q12[1][j] / 4096.0f;
+        }
+        for (int k = 0; k < 4; k++)
+            for (int j = 0; j < 5; j++)
+                btaps[k * 5 + j] = ctrl.ltp_coef_q14[k * 5 + j] / 16384.0f;
+        int head_len = 18 * st.fs_khz + 2;
+        std::memset(head, 0, head_len * sizeof(float));
+        if (ind.signal_type == 2) {
+            std::vector<int16_t> white(st.ltp_mem_length, 0);
+            int lag0 = ctrl.pitch_l[0];
+            int start_idx = std::max(1, st.ltp_mem_length - lag0 - order - 2);
+            lpc_analysis_filter(white.data(), start_idx, st.out_buf, start_idx,
+                                ctrl.pred_coef_q12[0], st.ltp_mem_length - start_idx, order);
+            double scale = (double)ctrl.ltp_scale_q14 / 16384.0;
+            for (int i = 0; i < head_len && i < st.ltp_mem_length; i++)
+                head[head_len - 1 - i] =
+                    (float)(white[st.ltp_mem_length - 1 - i] * scale);
+        }
+        meta[0] = ind.signal_type == 2 ? 1 : 0;
+        for (int k = 0; k < 4; k++)
+            meta[2 + k] = std::max(ctrl.pitch_l[k], 2 * st.fs_khz + 2);
+    }
+
+    // Normative host synthesis.
+    decode_core(st, ctrl, ind, pulses, xq);
+
+    // Roll the LTP history.
+    int mv = st.ltp_mem_length - L;
+    if (mv > 0)
+        std::memmove(st.out_buf, &st.out_buf[L], mv * sizeof(int16_t));
+    std::memcpy(&st.out_buf[std::max(mv, 0)], xq, std::min(L, st.ltp_mem_length) * sizeof(int16_t));
+    st.lag_prev = ctrl.pitch_l[st.nb_subfr - 1];
+    st.loss_cnt = 0;
+
+    *rng_out = dec.rng;
+    return dec.error ? -2 : 0;
+}
+
+// Batch over independent stream handles (OpenMP across streams).
+int silk_fe_decode_batch(void** handles, const uint8_t* data, const int32_t* lens,
+                         int n, int16_t* xq, int64_t xq_stride, uint32_t* rngs) {
+    std::vector<int64_t> offs(n + 1, 0);
+    for (int i = 0; i < n; i++) offs[i + 1] = offs[i] + lens[i];
+    int bad = 0;
+#pragma omp parallel for schedule(dynamic, 8)
+    for (int i = 0; i < n; i++) {
+        int rc = silk_fe_decode(handles[i], data + offs[i], lens[i],
+                                xq + (int64_t)i * xq_stride, nullptr, nullptr, nullptr,
+                                nullptr, nullptr, nullptr, &rngs[i]);
+        if (rc != 0) {
+#pragma omp critical
+            bad = i + 1;
+        }
+    }
+    return bad ? -bad : n;
+}
+
+}  // extern "C"

@@ -96,3 +96,37 @@ def test_batched_multistream_vs_libopus():
             r = np.asarray(refs[b].decode_float(pkts[b], frame)).reshape(frame, ch)
             assert frs[b] == refs[b].final_range
             assert float(np.abs(out[b] - r).max()) < 1e-5
+
+
+def test_native_silk_bit_exact():
+    """Native C++ SILK decode is sample-exact vs libopus."""
+    from opus_tpu.native.frontend import NativeSilkBatch, NativeSilkFrontEnd, available
+
+    if not available():
+        pytest.skip("native engine not built")
+    enc = oracle.Encoder(16000, 1)
+    enc.ctl(oracle.SET_FORCE_MODE, oracle.MODE_SILK_ONLY)
+    enc.ctl(oracle.SET_BITRATE, 24000)
+    ref = oracle.Decoder(16000, 1)
+    frame = 320
+    t = np.arange(frame * 10) / 16000
+    rng = np.random.default_rng(7)
+    phase = np.cumsum(2 * np.pi * (120 + 30 * np.sin(2 * np.pi * 3 * t)) / 16000)
+    sig = (0.35 * np.sign(np.sin(phase)) * np.exp(-3 * (t % 0.01) * 100)
+           + 0.02 * rng.standard_normal(frame * 10)).astype(np.float32)
+    nat = NativeSilkFrontEnd(16)
+    prev_tail = np.zeros(13, int)
+    for f in range(10):
+        pkt = enc.encode_float(sig[f * frame : (f + 1) * frame], frame)
+        payload = pkt[parse_packet(pkt).payload_offset :]
+        xq, planes = nat.decode(payload, want_planes=True)
+        r = (np.asarray(ref.decode_float(pkt, frame)).reshape(-1) * 32768).round().astype(int)
+        expect = np.concatenate([prev_tail, xq.astype(int)])[:320]
+        assert int(np.abs(expect - r).max()) == 0, f"frame {f}"
+        prev_tail = xq.astype(int)[-13:].copy()
+    # batch API smoke: same payload across a batch, identical rows
+    nb = NativeSilkBatch(4, 16)
+    pkt = enc.encode_float(sig[:frame], frame)
+    payload = pkt[parse_packet(pkt).payload_offset :]
+    xq, rngs = nb.decode_batch([payload] * 4)
+    assert (xq[0] == xq[1]).all() and (rngs[0] == rngs[3])
