@@ -33,6 +33,9 @@ class EncoderConfiguration:
     #: "music" -> CELT full-band; "voice" -> SILK WB (mono, 20 ms frames);
     #: "hybrid" -> SILK WB low band + CELT bands 17+ (mono SWB, 20 ms, 48 kHz).
     application: str = "music"
+    #: Discontinuous transmission: emit 1-byte packets during silence
+    #: (after one hangover frame); decoders run PLC/CNG over the gap.
+    dtx: bool = False
 
 
 class Encoder:
@@ -45,6 +48,8 @@ class Encoder:
         self.application = self.config.application
         self.bitrate = int(self.config.bitrate)
         self._rng = 0
+        self._dtx_run = 0
+        self._last_toc = None
         if self.application == "voice":
             if self.channels != 1:
                 raise BadArguments("voice mode is mono for now")
@@ -109,6 +114,16 @@ class Encoder:
         n = pcm.shape[0]
         if pcm.shape[1] != self.channels:
             raise BadArguments("channel count mismatch")
+        if self.config.dtx:
+            rms = float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2)))
+            if rms < 1e-4:
+                self._dtx_run += 1
+                if self._dtx_run >= 2:
+                    # DTX: ToC-only packet (0 frames); receivers conceal.
+                    return bytes([self._last_toc]) if self._last_toc is not None else bytes(
+                        [self._toc_for(n)])
+            else:
+                self._dtx_run = 0
         if self.application == "voice":
             return self._encode_voice(pcm, n)
         if self.application == "hybrid":
@@ -117,7 +132,15 @@ class Encoder:
             raise BadArguments("frame must be 2.5/5/10/20 ms at 48 kHz")
         toc = (_CELT_FB_CONFIG[n] << 3) | (0x4 if self.channels == 2 else 0)
         payload = self.celt.encode(pcm, self.frame_bytes(n))
+        self._last_toc = toc
         return bytes([toc]) + payload
+
+    def _toc_for(self, n: int) -> int:
+        if self.application == "voice":
+            return _SILK_20MS_CONFIG[self.silk_fs_khz] << 3
+        if self.application == "hybrid":
+            return _HYBRID_20MS_SWB << 3
+        return (_CELT_FB_CONFIG.get(n, 31) << 3) | (0x4 if self.channels == 2 else 0)
 
     def _encode_voice(self, pcm: np.ndarray, n: int) -> bytes:
         from .rc.encoder import RangeEncoder
@@ -133,6 +156,7 @@ class Encoder:
         payload = self.silk.encode_frame_cbr(x, budget)
         self._rng = self.silk.last_range
         toc = _SILK_20MS_CONFIG[self.silk_fs_khz] << 3
+        self._last_toc = toc
         return bytes([toc]) + payload
 
     def _encode_hybrid(self, pcm: np.ndarray, n: int) -> bytes:
@@ -177,4 +201,5 @@ class Encoder:
         enc.done()
         self._rng = enc.rng & 0xFFFFFFFF
         toc = _HYBRID_20MS_SWB << 3
+        self._last_toc = toc
         return bytes([toc]) + bytes(buf)
