@@ -145,17 +145,19 @@ class Encoder:
     def _encode_voice(self, pcm: np.ndarray, n: int) -> bytes:
         from .rc.encoder import RangeEncoder
 
-        if n != self.rate // 50:
-            raise BadArguments("voice mode takes 20 ms frames")
+        ms = n * 1000 // self.rate
+        if ms not in (20, 40, 60) or n * 1000 != ms * self.rate:
+            raise BadArguments("voice mode takes 20/40/60 ms frames")
         x48 = np.clip(pcm[:, 0] * 32768.0, -32768, 32767).astype(np.int16)
         if self._resampler is not None:
             x = np.array(self._resampler.process([int(v) for v in x48]), dtype=np.int16)
         else:
             x = x48
-        budget = max(10, (self.bitrate * 20) // (1000 * 8))  # bytes per 20 ms
-        payload = self.silk.encode_frame_cbr(x, budget)
+        budget = max(10, (self.bitrate * ms) // (1000 * 8))
+        payload = self.silk.encode_packet_cbr(x, budget)
         self._rng = self.silk.last_range
-        toc = _SILK_20MS_CONFIG[self.silk_fs_khz] << 3
+        # 10/20/40/60 ms share a config block per bandwidth; 20 ms is +1.
+        toc = (_SILK_20MS_CONFIG[self.silk_fs_khz] + (ms // 20 - 1)) << 3
         self._last_toc = toc
         return bytes([toc]) + payload
 

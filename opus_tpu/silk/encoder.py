@@ -307,36 +307,19 @@ class SilkEncoder:
         self.xq_hist = np.zeros(self.lpc_order)
         self.xq_buf = np.zeros(20 * fs_khz)  # quantised-signal history (LTP)
         self.last_range = 0
+        # Inter-frame entropy context for conditional coding inside
+        # multi-frame (40/60 ms) packets; mirrors the decoder's
+        # ec_prev_signal_type / ec_prev_lag_index replay.
+        self.ec_prev_signal_type = 0
+        self.ec_prev_lag_index = 0
 
     def encode_frame_cbr(self, x: np.ndarray, budget_bytes: int) -> bytes:
-        """Encode one frame, iterating the gain headroom until the payload
-        fits the byte budget (simple CBR outer loop)."""
-        from ..rc.encoder import RangeEncoder
-
-        headroom = 1.8
-        saved = (self.gain_state, self.x_hist.copy(), self.xq_hist.copy(), self.xq_buf.copy())
-        payload = b""
-        for _ in range(6):
-            self.gain_state, self.x_hist, self.xq_hist, self.xq_buf = (
-                saved[0], saved[1].copy(), saved[2].copy(), saved[3].copy())
-            buf = bytearray(1400)
-            enc = RangeEncoder(buf)
-            self.encode_frame(enc, x, headroom=headroom)
-            nbytes = min((enc.tell() + 7) >> 3, 1275)
-            enc.shrink(nbytes)
-            enc.done()
-            payload = bytes(enc.data())
-            self.last_range = enc.rng & 0xFFFFFFFF
-            if len(payload) <= budget_bytes:
-                break
-            # Too many bits: raise the gains (coarser pulses).  Floor the
-            # headroom: past it the quantisation-offset noise dominates and
-            # forces pulses right back (practical floor ~20 kbps at WB;
-            # packets stay valid, they just overshoot tiny budgets).
-            if headroom <= 0.36:
-                break
-            headroom = max(0.35, headroom / (1.15 * max(1.0, len(payload) / max(budget_bytes, 1)) ** 0.5))
-        return payload
+        """Encode one 20 ms frame, iterating the gain headroom until the
+        payload fits the byte budget (simple CBR outer loop).  Headroom
+        floor ~0.35: past it quantisation-offset noise dominates and forces
+        pulses right back (practical floor ~20 kbps at WB; packets stay
+        valid, they just overshoot tiny budgets)."""
+        return self.encode_packet_cbr(x, budget_bytes)
 
     def _pitch_search(self, xf: np.ndarray):
         """Normalised-autocorrelation pitch over [2, 18] ms; None if weak."""
@@ -376,7 +359,46 @@ class SilkEncoder:
             e_tot += float(errs[r])
         return e_tot, idx
 
-    def encode_frame(self, enc, x: np.ndarray, headroom: float = 1.8) -> None:
+    def encode_packet_cbr(self, x: np.ndarray, budget_bytes: int) -> bytes:
+        """Encode a 20/40/60 ms block as one SILK payload (1-3 frames).
+
+        Multi-frame layout per RFC 6716 / silk_Decode: all per-frame VAD
+        flags first, then the LBRR flag, then each 20 ms frame — frame 0
+        coded independently, later frames conditionally (delta gains,
+        delta pitch).  CBR outer loop as in encode_frame_cbr.
+        """
+        from ..rc.encoder import RangeEncoder
+
+        nf = len(x) // self.frame_length
+        assert nf * self.frame_length == len(x) and 1 <= nf <= 3
+        headroom = 1.8
+        saved = (self.gain_state, self.x_hist.copy(), self.xq_hist.copy(), self.xq_buf.copy(),
+                 self.ec_prev_signal_type, self.ec_prev_lag_index)
+        payload = b""
+        for _ in range(6):
+            (self.gain_state, self.x_hist, self.xq_hist, self.xq_buf,
+             self.ec_prev_signal_type, self.ec_prev_lag_index) = (
+                saved[0], saved[1].copy(), saved[2].copy(), saved[3].copy(), saved[4], saved[5])
+            buf = bytearray(1400)
+            enc = RangeEncoder(buf)
+            for f in range(nf):
+                enc.encode_bit_logp(1, 1)  # VAD
+            enc.encode_bit_logp(0, 1)  # LBRR
+            for f in range(nf):
+                self.encode_frame(enc, x[f * self.frame_length : (f + 1) * self.frame_length],
+                                  headroom=headroom, write_header=False, cond=f > 0)
+            nbytes = min((enc.tell() + 7) >> 3, 1275)
+            enc.shrink(nbytes)
+            enc.done()
+            payload = bytes(enc.data())
+            self.last_range = enc.rng & 0xFFFFFFFF
+            if len(payload) <= budget_bytes or headroom <= 0.36:
+                break
+            headroom = max(0.35, headroom / (1.15 * max(1.0, len(payload) / max(budget_bytes, 1)) ** 0.5))
+        return payload
+
+    def encode_frame(self, enc, x: np.ndarray, headroom: float = 1.8,
+                     write_header: bool = True, cond: bool = False) -> None:
         assert len(x) == self.frame_length
         xf = x.astype(np.float64)
         order = self.lpc_order
@@ -436,15 +458,18 @@ class SilkEncoder:
             seg = gain_res[k * sub : (k + 1) * sub]
             rms = math.sqrt(float(np.mean(seg * seg)) + 1e-9)
             targets.append(max(int(rms * 65536.0 / headroom), 65536 // 8))
-        conditional = False
-        gains_idx, gains_q16, self.gain_state = quantize_gains(targets, self.gain_state, conditional)
+        gains_idx, gains_q16, self.gain_state = quantize_gains(targets, self.gain_state, cond)
 
         # ---- bitstream ----------------------------------------------------
-        enc.encode_bit_logp(1, 1)  # VAD
-        enc.encode_bit_logp(0, 1)  # LBRR
+        if write_header:
+            enc.encode_bit_logp(1, 1)  # VAD
+            enc.encode_bit_logp(0, 1)  # LBRR
         enc.encode_icdf(2 * signal_type + quant_offset_type - 2, T.TYPE_OFFSET_VAD_ICDF, 8)
-        enc.encode_icdf(gains_idx[0] >> 3, T.GAIN_ICDF[signal_type], 8)
-        enc.encode_icdf(gains_idx[0] & 7, T.UNIFORM8_ICDF, 8)
+        if cond:
+            enc.encode_icdf(gains_idx[0], T.DELTA_GAIN_ICDF, 8)
+        else:
+            enc.encode_icdf(gains_idx[0] >> 3, T.GAIN_ICDF[signal_type], 8)
+            enc.encode_icdf(gains_idx[0] & 7, T.UNIFORM8_ICDF, 8)
         for k in range(1, 4):
             enc.encode_icdf(gains_idx[k], T.DELTA_GAIN_ICDF, 8)
         encode_nlsf_indices(enc, self.cb, nlsf_indices, signal_type)
@@ -453,15 +478,24 @@ class SilkEncoder:
             min_lag = 2 * self.fs_khz
             lag_index = lag - min_lag
             half = self.fs_khz >> 1
-            enc.encode_icdf(lag_index // half, T.PITCH_LAG_ICDF, 8)
-            low_tbl = {4: T.UNIFORM4_ICDF, 6: T.UNIFORM6_ICDF, 8: T.UNIFORM8_ICDF}[half]
-            enc.encode_icdf(lag_index % half, low_tbl, 8)
+            delta_idx = lag_index - self.ec_prev_lag_index + 9
+            if cond and self.ec_prev_signal_type == 2 and 1 <= delta_idx <= 20:
+                enc.encode_icdf(delta_idx, T.PITCH_DELTA_ICDF, 8)
+            else:
+                if cond and self.ec_prev_signal_type == 2:
+                    enc.encode_icdf(0, T.PITCH_DELTA_ICDF, 8)  # escape: absolute follows
+                enc.encode_icdf(lag_index // half, T.PITCH_LAG_ICDF, 8)
+                low_tbl = {4: T.UNIFORM4_ICDF, 6: T.UNIFORM6_ICDF, 8: T.UNIFORM8_ICDF}[half]
+                enc.encode_icdf(lag_index % half, low_tbl, 8)
+            self.ec_prev_lag_index = lag_index
             contour_tbl = T.PITCH_CONTOUR_ICDF if self.fs_khz != 8 else T.PITCH_CONTOUR_NB_ICDF
             enc.encode_icdf(contour, contour_tbl, 8)
             enc.encode_icdf(per_index, T.LTP_PER_INDEX_ICDF, 8)
             for k in range(4):
                 enc.encode_icdf(int(ltp_idx[k]), T.LTP_GAIN_ICDF_1, 8)
-            enc.encode_icdf(0, T.LTPSCALE_ICDF, 8)  # CODE_INDEPENDENTLY
+            if not cond:
+                enc.encode_icdf(0, T.LTPSCALE_ICDF, 8)  # CODE_INDEPENDENTLY
+        self.ec_prev_signal_type = signal_type
         seed = 0
         enc.encode_icdf(seed, T.UNIFORM4_ICDF, 8)
 

@@ -101,3 +101,33 @@ def test_hybrid_encoder_roundtrip():
     err = dec[d:] - sig[:nmin]
     snr = 10 * math.log10(float(np.dot(sig[:nmin], sig[:nmin])) / max(float(np.dot(err, err)), 1e-9))
     assert snr > 8.0, f"hybrid snr {snr:.1f}"
+
+
+@pytest.mark.parametrize("rate,ms", [(16000, 40), (16000, 60), (8000, 40), (48000, 60)])
+def test_silk_encoder_multiframe(rate, ms):
+    """40/60 ms voice packets: 2-3 conditionally-coded SILK frames in one
+    payload (RFC 6716 §3.1 config blocks; silk_Decode multi-frame header)."""
+    enc = Encoder(EncoderConfiguration(SamplingRate(rate), Channels.MONO, 24000, application="voice"))
+    mine = Decoder(DecoderConfiguration(SamplingRate(rate), Channels.MONO))
+    ref = oracle.Decoder(rate, 1)
+    frame, nf = rate * ms // 1000, 6
+    t = np.arange(frame * nf) / rate
+    rng = np.random.default_rng(1)
+    phase = np.cumsum(2 * np.pi * (120 + 30 * np.sin(2 * np.pi * 3 * t)) / rate)
+    sig = (0.35 * np.sign(np.sin(phase)) * np.exp(-3 * (t % 0.01) * 100)
+           + 0.02 * rng.standard_normal(frame * nf)).astype(np.float32)
+    outs = []
+    for f in range(nf):
+        pkt = enc.encode(sig[f * frame : (f + 1) * frame])
+        assert pkt[0] & 0x3 == 0 and len(pkt) * 8 <= 24000 * ms // 1000 * 2
+        m = mine.decode_float(pkt, frame)[:, 0]
+        r = np.asarray(ref.decode_float(pkt, frame)).reshape(-1)
+        assert mine.final_range == ref.final_range, f"packet {f}"
+        assert float(np.abs(m - r).max()) < 1e-6
+        outs.append(r)
+    dec = np.concatenate(outs)
+    best = max(
+        10 * np.log10(float(np.dot(sig[: len(sig) - d][frame:], sig[: len(sig) - d][frame:]))
+                      / max(float(np.sum((sig[: len(sig) - d][frame:] - dec[d:][frame:]) ** 2)), 1e-9))
+        for d in range(0, 200))
+    assert best > 8.0, f"multiframe snr {best:.1f}"
