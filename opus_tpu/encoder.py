@@ -36,6 +36,10 @@ class EncoderConfiguration:
     #: Discontinuous transmission: emit 1-byte packets during silence
     #: (after one hangover frame); decoders run PLC/CNG over the gap.
     dtx: bool = False
+    #: Variable bitrate (music mode): per-frame byte budget follows the
+    #: content (transient boost, quiet-frame cut) around `bitrate`, with a
+    #: bit reservoir holding the long-term average at the target.
+    vbr: bool = False
 
 
 class Encoder:
@@ -50,6 +54,7 @@ class Encoder:
         self._rng = 0
         self._dtx_run = 0
         self._last_toc = None
+        self._vbr_reservoir = 0.0
         if self.application == "voice":
             if self.channels != 1:
                 raise BadArguments("voice mode is mono for now")
@@ -131,9 +136,35 @@ class Encoder:
         if n not in _CELT_FB_CONFIG:
             raise BadArguments("frame must be 2.5/5/10/20 ms at 48 kHz")
         toc = (_CELT_FB_CONFIG[n] << 3) | (0x4 if self.channels == 2 else 0)
-        payload = self.celt.encode(pcm, self.frame_bytes(n))
+        nb = self._vbr_bytes(pcm, n) if self.config.vbr else self.frame_bytes(n)
+        payload = self.celt.encode(pcm, nb)
         self._last_toc = toc
         return bytes([toc]) + payload
+
+    def _vbr_bytes(self, pcm: np.ndarray, n: int) -> int:
+        """Per-frame byte budget: transient frames borrow from the
+        reservoir, quiet frames repay it; long-term average stays at
+        `bitrate` (cf. the reference's VBR loop, celt/celt_encoder.c
+        vbr_rate handling — redesigned as a packet-level controller)."""
+        base = self.frame_bytes(n)
+        x = pcm.astype(np.float64)
+        sub = max(n // 8, 1)
+        e = (x[: (n // sub) * sub].reshape(-1, sub, x.shape[1]) ** 2).sum(axis=(1, 2)) + 1e-12
+        rms = float(np.sqrt(np.mean(x**2)))
+        boost = 1.0
+        if len(e) >= 2:
+            floor = np.minimum.accumulate(np.concatenate([[e[0]], e[:-1]]))
+            if float(np.max(e[1:] / np.maximum(floor[1:], 1e-12))) > 6.0:
+                boost = 1.35  # transient: spend extra bits on short blocks
+        if rms < 1e-3:
+            boost *= 0.55  # near-silence
+        elif rms < 1e-2:
+            boost *= 0.8
+        correction = max(-0.3 * base, min(0.3 * base, 0.25 * self._vbr_reservoir))
+        nb = int(round(base * boost + correction))
+        nb = max(max(2, base // 2), min(nb, min(1275, (base * 8) // 5)))
+        self._vbr_reservoir = max(-4.0 * base, min(4.0 * base, self._vbr_reservoir + base - nb))
+        return nb
 
     def _toc_for(self, n: int) -> int:
         if self.application == "voice":

@@ -110,3 +110,29 @@ def test_transient_frames_roundtrip():
     finally:
         CE.CeltEncoder._transient_decision = orig
     assert count["n"] >= 2, "transient analysis never fired on a click train"
+
+
+def test_celt_vbr_rate_control():
+    """VBR: packet sizes follow content (transient boost, quiet cut) while
+    the reservoir holds the long-term average at the configured bitrate."""
+    frame, nf = 960, 40
+    t = np.arange(frame * nf) / 48000
+    rng = np.random.default_rng(2)
+    sig = 0.25 * np.sin(2 * np.pi * 440 * t) + 0.05 * rng.standard_normal(frame * nf)
+    sig[::9600] += 0.7
+    sig = np.where((t % 0.5) > 0.35, sig * 0.02, sig).astype(np.float32)
+    enc = Encoder(EncoderConfiguration(SamplingRate.HZ_48000, Channels.MONO, 64000,
+                                       application="music", vbr=True))
+    mine = Decoder(DecoderConfiguration(SamplingRate.HZ_48000, Channels.MONO))
+    ref = oracle.Decoder(48000, 1)
+    sizes = []
+    for f in range(nf):
+        pkt = enc.encode(sig[f * frame : (f + 1) * frame, None])
+        sizes.append(len(pkt))
+        r = np.asarray(ref.decode_float(pkt, frame)).reshape(-1)
+        m = mine.decode_float(pkt, frame)[:, 0]
+        assert ref.final_range == mine.final_range
+        assert float(np.abs(m - r).max()) < 1e-5
+    kbps = sum(sizes) * 8 / (nf * 0.02) / 1000
+    assert max(sizes) - min(sizes) > 20, "sizes never varied"
+    assert abs(kbps - 64) < 64 * 0.15, f"long-term rate {kbps:.1f} kbps"
