@@ -83,6 +83,55 @@ def main() -> None:
     e2e_rate = audio_sec_per_step / (host_elapsed + p50)
     projected_16core = audio_sec_per_step / (host_elapsed * min(cores, 16) / 16 + p50)
 
+    # --- SILK voice path (extras): native host engine + TPU device plane ---
+    silk_host_rate = silk_device_rate = 0.0
+    try:
+        from opus_tpu.batch.silk_pipeline import BatchedSilkDecoder
+        from opus_tpu.native.frontend import NativeSilkBatch, available as _nat_ok
+
+        senc = oracle.Encoder(16000, 1)
+        senc.ctl(oracle.SET_FORCE_MODE, oracle.MODE_SILK_ONLY)
+        senc.ctl(oracle.SET_BITRATE, 24000)
+        st = np.arange(320 * 4) / 16000.0
+        sphase = np.cumsum(2 * np.pi * (120 + 30 * np.sin(2 * np.pi * 3 * st)) / 16000)
+        ssig = (0.35 * np.sign(np.sin(sphase)) + 0.02 * rng.standard_normal(st.size)).astype(np.float32)
+        spkts = [senc.encode_float(ssig[f * 320 : (f + 1) * 320], 320) for f in range(4)]
+        spays = [p[parse_packet(p).payload_offset :] for p in spkts]
+        if _nat_ok():
+            SB = 256
+            nb = NativeSilkBatch(SB, 16)
+            batch = [spays[i % 4] for i in range(SB)]
+            nb.decode_batch(batch)  # warm
+            t0 = time.perf_counter()
+            for _ in range(5):
+                nb.decode_batch(batch)
+            silk_host_rate = SB * 0.02 / ((time.perf_counter() - t0) / 5)
+            # Device plane: batched float synthesis over native-extracted
+            # parameter planes (gains*exc, LPC, LTP taps, rewhitened head).
+            from opus_tpu.dsp.silk_synthesis import silk_synthesis_step
+            from opus_tpu.native.frontend import NativeSilkFrontEnd
+
+            nf = NativeSilkFrontEnd(16)
+            planes = [nf.decode(p, want_planes=True)[1] for p in spays]
+            SD = 1024
+
+            def stack(key):
+                return jnp.asarray(np.stack([planes[i % 4][key] for i in range(SD)]))
+
+            args = (stack("gexc"), stack("a1"), stack("a2"),
+                    jnp.asarray(np.array([planes[i % 4]["voiced"] for i in range(SD)])),
+                    stack("lags"), stack("b"), stack("head"),
+                    jnp.zeros((SD, 16), jnp.float32))
+            xq, _h = silk_synthesis_step(*args, subfr_len=80, nb_subfr=4, chunk=20)
+            xq.block_until_ready()
+            t0 = time.perf_counter()
+            for _ in range(10):
+                xq, _h = silk_synthesis_step(*args, subfr_len=80, nb_subfr=4, chunk=20)
+                xq.block_until_ready()
+            silk_device_rate = SD * 0.02 / ((time.perf_counter() - t0) / 10)
+    except Exception:
+        pass
+
     result = {
         "metric": "audio_sec_decoded_per_sec_per_chip",
         "value": round(e2e_rate, 1),
@@ -94,6 +143,8 @@ def main() -> None:
         "host_plane_python_audio_sec_per_sec_per_core": round(py_host_rate, 2),
         "host_cores": cores,
         "e2e_projected_16_host_cores": round(projected_16core, 1),
+        "silk_host_native_audio_sec_per_sec_per_core": round(silk_host_rate, 1),
+        "silk_device_plane_audio_sec_per_sec": round(silk_device_rate, 1),
         "realtime_factor_per_chip": round(e2e_rate, 1),
     }
     print(json.dumps(result))
