@@ -56,19 +56,24 @@ class Encoder:
         self._last_toc = None
         self._vbr_reservoir = 0.0
         if self.application == "voice":
-            if self.channels != 1:
-                raise BadArguments("voice mode is mono for now")
             from .silk.encoder import SilkEncoder
             from .silk.resampler import Resampler
 
             self.silk_fs_khz = 16 if self.rate >= 16000 else self.rate // 1000
-            self.silk = SilkEncoder(self.silk_fs_khz)
+            if self.channels == 2:
+                from .silk.stereo_encoder import SilkStereoEncoder
+
+                self.silk = SilkStereoEncoder(self.silk_fs_khz)
+                self._resampler = None if self.rate == self.silk_fs_khz * 1000 else [
+                    Resampler(self.rate, self.silk_fs_khz * 1000) for _ in range(2)]
+            else:
+                self.silk = SilkEncoder(self.silk_fs_khz)
+                self._resampler = (
+                    None
+                    if self.rate == self.silk_fs_khz * 1000
+                    else Resampler(self.rate, self.silk_fs_khz * 1000)
+                )
             self.celt = None
-            self._resampler = (
-                None
-                if self.rate == self.silk_fs_khz * 1000
-                else Resampler(self.rate, self.silk_fs_khz * 1000)
-            )
         elif self.application == "hybrid":
             if self.channels != 1:
                 raise BadArguments("hybrid mode is mono for now")
@@ -179,16 +184,26 @@ class Encoder:
         ms = n * 1000 // self.rate
         if ms not in (20, 40, 60) or n * 1000 != ms * self.rate:
             raise BadArguments("voice mode takes 20/40/60 ms frames")
-        x48 = np.clip(pcm[:, 0] * 32768.0, -32768, 32767).astype(np.int16)
-        if self._resampler is not None:
-            x = np.array(self._resampler.process([int(v) for v in x48]), dtype=np.int16)
-        else:
-            x = x48
         budget = max(10, (self.bitrate * ms) // (1000 * 8))
-        payload = self.silk.encode_packet_cbr(x, budget)
+        if self.channels == 2:
+            chans = []
+            for c in range(2):
+                xc = np.clip(pcm[:, c] * 32768.0, -32768, 32767).astype(np.int16)
+                if self._resampler is not None:
+                    xc = np.array(self._resampler[c].process([int(v) for v in xc]), dtype=np.int16)
+                chans.append(xc)
+            payload = self.silk.encode_packet_cbr(chans[0], chans[1], budget)
+        else:
+            x48 = np.clip(pcm[:, 0] * 32768.0, -32768, 32767).astype(np.int16)
+            if self._resampler is not None:
+                x = np.array(self._resampler.process([int(v) for v in x48]), dtype=np.int16)
+            else:
+                x = x48
+            payload = self.silk.encode_packet_cbr(x, budget)
         self._rng = self.silk.last_range
         # 10/20/40/60 ms share a config block per bandwidth; 20 ms is +1.
-        toc = (_SILK_20MS_CONFIG[self.silk_fs_khz] + (ms // 20 - 1)) << 3
+        toc = ((_SILK_20MS_CONFIG[self.silk_fs_khz] + (ms // 20 - 1)) << 3) | (
+            0x4 if self.channels == 2 else 0)
         self._last_toc = toc
         return bytes([toc]) + payload
 

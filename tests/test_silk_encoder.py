@@ -131,3 +131,51 @@ def test_silk_encoder_multiframe(rate, ms):
                       / max(float(np.sum((sig[: len(sig) - d][frame:] - dec[d:][frame:]) ** 2)), 1e-9))
         for d in range(0, 200))
     assert best > 8.0, f"multiframe snr {best:.1f}"
+
+
+def test_silk_stereo_encoder():
+    """Stereo voice: mid/side with quantised prediction; both decoders must
+    parse identically (final_range) and quality must hold on L/R speech."""
+    rate, frame, nf = 16000, 320, 8
+    enc = Encoder(EncoderConfiguration(SamplingRate(rate), Channels.STEREO, 32000, application="voice"))
+    ref = oracle.Decoder(rate, 2)
+    mine = Decoder(DecoderConfiguration(SamplingRate(rate), Channels.STEREO))
+    t = np.arange(frame * nf) / rate
+    rng = np.random.default_rng(1)
+    phase = np.cumsum(2 * np.pi * (120 + 30 * np.sin(2 * np.pi * 3 * t)) / rate)
+    s = 0.35 * np.sign(np.sin(phase)) * np.exp(-3 * (t % 0.01) * 100) + 0.02 * rng.standard_normal(frame * nf)
+    pcm = np.stack([s, np.roll(s, 17) * 0.8], -1).astype(np.float32)
+    outs = []
+    for f in range(nf):
+        pkt = enc.encode(pcm[f * frame : (f + 1) * frame])
+        assert pkt[0] & 0x4
+        r = np.asarray(ref.decode_float(pkt, frame)).reshape(frame, 2)
+        m = mine.decode_float(pkt, frame)
+        assert ref.final_range == mine.final_range, f
+        assert float(np.abs(m - r).max()) < 1e-6
+        outs.append(r)
+    out = np.concatenate(outs)
+    best = max(
+        10 * np.log10(float(np.dot(a, a)) / max(float(np.dot(a - b, b * 0 + a - b)), 1e-9))
+        for d in range(40)
+        for a, b in [(pcm[: len(pcm) - d].reshape(-1)[frame * 2 :], out[d:].reshape(-1)[frame * 2 :])]
+    )
+    assert best > 9.0, f"stereo voice snr {best:.1f}"
+
+
+def test_silk_stereo_encoder_multiframe_nb():
+    """NB 40 ms stereo: multi-frame + stereo header interleaving."""
+    enc = Encoder(EncoderConfiguration(SamplingRate.HZ_8000, Channels.STEREO, 24000, application="voice"))
+    ref = oracle.Decoder(8000, 2)
+    mine = Decoder(DecoderConfiguration(SamplingRate.HZ_8000, Channels.STEREO))
+    frame, nf = 320, 5
+    t = np.arange(frame * nf) / 8000
+    rng = np.random.default_rng(4)
+    s = 0.3 * np.sin(2 * np.pi * 210 * t) + 0.04 * rng.standard_normal(frame * nf)
+    pcm = np.stack([s, np.roll(s, 5) * 0.7], -1).astype(np.float32)
+    for f in range(nf):
+        pkt = enc.encode(pcm[f * frame : (f + 1) * frame])
+        r = np.asarray(ref.decode_float(pkt, frame)).reshape(frame, 2)
+        m = mine.decode_float(pkt, frame)
+        assert ref.final_range == mine.final_range, f
+        assert float(np.abs(m - r).max()) < 1e-6
