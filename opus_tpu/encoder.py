@@ -75,23 +75,27 @@ class Encoder:
                 )
             self.celt = None
         elif self.application == "hybrid":
-            if self.channels != 1:
-                raise BadArguments("hybrid mode is mono for now")
             if self.rate != 48000:
                 raise BadArguments("hybrid mode takes 48 kHz input")
             from .silk.encoder import SilkEncoder
             from .silk.resampler import Resampler
 
             self.silk_fs_khz = 16
-            self.silk = SilkEncoder(16)
-            self.celt = CeltEncoder(1)
+            if self.channels == 2:
+                from .silk.stereo_encoder import SilkStereoEncoder
+
+                self.silk = SilkStereoEncoder(16)
+                self._resampler = [Resampler(48000, 16000) for _ in range(2)]
+            else:
+                self.silk = SilkEncoder(16)
+                self._resampler = Resampler(48000, 16000)
+            self.celt = CeltEncoder(self.channels)
             self.celt.start_band = 17
             self.celt.end_band = 19  # SWB
-            self._resampler = Resampler(48000, 16000)
             # Align the band paths: CELT's MDCT overlap costs ~120 samples
             # @48 kHz, the SILK path ~54 (13 @16 kHz decoder delay + the
             # 48->16 resampler); delay the SILK input by the difference.
-            self._silk_delay = np.zeros(66, dtype=np.float32)
+            self._silk_delay = np.zeros((66, self.channels), dtype=np.float32)
         else:
             if self.rate != 48000:
                 raise BadArguments("music mode supports 48 kHz input for now")
@@ -172,11 +176,13 @@ class Encoder:
         return nb
 
     def _toc_for(self, n: int) -> int:
+        stereo = 0x4 if self.channels == 2 else 0
         if self.application == "voice":
-            return _SILK_20MS_CONFIG[self.silk_fs_khz] << 3
+            ms = max(20, min(60, n * 1000 // self.rate))
+            return ((_SILK_20MS_CONFIG[self.silk_fs_khz] + (ms // 20 - 1)) << 3) | stereo
         if self.application == "hybrid":
-            return _HYBRID_20MS_SWB << 3
-        return (_CELT_FB_CONFIG.get(n, 31) << 3) | (0x4 if self.channels == 2 else 0)
+            return (_HYBRID_20MS_SWB << 3) | stereo
+        return (_CELT_FB_CONFIG.get(n, 31) << 3) | stereo
 
     def _encode_voice(self, pcm: np.ndarray, n: int) -> bytes:
         from .rc.encoder import RangeEncoder
@@ -214,28 +220,33 @@ class Encoder:
 
         if n != 960:
             raise BadArguments("hybrid mode takes 20 ms frames")
-        nb_bytes = max(25, min(1275, (self.bitrate * 20) // (1000 * 8)))
-        silk_in = np.concatenate([self._silk_delay, pcm[:, 0]])
+        nb_bytes = max(25 * self.channels, min(1275, (self.bitrate * 20) // (1000 * 8)))
+        silk_in = np.concatenate([self._silk_delay, pcm])
         self._silk_delay = silk_in[n:].astype(np.float32)
         x48 = np.clip(silk_in[:n] * 32768.0, -32768, 32767).astype(np.int16)
-        x16 = np.array(self._resampler.process([int(v) for v in x48]), dtype=np.int16)
+        if self.channels == 2:
+            x16 = [np.array(self._resampler[c].process([int(v) for v in x48[:, c]]),
+                            dtype=np.int16) for c in range(2)]
+        else:
+            x16 = np.array(self._resampler.process([int(v) for v in x48[:, 0]]), dtype=np.int16)
 
         # SILK should take roughly 60% of the budget; retry coarser if over.
         headroom = 1.2
-        saved = (self.silk.gain_state, self.silk.x_hist.copy(), self.silk.xq_hist.copy(),
-                 self.silk.xq_buf.copy())
+        saved = self.silk.snapshot()
         celt_state = (self.celt.in_mem.copy(), self.celt.preemph_mem.copy(),
                       self.celt.old_band_e.copy(), self.celt.rng, self.celt.frame_count)
         for _ in range(5):
-            self.silk.gain_state, self.silk.x_hist, self.silk.xq_hist, self.silk.xq_buf = (
-                saved[0], saved[1].copy(), saved[2].copy(), saved[3].copy())
+            self.silk.restore(saved)
             (self.celt.in_mem, self.celt.preemph_mem, self.celt.old_band_e,
              self.celt.rng, self.celt.frame_count) = (
                 celt_state[0].copy(), celt_state[1].copy(), celt_state[2].copy(),
                 celt_state[3], celt_state[4])
             buf = bytearray(nb_bytes)
             enc = RangeEncoder(buf)
-            self.silk.encode_frame(enc, x16, headroom=headroom)
+            if self.channels == 2:
+                self.silk.encode_frame_into(enc, x16[0], x16[1], headroom)
+            else:
+                self.silk.encode_frame(enc, x16, headroom=headroom)
             silk_bits = enc.tell()
             if silk_bits > int(nb_bytes * 8 * 0.72) and headroom > 0.4:
                 headroom = max(0.38, headroom * 0.6)
@@ -248,6 +259,6 @@ class Encoder:
         self.celt.encode(pcm, nb_bytes, enc=enc)
         enc.done()
         self._rng = enc.rng & 0xFFFFFFFF
-        toc = _HYBRID_20MS_SWB << 3
+        toc = (_HYBRID_20MS_SWB << 3) | (0x4 if self.channels == 2 else 0)
         self._last_toc = toc
         return bytes([toc]) + bytes(buf)

@@ -359,6 +359,15 @@ class SilkEncoder:
             e_tot += float(errs[r])
         return e_tot, idx
 
+    def snapshot(self):
+        return (self.gain_state, self.x_hist.copy(), self.xq_hist.copy(), self.xq_buf.copy(),
+                self.ec_prev_signal_type, self.ec_prev_lag_index)
+
+    def restore(self, s) -> None:
+        (self.gain_state, self.x_hist, self.xq_hist, self.xq_buf,
+         self.ec_prev_signal_type, self.ec_prev_lag_index) = (
+            s[0], s[1].copy(), s[2].copy(), s[3].copy(), s[4], s[5])
+
     def encode_packet_cbr(self, x: np.ndarray, budget_bytes: int) -> bytes:
         """Encode a 20/40/60 ms block as one SILK payload (1-3 frames).
 

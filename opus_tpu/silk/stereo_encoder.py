@@ -144,6 +144,30 @@ class SilkStereoEncoder:
             headroom = max(0.35, headroom / (1.15 * max(1.0, len(payload) / max(budget_bytes, 1)) ** 0.5))
         return payload
 
+    def encode_frame_into(self, enc, left: np.ndarray, right: np.ndarray,
+                          headroom: float) -> None:
+        """Write one 20 ms stereo SILK frame (with header flags) into a
+        shared RangeEncoder — the hybrid-mode low band."""
+        lf = left.astype(np.int64)
+        rf = right.astype(np.int64)
+        mid = np.array([rshift_round(int(a + b), 1) for a, b in zip(lf, rf)], np.int64)
+        side = np.array([sat16(rshift_round(int(a - b), 1)) for a, b in zip(lf, rf)], np.int64)
+        for _ch in range(2):
+            enc.encode_bit_logp(1, 1)  # VAD
+            enc.encode_bit_logp(0, 1)  # LBRR
+        self._encode_stereo_frame(enc, mid, side, headroom, cond=False)
+
+    def snapshot(self):
+        return (self._snapshot(self.mid), self._snapshot(self.side),
+                list(self.pred_prev_q13), list(self.s_mid), self.mid_hist)
+
+    def restore(self, s) -> None:
+        self._restore(self.mid, s[0])
+        self._restore(self.side, s[1])
+        self.pred_prev_q13 = list(s[2])
+        self.s_mid = list(s[3])
+        self.mid_hist = s[4]
+
     def _encode_stereo_frame(self, enc, mid, side, headroom, cond):
         # Stereo prediction: fit on the originals, quantise, encode the
         # joint index then the per-channel residual indices

@@ -179,3 +179,33 @@ def test_silk_stereo_encoder_multiframe_nb():
         m = mine.decode_float(pkt, frame)
         assert ref.final_range == mine.final_range, f
         assert float(np.abs(m - r).max()) < 1e-6
+
+
+def test_hybrid_stereo_encoder():
+    """Hybrid stereo: stereo SILK low band + stereo CELT high band in one
+    shared range coder (config 13, stereo ToC bit)."""
+    frame, nf = 960, 8
+    t = np.arange(frame * nf) / 48000
+    rng = np.random.default_rng(7)
+    phase = np.cumsum(2 * np.pi * (120 + 30 * np.sin(2 * np.pi * 3 * t)) / 48000)
+    s = (0.3 * np.sign(np.sin(phase)) * np.exp(-3 * (t % 0.01) * 100)
+         + 0.06 * np.sin(2 * np.pi * 9500 * t) + 0.02 * rng.standard_normal(frame * nf))
+    pcm = np.stack([s, np.roll(s, 23) * 0.8], -1).astype(np.float32)
+    enc = Encoder(EncoderConfiguration(SamplingRate.HZ_48000, Channels.STEREO, 80000, application="hybrid"))
+    ref = oracle.Decoder(48000, 2)
+    mine = Decoder(DecoderConfiguration(SamplingRate.HZ_48000, Channels.STEREO))
+    outs = []
+    for f in range(nf):
+        pkt = enc.encode(pcm[f * frame : (f + 1) * frame])
+        assert (pkt[0] >> 3) == 13 and (pkt[0] & 0x4)
+        r = np.asarray(ref.decode_float(pkt, frame)).reshape(frame, 2)
+        m = mine.decode_float(pkt, frame)
+        assert ref.final_range == mine.final_range, f
+        assert float(np.abs(m - r).max()) < 2e-5
+        outs.append(r)
+    out = np.concatenate(outs)
+    d = 120
+    a = pcm[: len(pcm) - d].reshape(-1)[frame * 2 :]
+    b = out[d:].reshape(-1)[frame * 2 :]
+    snr = 10 * np.log10(float(np.dot(a, a)) / max(float(np.dot(a - b, a - b)), 1e-9))
+    assert snr > 8.0, f"hybrid stereo snr {snr:.1f}"
