@@ -168,7 +168,12 @@ class CeltEncoder:
             coded_bands, self.rng, complexity=0,
         )
         if anti_collapse_rsv > 0:
-            enc.encode_bits(0, 1)  # anti-collapse off (decoder skips fill)
+            # Enable collapse fill on transient frames: the decoder then
+            # renormalises any short-MDCT band that received no pulses with
+            # noise at the previous frame's energy (celt/bands anti_collapse)
+            # instead of leaving a spectral hole.  Encoder state is open-loop
+            # so the injected noise never feeds back here.
+            enc.encode_bits(1, 1)
 
         quant_energy_finalise(
             enc, self.old_band_e, error, fine_quant, fine_priority,
