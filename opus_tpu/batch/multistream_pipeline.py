@@ -111,18 +111,18 @@ class BatchedMultistreamDecoder:
             lens = np.array([len(p) for p in payloads], dtype=np.int32)
             sch = np.array(schs, dtype=np.int32)
             n48 = frame_size * core.downsample
-            x = np.zeros((B, 2 * 960), dtype=np.float64)
+            x = np.zeros((B, 2 * 960), dtype=np.float32)
             ble = np.zeros((B, 2, 21), dtype=np.float32)
             meta = np.zeros((B, 16), dtype=np.int32)
-            gains = np.zeros((B, 3), dtype=np.float64)
-            rc = nat.lib.celt_fe_decode_batch(
+            gains = np.zeros((B, 3), dtype=np.float32)
+            rc = nat.lib.celt_fe_decode_batch_f32(
                 nat.handles, blob,
                 lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), B, n48,
                 sch.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), x.shape[1],
+                x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), x.shape[1],
                 ble.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                 meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                gains.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                gains.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             )
             if rc != B:
                 raise ValueError(f"multistream batch decode failed at {-rc-1}")
@@ -147,7 +147,7 @@ class BatchedMultistreamDecoder:
             front.stream_channels = sch
         return core.synthesize(core.extract(payloads, frame_size), frame_size)
 
-    def _stack_from_native(self, x, ble, meta, gains64):
+    def _stack_from_native(self, x, ble, meta, gains):
         from ..celt import modes
 
         lm = int(meta[0, 2])
@@ -163,8 +163,8 @@ class BatchedMultistreamDecoder:
         periods = meta[:, 6:9].copy()
         periods[:, 2] = np.maximum(periods[:, 2], 0)
         return (
-            (xq.astype(np.float32), loge.astype(np.float32), bound,
-             periods.astype(np.int32), gains64.astype(np.float32),
+            (np.ascontiguousarray(xq), loge, bound,
+             periods.astype(np.int32), gains,
              meta[:, 9:12].astype(np.int32)),
             lm,
             meta[:, 1] != 0,

@@ -172,7 +172,7 @@ class BatchedCeltDecoder:
         output layout.  Vectorised numpy on the batch axis.
         """
         assert self.use_native
-        x, ble, meta, gains64 = self.native.decode_batch(packets, frame_size)
+        x, ble, meta, gains = self.native.decode_batch_f32(packets, frame_size)
         lm = int(meta[0, 2])
         if not (meta[:, 2] == lm).all():
             raise ValueError("mixed frame sizes in one step not supported")
@@ -195,11 +195,11 @@ class BatchedCeltDecoder:
         periods[:, 2] = np.maximum(periods[:, 2], 0)
         tapsets = meta[:, 9:12].astype(np.int32)
         arrays = (
-            xq.astype(np.float32),
-            loge.astype(np.float32),
+            np.ascontiguousarray(xq),
+            np.ascontiguousarray(loge),
             bound,
             periods.astype(np.int32),
-            gains64.astype(np.float32),
+            gains,
             tapsets,
         )
         short_mask = meta[:, 1] != 0

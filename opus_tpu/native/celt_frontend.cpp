@@ -95,36 +95,59 @@ struct URows {
 
 static URows g_urows;  // warmed read-only before decode (thread-safe after warm)
 
+// Flat saturating-uint32 copy of the U triangle: g_U[n*U_STRIDE+k] =
+// min(U(n,k), UINT32_MAX) for n in [0,256], k in [0,193].  cwrsi() only ever
+// compares U values against a 32-bit index, so saturation preserves every
+// comparison; the flat row layout turns the hot per-coefficient scans into
+// linear walks of one cached row.
+constexpr int U_NMAX = 256;
+constexpr int U_KMAX = 193;
+constexpr int U_STRIDE = U_KMAX + 1;
+static std::vector<uint32_t> g_uflat;
+
+static inline uint32_t u32sat(uint64_t v) {
+    return v > 0xFFFFFFFFull ? 0xFFFFFFFFu : (uint32_t)v;
+}
+
 static void warm_urows() {
     // Precompute every row reachable by the decoder: leaf sizes after the
     // split rule stay <= 176 dims and <= 128+1 pulses; 256/192 is safely
     // above.  After this, concurrent readers never mutate the table.
     static bool warmed = false;
     if (warmed) return;
-    for (int n = 0; n <= 256; n++) g_urows.row(n, 192);
+    for (int n = 0; n <= U_NMAX; n++) g_urows.row(n, U_KMAX);
+    g_uflat.assign((U_NMAX + 1) * U_STRIDE, 0);
+    for (int n = 0; n <= U_NMAX; n++) {
+        const auto& r = g_urows.rows[n];
+        for (int k = 0; k <= U_KMAX; k++) g_uflat[n * U_STRIDE + k] = u32sat(r[k]);
+    }
     warmed = true;
 }
 
 static int get_pulses(int i) { return i < 8 ? i : (8 + (i & 7)) << ((i >> 3) - 1); }
 
-// Index -> codeword (cwrsi).  y must hold n entries.
+// Index -> codeword (cwrsi).  y must hold n entries.  U(a,b) with a>=b is
+// g_uflat row a at column b; both scan branches below walk the fixed row
+// `n`, so one row pointer per outer iteration keeps the scans in cache.
 static void cwrsi(int n, int k, uint32_t i, int32_t* y) {
     int out = 0;
     while (n > 2) {
+        const uint32_t* row = &g_uflat[n * U_STRIDE];
         uint32_t p;
         int s, val, k0;
         if (k >= n) {
-            p = (uint32_t)g_urows.u(n, k + 1);
+            // U(n, k+1) with k+1 possibly > n: pick the larger as the row.
+            p = (k + 1 >= n) ? g_uflat[(k + 1) * U_STRIDE + n] : row[k + 1];
             s = i >= p;
             if (s) i -= p;
             k0 = k;
-            uint32_t q = (uint32_t)g_urows.u(n, n);
+            uint32_t q = row[n];
             if (q > i) {
                 k = n;
-                do { k--; p = (uint32_t)g_urows.u(n, k); } while (p > i);
+                do { k--; p = row[k]; } while (p > i);
             } else {
                 for (;;) {
-                    p = (uint32_t)g_urows.u(n, k);
+                    p = (k >= n) ? g_uflat[k * U_STRIDE + n] : row[k];
                     if (p <= i) break;
                     k--;
                 }
@@ -133,8 +156,8 @@ static void cwrsi(int n, int k, uint32_t i, int32_t* y) {
             val = k0 - k;
             y[out] = s ? -val : val;
         } else {
-            p = (uint32_t)g_urows.u(k, n);
-            uint32_t q = (uint32_t)g_urows.u(k + 1, n);
+            p = row[k];
+            uint32_t q = row[k + 1];
             if (p <= i && i < q) {
                 i -= p;
                 y[out] = 0;
@@ -142,7 +165,7 @@ static void cwrsi(int n, int k, uint32_t i, int32_t* y) {
                 s = i >= q;
                 if (s) i -= q;
                 k0 = k;
-                do { k--; p = (uint32_t)g_urows.u(k, n); } while (p > i);
+                do { k--; p = row[k]; } while (p > i);
                 i -= p;
                 val = k0 - k;
                 y[out] = s ? -val : val;
@@ -1542,6 +1565,40 @@ int celt_fe_decode_batch(void** handles, const uint8_t* data, const int32_t* len
         if (rc != 0) {
 #pragma omp critical
             bad = i + 1;
+        }
+    }
+    if (bad) return -bad;
+    return n_packets;
+}
+
+// f32 output variant for the device-plane feed: decodes into a per-thread
+// double scratch (stays hot in cache) and converts once into the big f32
+// batch array — half the memory traffic of the double variant at B=1024.
+int celt_fe_decode_batch_f32(void** handles, const uint8_t* data, const int32_t* lens,
+                             int n_packets, int frame_size48, const int32_t* stream_channels,
+                             float* x_out, int64_t x_stride,
+                             float* ble_out, int32_t* meta_out, float* gains_out) {
+    std::vector<int64_t> offs(n_packets + 1, 0);
+    for (int i = 0; i < n_packets; i++) offs[i + 1] = offs[i] + lens[i];
+    int bad = 0;
+#pragma omp parallel
+    {
+        std::vector<double> scratch(2 * 960);
+        double g[3];
+#pragma omp for schedule(dynamic, 8)
+        for (int i = 0; i < n_packets; i++) {
+            FrontEnd* st = (FrontEnd*)handles[i];
+            int rc = decode_frame(*st, data + offs[i], lens[i], frame_size48,
+                                  stream_channels[i], scratch.data(),
+                                  ble_out + i * 2 * NB_E_BANDS, meta_out + i * 16, g);
+            if (rc != 0) {
+#pragma omp critical
+                bad = i + 1;
+            } else {
+                float* dst = x_out + (int64_t)i * x_stride;
+                for (int64_t j = 0; j < x_stride; j++) dst[j] = (float)scratch[j];
+                for (int j = 0; j < 3; j++) gains_out[i * 3 + j] = (float)g[j];
+            }
         }
     }
     if (bad) return -bad;

@@ -139,6 +139,15 @@ class NativeBatchFrontEnd:
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_double),
         ]
+        self.lib.celt_fe_decode_batch_f32.restype = ctypes.c_int
+        self.lib.celt_fe_decode_batch_f32.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p), ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float),
+        ]
         self.batch = batch
         self.channels = channels
         self.downsample = downsample
@@ -180,6 +189,31 @@ class NativeBatchFrontEnd:
             ble.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             gains.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        )
+        if rc != B:
+            raise ValueError(f"native batch decode failed at stream {-rc - 1}")
+        return x, ble, meta, gains
+
+    def decode_batch_f32(self, packets: list, frame_size: int):
+        """Like decode_batch but the band-shape and gain planes come back
+        float32 directly (device-plane feed; half the memory traffic)."""
+        B = self.batch
+        blob = b"".join(packets)
+        lens = np.array([len(p) for p in packets], dtype=np.int32)
+        sch = np.array([self.channels] * B, dtype=np.int32)
+        n48 = frame_size * self.downsample
+        x = np.zeros((B, 2 * 960), dtype=np.float32)
+        ble = np.zeros((B, 2, self.NB), dtype=np.float32)
+        meta = np.zeros((B, 16), dtype=np.int32)
+        gains = np.zeros((B, 3), dtype=np.float32)
+        rc = self.lib.celt_fe_decode_batch_f32(
+            self.handles, blob,
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), B, n48,
+            sch.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), x.shape[1],
+            ble.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            gains.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         )
         if rc != B:
             raise ValueError(f"native batch decode failed at stream {-rc - 1}")
