@@ -576,6 +576,32 @@ constexpr double EPSILON = 1e-15;
 
 static void exp_rotation1(double* x, int len, int stride, double c, double s) {
     double ms = -s;
+    if (stride == 1) {
+        // Forward pass: iteration i+1's x1 is the value just written to
+        // x[i+1] — carry it in a register (same FP ops, one load less,
+        // shorter address chain on the latency-bound recurrence).
+        double x1 = x[0];
+        for (int i = 0; i < len - 1; i++) {
+            double x2 = x[i + 1];
+            double nx2 = c * x2 + s * x1;
+            x[i] = c * x1 + ms * x2;
+            x[i + 1] = nx2;
+            x1 = nx2;
+        }
+        // Backward pass: iteration i-1's x2 is the value just written to
+        // x[i] — carry it the same way.
+        if (len >= 3) {
+            double x2 = x[len - 2];
+            for (int i = len - 3; i >= 0; i--) {
+                double x1b = x[i];
+                x[i + 1] = c * x2 + s * x1b;
+                double nx1 = c * x1b + ms * x2;
+                x[i] = nx1;
+                x2 = nx1;
+            }
+        }
+        return;
+    }
     for (int i = 0; i < len - stride; i++) {
         double x1 = x[i], x2 = x[i + stride];
         x[i + stride] = c * x2 + s * x1;
