@@ -128,19 +128,38 @@ class CeltEncoder:
             enc.encode_icdf(SPREAD_NORMAL, SPREAD_ICDF, 5)
 
         cap = init_caps(lm, c_)
-        # Dynalloc: no boosts — one zero flag per band where affordable.
+        # Dynalloc: boost bands whose energy pops far above their smoothed
+        # neighbourhood (tonal peaks leak into neighbours unless they get
+        # extra shape bits).  Emission mirrors the decoder's budget loop
+        # exactly (decoder.py dynalloc: adaptive logp, quanta, caps).
+        want = self._dynalloc_analysis(band_log_e, start, eff_end, lm, c_, cap)
         dynalloc_logp = 6
         total_bits_frac = total_bits << BITRES
         tell_frac = enc.tell_frac()
         offsets = [0] * modes.NB_E_BANDS
         for i in range(start, end):
-            if tell_frac + (dynalloc_logp << BITRES) < total_bits_frac:
-                enc.encode_bit_logp(0, dynalloc_logp)
+            width = c_ * int(modes.E_BANDS[i + 1] - modes.E_BANDS[i]) << lm
+            quanta = min(width << BITRES, max(6 << BITRES, width))
+            dynalloc_loop_logp = dynalloc_logp
+            boost = 0
+            while tell_frac + (dynalloc_loop_logp << BITRES) < total_bits_frac and boost < int(cap[i]):
+                flag = 1 if boost + quanta <= want[i] else 0
+                enc.encode_bit_logp(flag, dynalloc_loop_logp)
                 tell_frac = enc.tell_frac()
+                if not flag:
+                    break
+                boost += quanta
+                total_bits_frac -= quanta
+                dynalloc_loop_logp = 1
+            offsets[i] = boost
+            if boost > 0:
+                dynalloc_logp = max(2, dynalloc_logp - 1)
 
-        alloc_trim = 5
+        alloc_trim = self._trim_decision(band_log_e, start, eff_end, c_)
         if tell_frac + (6 << BITRES) <= total_bits_frac:
             enc.encode_icdf(alloc_trim, TRIM_ICDF, 7)
+        else:
+            alloc_trim = 5
 
         bits = (nb_bytes * 8 << BITRES) - enc.tell_frac() - 1
         anti_collapse_rsv = (
@@ -193,6 +212,41 @@ class CeltEncoder:
         self.rng = enc.rng
         self.frame_count += 1
         return bytes(buf)
+
+    def _dynalloc_analysis(self, band_log_e, start, end, lm, c_, cap):
+        """Per-band boost targets (1/8-bit units): bands whose log-energy
+        exceeds a +/-2-band median neighbourhood by > 2 log2 get one quantum
+        per extra log2, up to 3 quanta (cf. the reference decode scope's
+        dynalloc; encoder analysis is ours)."""
+        want = [0] * modes.NB_E_BANDS
+        if end - start < 3:
+            return want
+        e = np.max(band_log_e[:c_, start:end], axis=0)
+        for i in range(start, end):
+            lo = max(start, i - 2) - start
+            hi = min(end, i + 3) - start
+            neigh = np.median(np.concatenate([e[lo : i - start], e[i - start + 1 : hi]]))
+            excess = float(e[i - start] - neigh) - 2.5
+            if excess <= 0:
+                continue
+            width = c_ * int(modes.E_BANDS[i + 1] - modes.E_BANDS[i]) << lm
+            quanta = min(width << BITRES, max(6 << BITRES, width))
+            k = min(2, 1 + int(excess))
+            want[i] = min(int(cap[i]), k * quanta)
+        return want
+
+    def _trim_decision(self, band_log_e, start, end, c_) -> int:
+        """Allocation trim from the spectral tilt: HF-tilted frames get a
+        lower trim (more bits to high bands), LF-tilted a higher one."""
+        if end - start < 2:
+            return 5
+        diff = 0.0
+        for c in range(c_):
+            e = band_log_e[c, start:end]
+            n = end - start
+            diff += float(np.dot(e - e.mean(), 2.0 * np.arange(n) - n + 1))
+        tilt = diff / (c_ * (end - start) * (end - start))
+        return max(0, min(10, int(round(5 - 0.7 * tilt))))
 
     def _transient_decision(self, pre: np.ndarray, m: int) -> bool:
         """Energy-ratio transient heuristic: short blocks when one 2.5 ms
