@@ -188,8 +188,8 @@ class Encoder:
         from .rc.encoder import RangeEncoder
 
         ms = n * 1000 // self.rate
-        if ms not in (20, 40, 60) or n * 1000 != ms * self.rate:
-            raise BadArguments("voice mode takes 20/40/60 ms frames")
+        if ms not in (10, 20, 40, 60) or n * 1000 != ms * self.rate:
+            raise BadArguments("voice mode takes 10/20/40/60 ms frames")
         budget = max(10, (self.bitrate * ms) // (1000 * 8))
         if self.channels == 2:
             chans = []
@@ -208,7 +208,8 @@ class Encoder:
             payload = self.silk.encode_packet_cbr(x, budget)
         self._rng = self.silk.last_range
         # 10/20/40/60 ms share a config block per bandwidth; 20 ms is +1.
-        toc = ((_SILK_20MS_CONFIG[self.silk_fs_khz] + (ms // 20 - 1)) << 3) | (
+        off = {10: -1, 20: 0, 40: 1, 60: 2}[ms]
+        toc = ((_SILK_20MS_CONFIG[self.silk_fs_khz] + off) << 3) | (
             0x4 if self.channels == 2 else 0)
         self._last_toc = toc
         return bytes([toc]) + payload
@@ -218,9 +219,10 @@ class Encoder:
         (RFC 6716 hybrid framing, SWB 20 ms mono, CBR)."""
         from .rc.encoder import RangeEncoder
 
-        if n != 960:
-            raise BadArguments("hybrid mode takes 20 ms frames")
-        nb_bytes = max(25 * self.channels, min(1275, (self.bitrate * 20) // (1000 * 8)))
+        if n not in (480, 960):
+            raise BadArguments("hybrid mode takes 10/20 ms frames")
+        ms = n // 48
+        nb_bytes = max(25 * self.channels, min(1275, (self.bitrate * ms) // (1000 * 8)))
         silk_in = np.concatenate([self._silk_delay, pcm])
         self._silk_delay = silk_in[n:].astype(np.float32)
         x48 = np.clip(silk_in[:n] * 32768.0, -32768, 32767).astype(np.int16)
@@ -259,6 +261,7 @@ class Encoder:
         self.celt.encode(pcm, nb_bytes, enc=enc)
         enc.done()
         self._rng = enc.rng & 0xFFFFFFFF
-        toc = (_HYBRID_20MS_SWB << 3) | (0x4 if self.channels == 2 else 0)
+        toc = ((_HYBRID_20MS_SWB - (1 if ms == 10 else 0)) << 3) | (
+            0x4 if self.channels == 2 else 0)
         self._last_toc = toc
         return bytes([toc]) + bytes(buf)

@@ -312,6 +312,10 @@ class SilkEncoder:
         # ec_prev_signal_type / ec_prev_lag_index replay.
         self.ec_prev_signal_type = 0
         self.ec_prev_lag_index = 0
+        # Open-loop LPC residual history (LTP search context: without it a
+        # 10 ms frame can never see its own pitch period and the voiced
+        # gate would never pass).
+        self.res_hist = np.zeros(18 * fs_khz + 3)
 
     def encode_frame_cbr(self, x: np.ndarray, budget_bytes: int) -> bytes:
         """Encode one 20 ms frame, iterating the gain headroom until the
@@ -339,13 +343,14 @@ class SilkEncoder:
 
     def _ltp_search(self, res: np.ndarray, sub_lags, vq: np.ndarray):
         """Per subframe, pick the VQ row minimising LTP residual energy over
-        the open-loop LPC residual; returns (total_energy, row_indices)."""
+        the open-loop LPC residual (with cross-frame residual history);
+        returns (total_energy, row_indices)."""
         sub = self.subfr_length
         h0 = 18 * self.fs_khz + 3
-        hist = np.concatenate([np.zeros(h0), res])
-        idx = np.zeros(4, np.int32)
+        hist = np.concatenate([self.res_hist, res])
+        idx = np.zeros(len(sub_lags), np.int32)
         e_tot = 0.0
-        for k in range(4):
+        for k in range(len(sub_lags)):
             L = sub_lags[k]
             tgt = res[k * sub : (k + 1) * sub]
             cols = np.stack([
@@ -361,12 +366,13 @@ class SilkEncoder:
 
     def snapshot(self):
         return (self.gain_state, self.x_hist.copy(), self.xq_hist.copy(), self.xq_buf.copy(),
-                self.ec_prev_signal_type, self.ec_prev_lag_index)
+                self.ec_prev_signal_type, self.ec_prev_lag_index, self.res_hist.copy())
 
     def restore(self, s) -> None:
         (self.gain_state, self.x_hist, self.xq_hist, self.xq_buf,
          self.ec_prev_signal_type, self.ec_prev_lag_index) = (
             s[0], s[1].copy(), s[2].copy(), s[3].copy(), s[4], s[5])
+        self.res_hist = s[6].copy()
 
     def encode_packet_cbr(self, x: np.ndarray, budget_bytes: int) -> bytes:
         """Encode a 20/40/60 ms block as one SILK payload (1-3 frames).
@@ -378,8 +384,11 @@ class SilkEncoder:
         """
         from ..rc.encoder import RangeEncoder
 
-        nf = len(x) // self.frame_length
-        assert nf * self.frame_length == len(x) and 1 <= nf <= 3
+        if len(x) == self.frame_length // 2:
+            nf, flen = 1, self.frame_length // 2  # one 10 ms frame
+        else:
+            nf, flen = len(x) // self.frame_length, self.frame_length
+            assert nf * self.frame_length == len(x) and 1 <= nf <= 3
         headroom = 1.8
         saved = (self.gain_state, self.x_hist.copy(), self.xq_hist.copy(), self.xq_buf.copy(),
                  self.ec_prev_signal_type, self.ec_prev_lag_index)
@@ -394,7 +403,7 @@ class SilkEncoder:
                 enc.encode_bit_logp(1, 1)  # VAD
             enc.encode_bit_logp(0, 1)  # LBRR
             for f in range(nf):
-                self.encode_frame(enc, x[f * self.frame_length : (f + 1) * self.frame_length],
+                self.encode_frame(enc, x[f * flen : (f + 1) * flen],
                                   headroom=headroom, write_header=False, cond=f > 0)
             nbytes = min((enc.tell() + 7) >> 3, 1275)
             enc.shrink(nbytes)
@@ -408,7 +417,9 @@ class SilkEncoder:
 
     def encode_frame(self, enc, x: np.ndarray, headroom: float = 1.8,
                      write_header: bool = True, cond: bool = False) -> None:
-        assert len(x) == self.frame_length
+        flen = len(x)
+        assert flen in (self.frame_length, self.frame_length // 2)
+        nsf = 4 if flen == self.frame_length else 2  # 20 ms / 10 ms frame
         xf = x.astype(np.float64)
         order = self.lpc_order
         sub = self.subfr_length
@@ -423,8 +434,8 @@ class SilkEncoder:
         af = np.array(a_q12, dtype=np.float64) / 4096.0
 
         ext = np.concatenate([self.x_hist, xf])
-        res = np.empty(self.frame_length)
-        for i in range(self.frame_length):
+        res = np.empty(flen)
+        for i in range(flen):
             pred = float(np.dot(af, ext[order + i - 1 :: -1][:order]))
             res[i] = xf[i] - pred
         self.x_hist = xf[-order:]
@@ -433,27 +444,31 @@ class SilkEncoder:
         signal_type, quant_offset_type = 1, 0
         contour = 0
         per_index = 1
-        b_taps = np.zeros((4, 5), np.float64)
-        ltp_idx = np.zeros(4, np.int32)
-        sub_lags = [0] * 4
+        b_taps = np.zeros((nsf, 5), np.float64)
+        ltp_idx = np.zeros(nsf, np.int32)
+        sub_lags = [0] * nsf
         ltp_scale = 0.0
         e_plain = float(np.dot(res, res)) + 1e-9
         if lag is not None:
             min_lag = 2 * self.fs_khz
             lag = max(min_lag + 2, min(18 * self.fs_khz, lag))
             vq = np.array(T.LTP_GAIN_VQ_1, np.float64) * (1.0 / 128.0)
-            cb_lags = T.CB_LAGS_STAGE3 if self.fs_khz != 8 else T.CB_LAGS_STAGE2
+            if nsf == 4:
+                cb_lags = T.CB_LAGS_STAGE3 if self.fs_khz != 8 else T.CB_LAGS_STAGE2
+            else:
+                cb_lags = T.CB_LAGS_STAGE3_10MS if self.fs_khz != 8 else T.CB_LAGS_STAGE2_10MS
             n_ctr = len(cb_lags[0])
             best = None
             for ctr in range(n_ctr):
-                lags_k = [max(min_lag, min(18 * self.fs_khz, lag + int(cb_lags[k][ctr]))) for k in range(4)]
+                lags_k = [max(min_lag, min(18 * self.fs_khz, lag + int(cb_lags[k][ctr])))
+                          for k in range(nsf)]
                 e_tot, idxs = self._ltp_search(res, lags_k, vq)
                 if best is None or e_tot < best[0]:
                     best = (e_tot, ctr, idxs, lags_k)
             e_ltp, contour, ltp_idx, sub_lags = best
             if e_ltp < 0.55 * e_plain:
                 signal_type = 2
-                for k in range(4):
+                for k in range(nsf):
                     b_taps[k] = vq[ltp_idx[k]]
                 ltp_scale = int(T.LTP_SCALES_TABLE_Q14[0]) / 16384.0
 
@@ -462,8 +477,9 @@ class SilkEncoder:
             gain_res = self._ltp_residual(res, sub_lags, b_taps)
         else:
             gain_res = res
+        self.res_hist = np.concatenate([self.res_hist, res])[-len(self.res_hist):]
         targets = []
-        for k in range(4):
+        for k in range(nsf):
             seg = gain_res[k * sub : (k + 1) * sub]
             rms = math.sqrt(float(np.mean(seg * seg)) + 1e-9)
             targets.append(max(int(rms * 65536.0 / headroom), 65536 // 8))
@@ -479,10 +495,11 @@ class SilkEncoder:
         else:
             enc.encode_icdf(gains_idx[0] >> 3, T.GAIN_ICDF[signal_type], 8)
             enc.encode_icdf(gains_idx[0] & 7, T.UNIFORM8_ICDF, 8)
-        for k in range(1, 4):
+        for k in range(1, nsf):
             enc.encode_icdf(gains_idx[k], T.DELTA_GAIN_ICDF, 8)
         encode_nlsf_indices(enc, self.cb, nlsf_indices, signal_type)
-        enc.encode_icdf(4, T.NLSF_INTERP_FACTOR_ICDF, 8)
+        if nsf == 4:
+            enc.encode_icdf(4, T.NLSF_INTERP_FACTOR_ICDF, 8)
         if signal_type == 2:
             min_lag = 2 * self.fs_khz
             lag_index = lag - min_lag
@@ -497,10 +514,13 @@ class SilkEncoder:
                 low_tbl = {4: T.UNIFORM4_ICDF, 6: T.UNIFORM6_ICDF, 8: T.UNIFORM8_ICDF}[half]
                 enc.encode_icdf(lag_index % half, low_tbl, 8)
             self.ec_prev_lag_index = lag_index
-            contour_tbl = T.PITCH_CONTOUR_ICDF if self.fs_khz != 8 else T.PITCH_CONTOUR_NB_ICDF
+            if nsf == 4:
+                contour_tbl = T.PITCH_CONTOUR_ICDF if self.fs_khz != 8 else T.PITCH_CONTOUR_NB_ICDF
+            else:
+                contour_tbl = T.PITCH_CONTOUR_10MS_ICDF if self.fs_khz != 8 else T.PITCH_CONTOUR_10MS_NB_ICDF
             enc.encode_icdf(contour, contour_tbl, 8)
             enc.encode_icdf(per_index, T.LTP_PER_INDEX_ICDF, 8)
-            for k in range(4):
+            for k in range(nsf):
                 enc.encode_icdf(int(ltp_idx[k]), T.LTP_GAIN_ICDF_1, 8)
             if not cond:
                 enc.encode_icdf(0, T.LTPSCALE_ICDF, 8)  # CODE_INDEPENDENTLY
@@ -511,18 +531,18 @@ class SilkEncoder:
         # ---- closed-loop excitation quantisation --------------------------
         offset16 = int(T.QUANTIZATION_OFFSETS_Q10[signal_type >> 1][quant_offset_type]) << 4
         adj16 = 80 << 4
-        pulses = [0] * self.frame_length
+        pulses = [0] * flen
         rand_seed = seed
-        xq_ext = np.concatenate([self.xq_hist, np.zeros(self.frame_length)])
+        xq_ext = np.concatenate([self.xq_hist, np.zeros(flen)])
         head_len = 18 * self.fs_khz + 2
-        P = np.zeros(head_len + self.frame_length)
+        P = np.zeros(head_len + flen)
         if signal_type == 2:
             hist = np.concatenate([np.zeros(order), self.xq_buf])
             white = np.empty(len(self.xq_buf))
             for i in range(len(self.xq_buf)):
                 white[i] = hist[order + i] - float(np.dot(af, hist[order + i - 1 :: -1][:order]))
             P[:head_len] = white[-head_len:] * ltp_scale
-        for i in range(self.frame_length):
+        for i in range(flen):
             rand_seed = silk_rand(rand_seed)
             flip = -1 if rand_seed < 0 else 1
             k = i // sub
@@ -553,17 +573,17 @@ class SilkEncoder:
             P[head_len + i] = pres
             xq_ext[order + i] = pred + pres
             rand_seed = i32(rand_seed + pulses[i])
-        self.xq_hist = xq_ext[self.frame_length : self.frame_length + order].copy()
+        self.xq_hist = xq_ext[flen : flen + order].copy()
         self.xq_buf = np.concatenate([self.xq_buf, xq_ext[order:]])[-len(self.xq_buf):]
 
-        encode_pulses(enc, signal_type, quant_offset_type, pulses, self.frame_length)
+        encode_pulses(enc, signal_type, quant_offset_type, pulses, flen)
 
     def _ltp_residual(self, res, sub_lags, b_taps):
         sub = self.subfr_length
         out = res.copy()
-        hist = np.concatenate([np.zeros(18 * self.fs_khz + 3), res])
         h0 = 18 * self.fs_khz + 3
-        for k in range(4):
+        hist = np.concatenate([self.res_hist, res])
+        for k in range(len(sub_lags)):
             L = sub_lags[k]
             for i in range(k * sub, (k + 1) * sub):
                 p = 0.0

@@ -107,8 +107,11 @@ class SilkStereoEncoder:
         from ..rc.encoder import RangeEncoder
 
         L = self.mid.frame_length
-        nf = len(left) // L
-        assert nf * L == len(left) and 1 <= nf <= 3
+        if len(left) == L // 2:
+            nf, L = 1, L // 2  # one 10 ms frame
+        else:
+            nf = len(left) // L
+            assert nf * L == len(left) and 1 <= nf <= 3
         lf = left.astype(np.int64)
         rf = right.astype(np.int64)
         mid = np.array([rshift_round(int(a + b), 1) for a, b in zip(lf, rf)], np.int64)
@@ -201,11 +204,8 @@ class SilkStereoEncoder:
 
     @staticmethod
     def _snapshot(e: SilkEncoder):
-        return (e.gain_state, e.x_hist.copy(), e.xq_hist.copy(), e.xq_buf.copy(),
-                e.ec_prev_signal_type, e.ec_prev_lag_index)
+        return e.snapshot()
 
     @staticmethod
     def _restore(e: SilkEncoder, s):
-        (e.gain_state, e.x_hist, e.xq_hist, e.xq_buf,
-         e.ec_prev_signal_type, e.ec_prev_lag_index) = (
-            s[0], s[1].copy(), s[2].copy(), s[3].copy(), s[4], s[5])
+        e.restore(s)

@@ -209,3 +209,29 @@ def test_hybrid_stereo_encoder():
     b = out[d:].reshape(-1)[frame * 2 :]
     snr = 10 * np.log10(float(np.dot(a, a)) / max(float(np.dot(a - b, a - b)), 1e-9))
     assert snr > 8.0, f"hybrid stereo snr {snr:.1f}"
+
+
+@pytest.mark.parametrize(
+    "app,rate,ch,kbps",
+    [("voice", 16000, 1, 24), ("voice", 8000, 1, 16), ("voice", 16000, 2, 32),
+     ("hybrid", 48000, 1, 40), ("hybrid", 48000, 2, 64)],
+)
+def test_10ms_encode(app, rate, ch, kbps):
+    """10 ms packets: 2-subframe SILK frames (configs 0/4/8 and hybrid 12)."""
+    enc = Encoder(EncoderConfiguration(SamplingRate(rate), Channels(ch), kbps * 1000, application=app))
+    ref = oracle.Decoder(rate, ch)
+    mine = Decoder(DecoderConfiguration(SamplingRate(rate), Channels(ch)))
+    frame, nf = rate // 100, 8
+    t = np.arange(frame * nf) / rate
+    rng = np.random.default_rng(1)
+    phase = np.cumsum(2 * np.pi * (120 + 30 * np.sin(2 * np.pi * 3 * t)) / rate)
+    s = 0.35 * np.sign(np.sin(phase)) * np.exp(-3 * (t % 0.01) * 100) + 0.02 * rng.standard_normal(frame * nf)
+    if app == "hybrid":
+        s = s + 0.05 * np.sin(2 * np.pi * 9500 * t)
+    pcm = (np.stack([s, np.roll(s, 17) * 0.8], -1) if ch == 2 else s[:, None]).astype(np.float32)
+    for f in range(nf):
+        pkt = enc.encode(pcm[f * frame : (f + 1) * frame])
+        r = np.asarray(ref.decode_float(pkt, frame)).reshape(frame, ch)
+        m = mine.decode_float(pkt, frame)
+        assert ref.final_range == mine.final_range, f
+        assert float(np.abs(m - r).max()) < (2e-5 if app == "hybrid" else 1e-6)
