@@ -125,11 +125,17 @@ class OggOpusWriter:
             _page(self.serial, self.pageno, self.granule, 0x04 if end_of_stream else 0, [packet], lacing)
         )
         self.pageno += 1
+        if end_of_stream:
+            self._eos = True
 
     def close(self) -> None:
-        # Emit an empty EOS page if the caller didn't flag the last packet.
-        self.f.write(_page(self.serial, self.pageno, self.granule, 0x04, [], [0]))
-        self.pageno += 1
+        # Emit an empty EOS page only if the caller didn't flag the last
+        # packet (a zero lacing value would otherwise read back as a
+        # spurious empty packet).
+        if not getattr(self, "_eos", False):
+            self.f.write(_page(self.serial, self.pageno, self.granule, 0x04, [], [0]))
+            self.pageno += 1
+            self._eos = True
 
 
 class OggOpusReader:
