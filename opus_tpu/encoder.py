@@ -40,6 +40,10 @@ class EncoderConfiguration:
     #: content (transient boost, quiet-frame cut) around `bitrate`, with a
     #: bit reservoir holding the long-term average at the target.
     vbr: bool = False
+    #: In-band FEC (voice mono): each packet also carries a coarse LBRR
+    #: re-encode of the previous frame; receivers recover one lost packet
+    #: with decode(next_packet, decode_fec=True).
+    fec: bool = False
 
 
 class Encoder:
@@ -60,6 +64,10 @@ class Encoder:
             from .silk.resampler import Resampler
 
             self.silk_fs_khz = 16 if self.rate >= 16000 else self.rate // 1000
+            if self.config.fec and self.channels != 1:
+                raise BadArguments("in-band FEC is mono voice only for now")
+            self._lbrr_enc = SilkEncoder(self.silk_fs_khz) if self.config.fec else None
+            self._lbrr_prev = None
             if self.channels == 2:
                 from .silk.stereo_encoder import SilkStereoEncoder
 
@@ -205,7 +213,15 @@ class Encoder:
                 x = np.array(self._resampler.process([int(v) for v in x48]), dtype=np.int16)
             else:
                 x = x48
-            payload = self.silk.encode_packet_cbr(x, budget)
+            if self._lbrr_enc is not None:
+                payload = self.silk.encode_packet_cbr(
+                    x, budget,
+                    lbrr_x=self._lbrr_prev if self._lbrr_prev is not None
+                    and len(self._lbrr_prev) == len(x) else None,
+                    lbrr_enc=self._lbrr_enc)
+                self._lbrr_prev = x.copy()
+            else:
+                payload = self.silk.encode_packet_cbr(x, budget)
         self._rng = self.silk.last_range
         # 10/20/40/60 ms share a config block per bandwidth; 20 ms is +1.
         off = {10: -1, 20: 0, 40: 1, 60: 2}[ms]

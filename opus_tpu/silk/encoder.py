@@ -374,13 +374,23 @@ class SilkEncoder:
             s[0], s[1].copy(), s[2].copy(), s[3].copy(), s[4], s[5])
         self.res_hist = s[6].copy()
 
-    def encode_packet_cbr(self, x: np.ndarray, budget_bytes: int) -> bytes:
-        """Encode a 20/40/60 ms block as one SILK payload (1-3 frames).
+    def encode_packet_cbr(self, x: np.ndarray, budget_bytes: int,
+                          lbrr_x: np.ndarray | None = None,
+                          lbrr_enc: "SilkEncoder | None" = None) -> bytes:
+        """Encode a 10-60 ms block as one SILK payload (1-3 frames).
 
         Multi-frame layout per RFC 6716 / silk_Decode: all per-frame VAD
-        flags first, then the LBRR flag, then each 20 ms frame — frame 0
-        coded independently, later frames conditionally (delta gains,
-        delta pitch).  CBR outer loop as in encode_frame_cbr.
+        flags first, then the LBRR flag, then (when ``lbrr_x`` is given)
+        the LBRR frames, then each regular frame — frame 0 coded
+        independently, later frames conditionally (delta gains, delta
+        pitch).  CBR outer loop as in encode_frame_cbr.
+
+        In-band FEC: ``lbrr_x`` is the PREVIOUS block's input; it is
+        re-encoded coarsely by ``lbrr_enc`` (a separate SilkEncoder whose
+        signal state tracks the LBRR stream) into LBRR frames a receiver
+        decodes after a loss (silk/api.py skip path / FLAG_DECODE_LBRR).
+        The entropy context (ec_prev_signal_type / lag) threads one chain
+        through LBRR frames then regular frames, in packet parse order.
         """
         from ..rc.encoder import RangeEncoder
 
@@ -390,18 +400,31 @@ class SilkEncoder:
             nf, flen = len(x) // self.frame_length, self.frame_length
             assert nf * self.frame_length == len(x) and 1 <= nf <= 3
         headroom = 1.8
-        saved = (self.gain_state, self.x_hist.copy(), self.xq_hist.copy(), self.xq_buf.copy(),
-                 self.ec_prev_signal_type, self.ec_prev_lag_index)
+        saved = self.snapshot()
+        saved_lbrr = lbrr_enc.snapshot() if lbrr_enc is not None else None
         payload = b""
         for _ in range(6):
-            (self.gain_state, self.x_hist, self.xq_hist, self.xq_buf,
-             self.ec_prev_signal_type, self.ec_prev_lag_index) = (
-                saved[0], saved[1].copy(), saved[2].copy(), saved[3].copy(), saved[4], saved[5])
+            self.restore(saved)
+            if saved_lbrr is not None:
+                lbrr_enc.restore(saved_lbrr)
             buf = bytearray(1400)
             enc = RangeEncoder(buf)
             for f in range(nf):
                 enc.encode_bit_logp(1, 1)  # VAD
-            enc.encode_bit_logp(0, 1)  # LBRR
+            has_lbrr = lbrr_x is not None and lbrr_enc is not None
+            enc.encode_bit_logp(1 if has_lbrr else 0, 1)  # LBRR
+            if has_lbrr:
+                if nf > 1:  # per-frame LBRR flags, all set
+                    tbl = T.LBRR_FLAGS_2_ICDF if nf == 2 else T.LBRR_FLAGS_3_ICDF
+                    enc.encode_icdf((1 << nf) - 2, tbl, 8)
+                lbrr_enc.ec_prev_signal_type = self.ec_prev_signal_type
+                lbrr_enc.ec_prev_lag_index = self.ec_prev_lag_index
+                for f in range(nf):
+                    lbrr_enc.encode_frame(enc, lbrr_x[f * flen : (f + 1) * flen],
+                                          headroom=headroom * 2.0,
+                                          write_header=False, cond=f > 0)
+                self.ec_prev_signal_type = lbrr_enc.ec_prev_signal_type
+                self.ec_prev_lag_index = lbrr_enc.ec_prev_lag_index
             for f in range(nf):
                 self.encode_frame(enc, x[f * flen : (f + 1) * flen],
                                   headroom=headroom, write_header=False, cond=f > 0)

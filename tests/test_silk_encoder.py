@@ -235,3 +235,40 @@ def test_10ms_encode(app, rate, ch, kbps):
         m = mine.decode_float(pkt, frame)
         assert ref.final_range == mine.final_range, f
         assert float(np.abs(m - r).max()) < (2e-5 if app == "hybrid" else 1e-6)
+
+
+@pytest.mark.parametrize("ms", [20, 40])
+def test_inband_fec_encode(ms):
+    """LBRR frames: normal decode skips them bit-exactly; after a loss,
+    decode(next, fec=True) recovers the frame identically in our decoder
+    and libopus (silk/api.py LBRR paths)."""
+    rate = 16000
+    frame = rate * ms // 1000
+    t = np.arange(frame * 8) / rate
+    rng = np.random.default_rng(2)
+    phase = np.cumsum(2 * np.pi * (120 + 30 * np.sin(2 * np.pi * 3 * t)) / rate)
+    sig = (0.35 * np.sign(np.sin(phase)) * np.exp(-3 * (t % 0.01) * 100)
+           + 0.02 * rng.standard_normal(frame * 8)).astype(np.float32)
+    enc = Encoder(EncoderConfiguration(SamplingRate(rate), Channels.MONO, 32000,
+                                       application="voice", fec=True))
+    pkts = [enc.encode(sig[f * frame : (f + 1) * frame, None]) for f in range(8)]
+    ref = oracle.Decoder(rate, 1)
+    mine = Decoder(DecoderConfiguration(SamplingRate(rate), Channels.MONO))
+    for f in range(4):
+        r = np.asarray(ref.decode_float(pkts[f], frame)).reshape(-1)
+        m = mine.decode_float(pkts[f], frame)[:, 0]
+        assert ref.final_range == mine.final_range, f
+        assert float(np.abs(m - r).max()) < 1e-6
+    # packet 4 lost: recover from packet 5's LBRR
+    r = np.asarray(ref.decode_float(pkts[5], frame, fec=True)).reshape(-1)
+    m = mine.decode_float(pkts[5], frame, decode_fec=True)[:, 0]
+    assert float(np.abs(m - r).max()) < 1e-7
+    x = sig[4 * frame : 5 * frame]
+    a, b = x[:-13], r[13:]
+    snr = 10 * np.log10(float(np.dot(a, a)) / max(float(np.dot(a - b, a - b)), 1e-9))
+    assert snr > 8.0, f"fec recovery snr {snr:.1f}"
+    # stream continues exactly
+    r2 = np.asarray(ref.decode_float(pkts[5], frame)).reshape(-1)
+    m2 = mine.decode_float(pkts[5], frame)[:, 0]
+    assert ref.final_range == mine.final_range
+    assert float(np.abs(m2 - r2).max()) < 1e-6
