@@ -168,7 +168,18 @@ class CeltEncoder:
             else 0
         )
         bits -= anti_collapse_rsv
-        intensity = end  # full stereo coding
+        # Intensity stereo: when stereo bits are scarce, code bands above
+        # the intensity threshold as mono+panning (decoder reconstructs
+        # from the transmitted intensity index; any value is conformant).
+        intensity = end
+        if c_ == 2:
+            bps = nb_bytes * 8 * 48000 // n
+            if bps < 44000:
+                intensity = min(8, end)
+            elif bps < 52000:
+                intensity = min(12, end)
+            elif bps < 56000:
+                intensity = min(16, end)
         dual_stereo = False
         pulses, fine_quant, fine_priority, coded_bands, intensity, dual_stereo, balance = compute_allocation(
             start, end, offsets, cap, alloc_trim, intensity, dual_stereo,
