@@ -121,8 +121,8 @@ class CeltEncoder:
             total_bits, nb_bytes,
         )
 
-        # tf_res all zeros.
-        self._tf_encode(enc, start, end, is_transient, lm, nb_bytes)
+        tf_res = self._tf_analysis(x_, start, eff_end, lm, m, c_, is_transient)
+        tf_res = self._tf_encode(enc, start, end, is_transient, lm, nb_bytes, tf_res)
 
         if enc.tell() + 4 <= total_bits:
             enc.encode_icdf(SPREAD_NORMAL, SPREAD_ICDF, 5)
@@ -190,7 +190,6 @@ class CeltEncoder:
 
         # --- band shapes -----------------------------------------------------
         collapse_masks = np.zeros((modes.NB_E_BANDS, c_), dtype=np.int32)
-        tf_res = [0] * modes.NB_E_BANDS
         self.rng = quant_all_bands(
             True, start, end, x_, x_[n:] if c_ == 2 else None, collapse_masks,
             band_e, pulses, is_transient, SPREAD_NORMAL, dual_stereo, intensity, tf_res,
@@ -271,8 +270,36 @@ class CeltEncoder:
         ratio = float(np.max(e[1:] / np.maximum(floor[1:], 1e-9)))
         return ratio > 6.0
 
-    def _tf_encode(self, enc, start, end, is_transient, lm, nb_bytes) -> None:
-        """tf_res = all zeros (libopus tf_encode with zero changes)."""
+    def _tf_analysis(self, x_, start, end, lm, m, c_, is_transient):
+        """Per-band time/frequency resolution choice: on transient frames a
+        band whose interleaved short-block coefficients get sparser (biased
+        L1) after one Haar recombine prefers frequency resolution
+        (tf_res=1).  Cf. the reference decoder's tf scope; the analysis
+        metric is libopus-style L1-after-haar, decision simplified to a
+        per-band flag (the inter-band switch cost is carried by the
+        delta-coded flags themselves)."""
+        from .bands import haar1
+
+        tf_res = [0] * modes.NB_E_BANDS
+        if not is_transient or lm == 0:
+            return tf_res
+        for i in range(start, end):
+            n = m * int(modes.E_BANDS[i + 1] - modes.E_BANDS[i])
+            if n < 2 or (n & 1):
+                continue
+            band = x_[m * int(modes.E_BANDS[i]) : m * int(modes.E_BANDS[i]) + n].copy()
+            l1_plain = float(np.abs(band).sum())
+            haar1(band, n, 1)
+            # Bias toward keeping time resolution on transients (~6%).
+            if float(np.abs(band).sum()) * 1.06 < l1_plain:
+                tf_res[i] = 1
+        return tf_res
+
+    def _tf_encode(self, enc, start, end, is_transient, lm, nb_bytes, tf_res):
+        """Write the per-band tf flags exactly as tf_decode reads them
+        (delta-coded with budget gating) and return the decoder-visible
+        tf_res after TF_SELECT mapping — quant_all_bands must see the same
+        values the decoder derives."""
         budget = nb_bytes * 8
         tell = enc.tell()
         logp = 2 if is_transient else 4
@@ -280,12 +307,19 @@ class CeltEncoder:
         budget -= tf_select_rsv
         curr = 0
         tf_changed = 0
-        for _ in range(start, end):
+        out = [0] * modes.NB_E_BANDS
+        for i in range(start, end):
             if tell + logp <= budget:
-                enc.encode_bit_logp(0 ^ curr, logp)
+                enc.encode_bit_logp(tf_res[i] ^ curr, logp)
                 tell = enc.tell()
-                curr = 0
+                curr = tf_res[i]
+                tf_changed |= curr
+            out[i] = curr
             logp = 4 if is_transient else 5
         base = 4 if is_transient else 0
+        tf_select = 0
         if tf_select_rsv and TF_SELECT_TABLE[lm][base + tf_changed] != TF_SELECT_TABLE[lm][base + 2 + tf_changed]:
-            enc.encode_bit_logp(0, 1)
+            enc.encode_bit_logp(tf_select, 1)
+        for i in range(start, end):
+            out[i] = TF_SELECT_TABLE[lm][base + 2 * tf_select + out[i]]
+        return out
