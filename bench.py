@@ -86,7 +86,6 @@ def main() -> None:
     # --- SILK voice path (extras): native host engine + TPU device plane ---
     silk_host_rate = silk_device_rate = 0.0
     try:
-        from opus_tpu.batch.silk_pipeline import BatchedSilkDecoder
         from opus_tpu.native.frontend import NativeSilkBatch, available as _nat_ok
 
         senc = oracle.Encoder(16000, 1)

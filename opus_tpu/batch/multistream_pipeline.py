@@ -18,7 +18,6 @@ from __future__ import annotations
 import numpy as np
 
 from .. import parse_packet
-from ..packet import parse_size
 from .pipeline import BatchedCeltDecoder
 
 

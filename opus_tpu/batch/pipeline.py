@@ -16,7 +16,6 @@ grouped and dispatched per variant with gather/scatter on the state.
 from __future__ import annotations
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from ..celt import modes

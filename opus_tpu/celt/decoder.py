@@ -13,14 +13,13 @@ comparisons against the oracle are direct.
 
 from __future__ import annotations
 
-import math
 
 import numpy as np
 
 from ..errors import BadArguments, InternalError
 from ..rc import RangeDecoder
 from . import modes
-from .bands import anti_collapse, celt_exp2, denormalise_bands, quant_all_bands
+from .bands import anti_collapse, denormalise_bands, quant_all_bands
 from .comb_filter import MIN_PERIOD, comb_filter
 from .energy import (
     unquant_coarse_energy,

@@ -5,12 +5,12 @@ working encoder: pre-emphasis, forward MDCT filterbank, band energy
 analysis + coarse/fine coding, shared bit allocation, PVQ shape search
 (opus_tpu.celt.vq.alg_quant) and finalisation.
 
-Analysis *decisions* are deliberately simple for this milestone — long
-blocks only, normal spreading, no dynalloc boosts, trim 5, full stereo
-(theta) coding — every one of them a legal bitstream choice, so any
-conformant decoder (libopus included) reproduces our audio exactly.  The
-RDO/transient analysis layers slot in above this without changing the
-coding machinery.
+Analysis decisions: energy-ratio transient detection with short-block
+MDCTs, per-band tf switches (L1-after-Haar), dynalloc boosts for tonal
+peaks, spectral-tilt trim, rate-dependent intensity stereo and the
+anti-collapse bit on transients.  Every decision is a legal bitstream
+choice, so any conformant decoder (libopus included) reproduces our
+audio exactly — validated by final_range equality in tests.
 """
 
 from __future__ import annotations
@@ -20,7 +20,7 @@ import numpy as np
 from ..rc import RangeEncoder
 from . import modes
 from .bands import compute_band_energies, normalise_bands, quant_all_bands
-from .decoder import SPREAD_ICDF, TAPSET_ICDF, TF_SELECT_TABLE, TRIM_ICDF, tf_decode
+from .decoder import SPREAD_ICDF, TF_SELECT_TABLE, TRIM_ICDF
 from .energy_encode import amp2_log2, quant_coarse_energy, quant_energy_finalise, quant_fine_energy
 from .mdct import mdct_forward
 from .rate import BITRES, compute_allocation, init_caps

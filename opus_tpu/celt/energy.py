@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..rc.laplace import decode_laplace, encode_laplace
+from ..rc.laplace import decode_laplace
 from . import modes
 
 #: Laplace (fs<<7, decay<<6) parameters per (LM, intra, band)

@@ -21,7 +21,7 @@ import numpy as np
 from .celt import modes as celt_modes
 from .celt.bands import celt_exp2
 from .celt.decoder import CeltDecoder
-from .errors import BadArguments, BufferTooSmall, InvalidPacket, UnsupportedMode
+from .errors import BadArguments, BufferTooSmall
 from .packet import parse_packet, query_packet_samples_per_frame
 from .rc import RangeDecoder
 from .softclip import pcm_soft_clip

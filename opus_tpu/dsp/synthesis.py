@@ -22,7 +22,6 @@ over the stream axis.
 from __future__ import annotations
 
 import functools
-import math
 from typing import NamedTuple
 
 import jax
@@ -30,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..celt import modes
-from ..celt.comb_filter import GAINS, MIN_PERIOD
+from ..celt.comb_filter import GAINS
 from ..celt.decoder import DECODE_BUFFER_SIZE
 from ..celt.energy import E_MEANS
 

@@ -1,9 +1,13 @@
-"""Top-level Opus encoder (CELT music mode + SILK voice mode).
+"""Top-level Opus encoder (music=CELT, voice=SILK, hybrid=SILK+CELT).
 
 Fills the reference's interface sketch (/root/reference/src/encoder.rs):
-``Encoder`` packetises CELT or SILK frames with the RFC 6716 ToC.
-CELT: full-band CBR at 48 kHz.  SILK: mono voice frames at NB/MB/WB
-internal rates (20 ms), with input resampled from any supported rate.
+``Encoder`` packetises frames with the RFC 6716 ToC.
+Music: full-band CELT at 48 kHz, CBR or VBR, 2.5-20 ms.
+Voice: SILK mono/stereo at NB/MB/WB internal rates, 10/20/40/60 ms
+packets (multi-frame with conditional coding), optional in-band FEC
+(LBRR) and DTX; input resampled from any supported rate.
+Hybrid: SILK WB low band + CELT bands 17+ in one shared range coder
+(SWB 10/20 ms, mono/stereo).
 """
 
 from __future__ import annotations

@@ -9,7 +9,6 @@ continuation across pages, and multistream channel-mapping families.
 from __future__ import annotations
 
 import dataclasses
-import io
 import struct
 
 from .errors import InvalidPacket

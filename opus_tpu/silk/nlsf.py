@@ -6,7 +6,7 @@ Q12 short-term predictor.  Reference surface: silk/decoder.rs stub.
 
 from __future__ import annotations
 
-from .bitstream import NLSF_QUANT_MAX_AMPLITUDE, NlsfCodebook, nlsf_unpack
+from .bitstream import NlsfCodebook, nlsf_unpack
 from .fixed_math import (
     add_sat16,
     clz32,

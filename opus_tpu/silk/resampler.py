@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .fixed_math import i16, i32, rshift_round, sat16, smlawb, smulbb, smulwb, smulww
+from .fixed_math import i32, rshift_round, sat16, smlawb, smulbb, smulwb, smulww
 
 # Allpass coefficients for the 2x high-quality upsampler (code immediates
 # in libopus; verified by disassembly of silk_resampler_private_up2_HQ).

@@ -6,7 +6,7 @@ Reference surface: silk/decoder.rs stub (stereo un-mixing path).
 from __future__ import annotations
 
 from . import tables as T
-from .fixed_math import i16, i32, rshift_round, sat16, smlawb, smulbb
+from .fixed_math import i32, rshift_round, sat16, smlawb, smulbb
 
 STEREO_QUANT_SUB_STEPS = 5
 STEREO_INTERP_LEN_MS = 8

@@ -10,7 +10,6 @@ Laplace round trips.
 import math
 
 import numpy as np
-import pytest
 
 from opus_tpu.rc import RangeDecoder, RangeEncoder, Tell
 from opus_tpu.rc.laplace import decode_laplace, encode_laplace
