@@ -144,8 +144,11 @@ class Encoder:
             rms = float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2)))
             if rms < 1e-4:
                 self._dtx_run += 1
-                if self._dtx_run >= 2:
-                    # DTX: ToC-only packet (0 frames); receivers conceal.
+                # Refresh the receiver's comfort-noise parameters with a
+                # real frame every ~400 ms of silence (libopus DTX cadence);
+                # otherwise emit a 1-byte ToC-only packet.
+                refresh = (self._dtx_run - 2) % max(1, 400 // max(1, n * 1000 // self.rate)) == 0
+                if self._dtx_run >= 2 and not (self._dtx_run > 2 and refresh):
                     return bytes([self._last_toc]) if self._last_toc is not None else bytes(
                         [self._toc_for(n)])
             else:
