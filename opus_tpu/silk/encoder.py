@@ -472,6 +472,11 @@ class SilkEncoder:
         sub_lags = [0] * nsf
         ltp_scale = 0.0
         e_plain = float(np.dot(res, res)) + 1e-9
+        # Energy gate: a near-silent frame after loud speech must never go
+        # voiced — LTP would "explain" the LPC ring-out from history and
+        # the decoder would synthesise a full loud frame from past output.
+        if float(np.dot(xf, xf)) / flen < 30.0**2:
+            lag = None
         if lag is not None:
             min_lag = 2 * self.fs_khz
             lag = max(min_lag + 2, min(18 * self.fs_khz, lag))
