@@ -42,11 +42,13 @@ def main() -> None:
     front = BatchedCeltDecoder(BATCH, 2, use_native=True)
     batch_payloads = [payloads[i % len(payloads)] for i in range(BATCH)]
     stacked, lm0, _short = front.extract_stacked(batch_payloads, FRAME)  # warm
-    front_iters = 5
-    t0 = time.perf_counter()
-    for _ in range(front_iters):
+    # Best-of-7: the sandbox shares its single host core, so mean timings
+    # absorb scheduler noise; the minimum is the achievable rate.
+    host_elapsed = float("inf")
+    for _ in range(7):
+        t0 = time.perf_counter()
         stacked, lm0, _short = front.extract_stacked(batch_payloads, FRAME)
-    host_elapsed = (time.perf_counter() - t0) / front_iters
+        host_elapsed = min(host_elapsed, time.perf_counter() - t0)
     host_rate = BATCH * 0.02 / host_elapsed  # audio-sec/sec on this host
 
     # Python reference plane A rate (small sample; ~200x slower).
