@@ -103,10 +103,12 @@ def main() -> None:
             nb = NativeSilkBatch(SB, 16)
             batch = [spays[i % 4] for i in range(SB)]
             nb.decode_batch(batch)  # warm
-            t0 = time.perf_counter()
-            for _ in range(5):
+            best = float("inf")
+            for _ in range(7):
+                t0 = time.perf_counter()
                 nb.decode_batch(batch)
-            silk_host_rate = SB * 0.02 / ((time.perf_counter() - t0) / 5)
+                best = min(best, time.perf_counter() - t0)
+            silk_host_rate = SB * 0.02 / best
             # Device plane: batched float synthesis over native-extracted
             # parameter planes (gains*exc, LPC, LTP taps, rewhitened head).
             from opus_tpu.dsp.silk_synthesis import silk_synthesis_step
@@ -125,11 +127,13 @@ def main() -> None:
                     jnp.zeros((SD, 16), jnp.float32))
             xq, _h = silk_synthesis_step(*args, subfr_len=80, nb_subfr=4, chunk=20)
             xq.block_until_ready()
-            t0 = time.perf_counter()
+            best = float("inf")
             for _ in range(10):
+                t0 = time.perf_counter()
                 xq, _h = silk_synthesis_step(*args, subfr_len=80, nb_subfr=4, chunk=20)
                 xq.block_until_ready()
-            silk_device_rate = SD * 0.02 / ((time.perf_counter() - t0) / 10)
+                best = min(best, time.perf_counter() - t0)
+            silk_device_rate = SD * 0.02 / best
     except Exception:
         pass
 
