@@ -22,6 +22,8 @@ from .types import Channels, SamplingRate
 
 #: frame samples (48 kHz) -> CELT fullband ToC config number.
 _CELT_FB_CONFIG = {120: 28, 240: 29, 480: 30, 960: 31}
+#: CELT-only config block base + coded band limit per bandwidth.
+_CELT_BW = {"NB": (16, 13), "WB": (20, 17), "SWB": (24, 19), "FB": (28, 21)}
 
 #: SILK internal kHz -> 20 ms SILK-only ToC config number.
 _SILK_20MS_CONFIG = {8: 1, 12: 5, 16: 9}
@@ -44,6 +46,9 @@ class EncoderConfiguration:
     #: content (transient boost, quiet-frame cut) around `bitrate`, with a
     #: bit reservoir holding the long-term average at the target.
     vbr: bool = False
+    #: Music-mode audio bandwidth: "NB"/"WB"/"SWB"/"FB" (coded band limit
+    #: 13/17/19/21; ToC config block per RFC 6716 table 2).
+    bandwidth: str = "FB"
     #: In-band FEC (voice mono): each packet also carries a coarse LBRR
     #: re-encode of the previous frame; receivers recover one lost packet
     #: with decode(next_packet, decode_fec=True).
@@ -111,7 +116,10 @@ class Encoder:
         else:
             if self.rate != 48000:
                 raise BadArguments("music mode supports 48 kHz input for now")
+            if self.config.bandwidth not in _CELT_BW:
+                raise BadArguments("bandwidth must be NB/WB/SWB/FB")
             self.celt = CeltEncoder(self.channels)
+            self.celt.end_band = _CELT_BW[self.config.bandwidth][1]
             self.silk = None
 
     def reset(self) -> None:
@@ -159,7 +167,8 @@ class Encoder:
             return self._encode_hybrid(pcm, n)
         if n not in _CELT_FB_CONFIG:
             raise BadArguments("frame must be 2.5/5/10/20 ms at 48 kHz")
-        toc = (_CELT_FB_CONFIG[n] << 3) | (0x4 if self.channels == 2 else 0)
+        cfg = _CELT_BW[self.config.bandwidth][0] + (_CELT_FB_CONFIG[n] - 28)
+        toc = (cfg << 3) | (0x4 if self.channels == 2 else 0)
         nb = self._vbr_bytes(pcm, n) if self.config.vbr else self.frame_bytes(n)
         payload = self.celt.encode(pcm, nb)
         self._last_toc = toc
@@ -197,7 +206,7 @@ class Encoder:
             return ((_SILK_20MS_CONFIG[self.silk_fs_khz] + (ms // 20 - 1)) << 3) | stereo
         if self.application == "hybrid":
             return (_HYBRID_20MS_SWB << 3) | stereo
-        return (_CELT_FB_CONFIG.get(n, 31) << 3) | stereo
+        return ((_CELT_BW[self.config.bandwidth][0] + (_CELT_FB_CONFIG.get(n, 31) - 28)) << 3) | stereo
 
     def _encode_voice(self, pcm: np.ndarray, n: int) -> bytes:
         from .rc.encoder import RangeEncoder

@@ -136,3 +136,26 @@ def test_celt_vbr_rate_control():
     kbps = sum(sizes) * 8 / (nf * 0.02) / 1000
     assert max(sizes) - min(sizes) > 20, "sizes never varied"
     assert abs(kbps - 64) < 64 * 0.15, f"long-term rate {kbps:.1f} kbps"
+
+
+@pytest.mark.parametrize("bw,cfg,endband", [("NB", 19, 13), ("WB", 23, 17), ("SWB", 27, 19)])
+def test_celt_bandwidth_limited(bw, cfg, endband):
+    """CELT-only NB/WB/SWB encode (ToC config blocks 16/20/24; coded band
+    limit 13/17/19 — RFC 6716 table 2)."""
+    rng = np.random.default_rng(6)
+    frame, nf = 960, 6
+    t = np.arange(frame * nf) / 48000
+    sig = (0.3 * np.sin(2 * np.pi * 440 * t) + 0.1 * np.sin(2 * np.pi * 3000 * t)
+           + 0.03 * rng.standard_normal(frame * nf)).astype(np.float32)
+    pcm = np.stack([sig, np.roll(sig, 7) * 0.9], -1)
+    enc = Encoder(EncoderConfiguration(SamplingRate.HZ_48000, Channels.STEREO, 64000,
+                                       application="music", bandwidth=bw))
+    ref = oracle.Decoder(48000, 2)
+    mine = Decoder(DecoderConfiguration(SamplingRate.HZ_48000, Channels.STEREO))
+    for f in range(nf):
+        pkt = enc.encode(pcm[f * frame : (f + 1) * frame])
+        assert (pkt[0] >> 3) == cfg
+        r = np.asarray(ref.decode_float(pkt, frame)).reshape(frame, 2)
+        m = mine.decode_float(pkt, frame)
+        assert ref.final_range == mine.final_range, f
+        assert float(np.abs(m - r).max()) < 1e-5
