@@ -46,8 +46,10 @@ class EncoderConfiguration:
     #: content (transient boost, quiet-frame cut) around `bitrate`, with a
     #: bit reservoir holding the long-term average at the target.
     vbr: bool = False
-    #: Music-mode audio bandwidth: "NB"/"WB"/"SWB"/"FB" (coded band limit
-    #: 13/17/19/21; ToC config block per RFC 6716 table 2).
+    #: Audio bandwidth.  Music: "NB"/"WB"/"SWB"/"FB" (coded band limit
+    #: 13/17/19/21; ToC config block per RFC 6716 table 2).  Voice:
+    #: "NB"/"MB"/"WB" forces the SILK internal rate (8/12/16 kHz);
+    #: default "FB" = auto from the input rate.
     bandwidth: str = "FB"
     #: In-band FEC (voice mono): each packet also carries a coarse LBRR
     #: re-encode of the previous frame; receivers recover one lost packet
@@ -72,7 +74,11 @@ class Encoder:
             from .silk.encoder import SilkEncoder
             from .silk.resampler import Resampler
 
-            self.silk_fs_khz = 16 if self.rate >= 16000 else self.rate // 1000
+            _vbw = {"NB": 8, "MB": 12, "WB": 16}
+            if self.config.bandwidth in _vbw:
+                self.silk_fs_khz = min(_vbw[self.config.bandwidth], self.rate // 1000)
+            else:
+                self.silk_fs_khz = 16 if self.rate >= 16000 else self.rate // 1000
             if self.config.fec and self.channels != 1:
                 raise BadArguments("in-band FEC is mono voice only for now")
             self._lbrr_enc = SilkEncoder(self.silk_fs_khz) if self.config.fec else None
