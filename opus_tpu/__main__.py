@@ -51,6 +51,7 @@ def cmd_encode(args) -> int:
     cfg = EncoderConfiguration(
         SamplingRate(rate), Channels(ch), args.bitrate,
         application=args.application, vbr=args.vbr, dtx=args.dtx,
+        bandwidth=args.bandwidth,
     )
     enc = Encoder(cfg)
     frame = rate * args.frame_ms // 1000
@@ -128,6 +129,7 @@ def main(argv=None) -> int:
     e.add_argument("--frame-ms", type=int, default=20, choices=[10, 20, 40, 60])
     e.add_argument("--vbr", action="store_true")
     e.add_argument("--dtx", action="store_true")
+    e.add_argument("--bandwidth", choices=["NB", "MB", "WB", "SWB", "FB"], default="FB")
     e.set_defaults(fn=cmd_encode)
     d = sub.add_parser("decode")
     d.add_argument("infile")
