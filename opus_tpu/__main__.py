@@ -89,6 +89,12 @@ def cmd_decode(args) -> int:
         print("no audio packets", file=sys.stderr)
         return 1
     pcm = np.concatenate(chunks)
+    # RFC 7845: drop pre-skip samples, trim to the final granule position
+    # (both counted at 48 kHz).
+    head = reader.head
+    skip = head.pre_skip * rate // 48000
+    end = reader.granules[-1] * rate // 48000 if reader.granules else len(pcm)
+    pcm = pcm[skip : max(skip, min(len(pcm), skip + end))]
     _write_wav(args.outfile, pcm, rate)
     print(f"decoded {len(chunks)} packets -> {args.outfile} "
           f"({len(pcm) / rate:.2f} s @ {rate} Hz, final_range {dec.final_range:#010x})")
