@@ -104,6 +104,10 @@ class Encoder:
             from .silk.resampler import Resampler
 
             self.silk_fs_khz = 16
+            if self.config.fec and self.channels != 1:
+                raise BadArguments("in-band FEC is mono only for now")
+            self._lbrr_enc = SilkEncoder(16) if self.config.fec else None
+            self._lbrr_prev = None
             if self.channels == 2:
                 from .silk.stereo_encoder import SilkStereoEncoder
 
@@ -273,6 +277,8 @@ class Encoder:
         # SILK should take roughly 60% of the budget; retry coarser if over.
         headroom = 1.2
         saved = self.silk.snapshot()
+        saved_lbrr = (self._lbrr_enc.snapshot()
+                      if getattr(self, "_lbrr_enc", None) is not None else None)
         celt_state = (self.celt.in_mem.copy(), self.celt.preemph_mem.copy(),
                       self.celt.old_band_e.copy(), self.celt.rng, self.celt.frame_count)
         for _ in range(5):
@@ -285,6 +291,23 @@ class Encoder:
             enc = RangeEncoder(buf)
             if self.channels == 2:
                 self.silk.encode_frame_into(enc, x16[0], x16[1], headroom)
+            elif self._lbrr_enc is not None:
+                # Hybrid in-band FEC: VAD + LBRR flags, then the LBRR
+                # re-encode of the previous frame's low band, then the
+                # regular frame (silk/api.py parse order).
+                enc.encode_bit_logp(1, 1)  # VAD
+                has_lbrr = self._lbrr_prev is not None and len(self._lbrr_prev) == len(x16)
+                enc.encode_bit_logp(1 if has_lbrr else 0, 1)  # LBRR
+                if has_lbrr:
+                    self._lbrr_enc.restore(saved_lbrr)
+                    self._lbrr_enc.ec_prev_signal_type = self.silk.ec_prev_signal_type
+                    self._lbrr_enc.ec_prev_lag_index = self.silk.ec_prev_lag_index
+                    self._lbrr_enc.encode_frame(enc, self._lbrr_prev,
+                                                headroom=headroom * 2.0,
+                                                write_header=False)
+                    self.silk.ec_prev_signal_type = self._lbrr_enc.ec_prev_signal_type
+                    self.silk.ec_prev_lag_index = self._lbrr_enc.ec_prev_lag_index
+                self.silk.encode_frame(enc, x16, headroom=headroom, write_header=False)
             else:
                 self.silk.encode_frame(enc, x16, headroom=headroom)
             silk_bits = enc.tell()
@@ -298,6 +321,8 @@ class Encoder:
         # CELT high bands share the remaining budget.
         self.celt.encode(pcm, nb_bytes, enc=enc)
         enc.done()
+        if getattr(self, "_lbrr_enc", None) is not None and self.channels == 1:
+            self._lbrr_prev = x16.copy()
         self._rng = enc.rng & 0xFFFFFFFF
         toc = ((_HYBRID_20MS_SWB - (1 if ms == 10 else 0)) << 3) | (
             0x4 if self.channels == 2 else 0)
