@@ -79,17 +79,16 @@ class Encoder:
                 self.silk_fs_khz = min(_vbw[self.config.bandwidth], self.rate // 1000)
             else:
                 self.silk_fs_khz = 16 if self.rate >= 16000 else self.rate // 1000
-            if self.config.fec and self.channels != 1:
-                raise BadArguments("in-band FEC is mono voice only for now")
-            self._lbrr_enc = SilkEncoder(self.silk_fs_khz) if self.config.fec else None
             self._lbrr_prev = None
             if self.channels == 2:
                 from .silk.stereo_encoder import SilkStereoEncoder
 
+                self._lbrr_enc = SilkStereoEncoder(self.silk_fs_khz) if self.config.fec else None
                 self.silk = SilkStereoEncoder(self.silk_fs_khz)
                 self._resampler = None if self.rate == self.silk_fs_khz * 1000 else [
                     Resampler(self.rate, self.silk_fs_khz * 1000) for _ in range(2)]
             else:
+                self._lbrr_enc = SilkEncoder(self.silk_fs_khz) if self.config.fec else None
                 self.silk = SilkEncoder(self.silk_fs_khz)
                 self._resampler = (
                     None
@@ -232,7 +231,15 @@ class Encoder:
                 if self._resampler is not None:
                     xc = np.array(self._resampler[c].process([int(v) for v in xc]), dtype=np.int16)
                 chans.append(xc)
-            payload = self.silk.encode_packet_cbr(chans[0], chans[1], budget)
+            if self._lbrr_enc is not None:
+                payload = self.silk.encode_packet_cbr(
+                    chans[0], chans[1], budget,
+                    lbrr_x=self._lbrr_prev if self._lbrr_prev is not None
+                    and len(self._lbrr_prev[0]) == len(chans[0]) else None,
+                    lbrr_enc=self._lbrr_enc)
+                self._lbrr_prev = (chans[0].copy(), chans[1].copy())
+            else:
+                payload = self.silk.encode_packet_cbr(chans[0], chans[1], budget)
         else:
             x48 = np.clip(pcm[:, 0] * 32768.0, -32768, 32767).astype(np.int16)
             if self._resampler is not None:

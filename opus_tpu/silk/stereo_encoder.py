@@ -102,8 +102,17 @@ class SilkStereoEncoder:
         return c
 
     def encode_packet_cbr(self, left: np.ndarray, right: np.ndarray,
-                          budget_bytes: int) -> bytes:
-        """Encode one 20/40/60 ms stereo block -> SILK payload bytes."""
+                          budget_bytes: int,
+                          lbrr_x: tuple | None = None,
+                          lbrr_enc: "SilkStereoEncoder | None" = None) -> bytes:
+        """Encode one 10-60 ms stereo block -> SILK payload bytes.
+
+        In-band FEC: ``lbrr_x = (prev_left, prev_right)`` is re-encoded
+        coarsely by ``lbrr_enc`` (a separate SilkStereoEncoder) into LBRR
+        frames before the regular frames, per the decoder's stereo skip
+        path (silk/api.py: stereo pred + mid + side per LBRR frame, all
+        per-frame LBRR flags set).
+        """
         from ..rc.encoder import RangeEncoder
 
         L = self.mid.frame_length
@@ -116,23 +125,42 @@ class SilkStereoEncoder:
         rf = right.astype(np.int64)
         mid = np.array([rshift_round(int(a + b), 1) for a, b in zip(lf, rf)], np.int64)
         side = np.array([sat16(rshift_round(int(a - b), 1)) for a, b in zip(lf, rf)], np.int64)
+        has_lbrr = lbrr_x is not None and lbrr_enc is not None
+        if has_lbrr:
+            ll = lbrr_x[0].astype(np.int64)
+            lr = lbrr_x[1].astype(np.int64)
+            lmid = np.array([rshift_round(int(a + b), 1) for a, b in zip(ll, lr)], np.int64)
+            lside = np.array([sat16(rshift_round(int(a - b), 1)) for a, b in zip(ll, lr)], np.int64)
 
         headroom = 1.8
-        saved = (self._snapshot(self.mid), self._snapshot(self.side),
-                 list(self.pred_prev_q13), list(self.s_mid), self.mid_hist)
+        saved = self.snapshot()
+        saved_lbrr = lbrr_enc.snapshot() if has_lbrr else None
         payload = b""
         for _ in range(6):
-            self._restore(self.mid, saved[0])
-            self._restore(self.side, saved[1])
-            self.pred_prev_q13 = list(saved[2])
-            self.s_mid = list(saved[3])
-            self.mid_hist = saved[4]
+            self.restore(saved)
+            if has_lbrr:
+                lbrr_enc.restore(saved_lbrr)
             buf = bytearray(2800)
             enc = RangeEncoder(buf)
             for ch in range(2):
                 for f in range(nf):
                     enc.encode_bit_logp(1, 1)  # VAD
-                enc.encode_bit_logp(0, 1)  # LBRR
+                enc.encode_bit_logp(1 if has_lbrr else 0, 1)  # LBRR (per channel)
+            if has_lbrr:
+                for ch in range(2):  # per-channel LBRR frame flags, all set
+                    if nf > 1:
+                        tbl = T.LBRR_FLAGS_2_ICDF if nf == 2 else T.LBRR_FLAGS_3_ICDF
+                        enc.encode_icdf((1 << nf) - 2, tbl, 8)
+                for e_dst, e_src in ((lbrr_enc.mid, self.mid), (lbrr_enc.side, self.side)):
+                    e_dst.ec_prev_signal_type = e_src.ec_prev_signal_type
+                    e_dst.ec_prev_lag_index = e_src.ec_prev_lag_index
+                for f in range(nf):
+                    lbrr_enc._encode_stereo_frame(
+                        enc, lmid[f * L : (f + 1) * L], lside[f * L : (f + 1) * L],
+                        headroom * 2.0, cond=f > 0)
+                for e_dst, e_src in ((self.mid, lbrr_enc.mid), (self.side, lbrr_enc.side)):
+                    e_dst.ec_prev_signal_type = e_src.ec_prev_signal_type
+                    e_dst.ec_prev_lag_index = e_src.ec_prev_lag_index
             for f in range(nf):
                 m = mid[f * L : (f + 1) * L]
                 s = side[f * L : (f + 1) * L]
