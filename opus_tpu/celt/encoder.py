@@ -124,8 +124,11 @@ class CeltEncoder:
         tf_res = self._tf_analysis(x_, start, eff_end, lm, m, c_, is_transient)
         tf_res = self._tf_encode(enc, start, end, is_transient, lm, nb_bytes, tf_res)
 
+        spread = self._spread_decision(x_, band_e, start, eff_end, m, c_)
         if enc.tell() + 4 <= total_bits:
-            enc.encode_icdf(SPREAD_NORMAL, SPREAD_ICDF, 5)
+            enc.encode_icdf(spread, SPREAD_ICDF, 5)
+        else:
+            spread = SPREAD_NORMAL
 
         cap = init_caps(lm, c_)
         # Dynalloc: boost bands whose energy pops far above their smoothed
@@ -192,7 +195,7 @@ class CeltEncoder:
         collapse_masks = np.zeros((modes.NB_E_BANDS, c_), dtype=np.int32)
         self.rng = quant_all_bands(
             True, start, end, x_, x_[n:] if c_ == 2 else None, collapse_masks,
-            band_e, pulses, is_transient, SPREAD_NORMAL, dual_stereo, intensity, tf_res,
+            band_e, pulses, is_transient, spread, dual_stereo, intensity, tf_res,
             nb_bytes * (8 << BITRES) - anti_collapse_rsv, balance, enc, lm,
             coded_bands, self.rng, complexity=0,
         )
@@ -222,6 +225,38 @@ class CeltEncoder:
         self.rng = enc.rng
         self.frame_count += 1
         return bytes(buf)
+
+    def _spread_decision(self, x_, band_e, start, end, m, c_):
+        """Spreading from spectral concentration: the energy-weighted mean
+        inverse participation ratio of the normalised bands (bands are
+        unit-normalised, so the weighting must come from the pre-norm
+        energies or silent bands drown the tonality signal).  Concentrated
+        (tonal) spectra rotate less (NONE/LIGHT) so pulses stay on peaks;
+        noise-like spectra keep NORMAL.  Any coded value is conformant —
+        the decoder inverts whatever is signalled."""
+        from .vq import SPREAD_LIGHT, SPREAD_NONE
+
+        ipr_sum, w_sum = 0.0, 0.0
+        for i in range(start, end):
+            a = m * int(modes.E_BANDS[i])
+            b = m * int(modes.E_BANDS[i + 1])
+            if b - a < 4:
+                continue
+            v = x_[a:b]
+            e2 = float(np.dot(v, v))
+            if e2 < 1e-12:
+                continue
+            w = float(band_e[0][i]) ** 2
+            ipr_sum += w * (b - a) * float(np.sum(v**4)) / (e2 * e2)
+            w_sum += w
+        if w_sum <= 0:
+            return SPREAD_NORMAL
+        ipr = ipr_sum / w_sum  # ~1-3 for noise, >> 1 for tonal peaks
+        if ipr > 12.0:
+            return SPREAD_NONE
+        if ipr > 6.0:
+            return SPREAD_LIGHT
+        return SPREAD_NORMAL
 
     def _dynalloc_analysis(self, band_log_e, start, end, lm, c_, cap):
         """Per-band boost targets (1/8-bit units): bands whose log-energy
