@@ -103,7 +103,20 @@ class CeltEncoder:
         # --- header flags --------------------------------------------------
         tell = enc.tell()
         if tell == 1:
-            enc.encode_bit_logp(0, 15)  # not silence
+            # Silence flag: a digitally-silent frame codes as one symbol and
+            # the decoder skips the rest (decoder.py silence path, which
+            # also resets its energy memory to -28).
+            silence = bool(np.max(band_log_e[:c_, :eff_end]) < -25.0)
+            enc.encode_bit_logp(1 if silence else 0, 15)
+            if silence:
+                self.old_band_e[:, :] = -28.0
+                self.rng = enc.rng
+                self.frame_count += 1
+                if shared:
+                    return b""
+                enc.done()
+                self.rng = enc.rng
+                return bytes(buf)
         tell = enc.tell()
         if start == 0 and tell + 16 <= total_bits:
             enc.encode_bit_logp(0, 1)  # no post-filter

@@ -193,6 +193,11 @@ class Encoder:
         sub = max(n // 8, 1)
         e = (x[: (n // sub) * sub].reshape(-1, sub, x.shape[1]) ** 2).sum(axis=(1, 2)) + 1e-12
         rms = float(np.sqrt(np.mean(x**2)))
+        if rms < 1e-6:
+            # Digital silence: the CELT silence flag codes the frame in one
+            # symbol, so two payload bytes suffice (reservoir refills).
+            self._vbr_reservoir = min(4.0 * base, self._vbr_reservoir + base - 2)
+            return 2
         boost = 1.0
         if len(e) >= 2:
             floor = np.minimum.accumulate(np.concatenate([[e[0]], e[:-1]]))
