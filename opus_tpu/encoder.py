@@ -51,9 +51,10 @@ class EncoderConfiguration:
     #: "NB"/"MB"/"WB" forces the SILK internal rate (8/12/16 kHz);
     #: default "FB" = auto from the input rate.
     bandwidth: str = "FB"
-    #: In-band FEC (voice mono): each packet also carries a coarse LBRR
-    #: re-encode of the previous frame; receivers recover one lost packet
-    #: with decode(next_packet, decode_fec=True).
+    #: In-band FEC (voice + hybrid, mono + stereo): each packet also
+    #: carries a coarse LBRR re-encode of the previous frame's SILK band;
+    #: receivers recover one lost packet with
+    #: decode(next_packet, decode_fec=True).
     fec: bool = False
 
 
@@ -103,16 +104,15 @@ class Encoder:
             from .silk.resampler import Resampler
 
             self.silk_fs_khz = 16
-            if self.config.fec and self.channels != 1:
-                raise BadArguments("in-band FEC is mono only for now")
-            self._lbrr_enc = SilkEncoder(16) if self.config.fec else None
             self._lbrr_prev = None
             if self.channels == 2:
                 from .silk.stereo_encoder import SilkStereoEncoder
 
+                self._lbrr_enc = SilkStereoEncoder(16) if self.config.fec else None
                 self.silk = SilkStereoEncoder(16)
                 self._resampler = [Resampler(48000, 16000) for _ in range(2)]
             else:
+                self._lbrr_enc = SilkEncoder(16) if self.config.fec else None
                 self.silk = SilkEncoder(16)
                 self._resampler = Resampler(48000, 16000)
             self.celt = CeltEncoder(self.channels)
@@ -301,7 +301,16 @@ class Encoder:
                 celt_state[3], celt_state[4])
             buf = bytearray(nb_bytes)
             enc = RangeEncoder(buf)
-            if self.channels == 2:
+            if self.channels == 2 and self._lbrr_enc is not None:
+                has_lbrr = (self._lbrr_prev is not None
+                            and len(self._lbrr_prev[0]) == len(x16[0]))
+                if saved_lbrr is not None:
+                    self._lbrr_enc.restore(saved_lbrr)
+                self.silk.encode_frame_into(
+                    enc, x16[0], x16[1], headroom,
+                    lbrr_x=self._lbrr_prev if has_lbrr else None,
+                    lbrr_enc=self._lbrr_enc if has_lbrr else None)
+            elif self.channels == 2:
                 self.silk.encode_frame_into(enc, x16[0], x16[1], headroom)
             elif self._lbrr_enc is not None:
                 # Hybrid in-band FEC: VAD + LBRR flags, then the LBRR
@@ -333,8 +342,9 @@ class Encoder:
         # CELT high bands share the remaining budget.
         self.celt.encode(pcm, nb_bytes, enc=enc)
         enc.done()
-        if getattr(self, "_lbrr_enc", None) is not None and self.channels == 1:
-            self._lbrr_prev = x16.copy()
+        if getattr(self, "_lbrr_enc", None) is not None:
+            self._lbrr_prev = ((x16[0].copy(), x16[1].copy())
+                               if self.channels == 2 else x16.copy())
         self._rng = enc.rng & 0xFFFFFFFF
         toc = ((_HYBRID_20MS_SWB - (1 if ms == 10 else 0)) << 3) | (
             0x4 if self.channels == 2 else 0)

@@ -176,16 +176,33 @@ class SilkStereoEncoder:
         return payload
 
     def encode_frame_into(self, enc, left: np.ndarray, right: np.ndarray,
-                          headroom: float) -> None:
-        """Write one 20 ms stereo SILK frame (with header flags) into a
-        shared RangeEncoder — the hybrid-mode low band."""
+                          headroom: float,
+                          lbrr_x: tuple | None = None,
+                          lbrr_enc: "SilkStereoEncoder | None" = None) -> None:
+        """Write one 10/20 ms stereo SILK frame (with header flags) into a
+        shared RangeEncoder — the hybrid-mode low band.  With ``lbrr_x``
+        (previous frame's left/right) and ``lbrr_enc``, an LBRR stereo
+        frame precedes the regular frame (hybrid in-band FEC)."""
         lf = left.astype(np.int64)
         rf = right.astype(np.int64)
         mid = np.array([rshift_round(int(a + b), 1) for a, b in zip(lf, rf)], np.int64)
         side = np.array([sat16(rshift_round(int(a - b), 1)) for a, b in zip(lf, rf)], np.int64)
+        has_lbrr = lbrr_x is not None and lbrr_enc is not None
         for _ch in range(2):
             enc.encode_bit_logp(1, 1)  # VAD
-            enc.encode_bit_logp(0, 1)  # LBRR
+            enc.encode_bit_logp(1 if has_lbrr else 0, 1)  # LBRR
+        if has_lbrr:
+            ll = lbrr_x[0].astype(np.int64)
+            lr = lbrr_x[1].astype(np.int64)
+            lmid = np.array([rshift_round(int(a + b), 1) for a, b in zip(ll, lr)], np.int64)
+            lside = np.array([sat16(rshift_round(int(a - b), 1)) for a, b in zip(ll, lr)], np.int64)
+            for e_dst, e_src in ((lbrr_enc.mid, self.mid), (lbrr_enc.side, self.side)):
+                e_dst.ec_prev_signal_type = e_src.ec_prev_signal_type
+                e_dst.ec_prev_lag_index = e_src.ec_prev_lag_index
+            lbrr_enc._encode_stereo_frame(enc, lmid, lside, headroom * 2.0, cond=False)
+            for e_dst, e_src in ((self.mid, lbrr_enc.mid), (self.side, lbrr_enc.side)):
+                e_dst.ec_prev_signal_type = e_src.ec_prev_signal_type
+                e_dst.ec_prev_lag_index = e_src.ec_prev_lag_index
         self._encode_stereo_frame(enc, mid, side, headroom, cond=False)
 
     def snapshot(self):
