@@ -159,3 +159,49 @@ def test_celt_bandwidth_limited(bw, cfg, endband):
         m = mine.decode_float(pkt, frame)
         assert ref.final_range == mine.final_range, f
         assert float(np.abs(m - r).max()) < 1e-5
+
+
+def test_celt_silence_flag():
+    """Digitally-silent frames code the CELT silence flag; VBR shrinks
+    them to 3 bytes; energy memory resets match the decoder."""
+    frame = 960
+    t = np.arange(frame * 12) / 48000
+    sig = (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    sig[frame * 4 : frame * 8] = 0.0
+    enc = Encoder(EncoderConfiguration(SamplingRate.HZ_48000, Channels.MONO, 64000,
+                                       application="music", vbr=True))
+    ref = oracle.Decoder(48000, 1)
+    mine = Decoder(DecoderConfiguration(SamplingRate.HZ_48000, Channels.MONO))
+    sizes = []
+    for f in range(12):
+        pkt = enc.encode(sig[f * frame : (f + 1) * frame, None])
+        sizes.append(len(pkt))
+        r = np.asarray(ref.decode_float(pkt, frame)).reshape(-1)
+        m = mine.decode_float(pkt, frame)[:, 0]
+        assert ref.final_range == mine.final_range, f
+        assert float(np.abs(m - r).max()) < 1e-5
+    assert all(s == 3 for s in sizes[4:8]), sizes
+
+
+def test_spread_decision_tonal_vs_noise():
+    """Tonal frames choose LIGHT/NONE spreading; noise stays NORMAL."""
+    import opus_tpu.celt.encoder as CE
+
+    frame = 960
+    t = np.arange(frame * 8) / 48000
+    rng = np.random.default_rng(11)
+    decs = {}
+    orig = CE.CeltEncoder._spread_decision
+    for name, sig in [("tone", (0.5 * np.sin(2 * np.pi * 1000 * t)).astype(np.float32)),
+                      ("noise", (0.2 * rng.standard_normal(frame * 8)).astype(np.float32))]:
+        got = []
+        CE.CeltEncoder._spread_decision = lambda self, *a: got.append(orig(self, *a)) or got[-1]
+        enc = Encoder(EncoderConfiguration(SamplingRate.HZ_48000, Channels.MONO, 64000,
+                                           application="music"))
+        ref = oracle.Decoder(48000, 1)
+        for f in range(8):
+            ref.decode_float(enc.encode(sig[f * frame : (f + 1) * frame, None]), frame)
+        decs[name] = got
+        CE.CeltEncoder._spread_decision = orig
+    assert any(v < 2 for v in decs["tone"]), decs["tone"]
+    assert all(v == 2 for v in decs["noise"]), decs["noise"]

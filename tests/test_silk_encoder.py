@@ -272,3 +272,55 @@ def test_inband_fec_encode(ms):
     m2 = mine.decode_float(pkts[5], frame)[:, 0]
     assert ref.final_range == mine.final_range
     assert float(np.abs(m2 - r2).max()) < 1e-6
+
+
+@pytest.mark.parametrize("app,ch", [("voice", 2), ("hybrid", 1), ("hybrid", 2)])
+def test_inband_fec_all_modes(app, ch):
+    """FEC matrix: stereo voice and mono/stereo hybrid LBRR — normal decode
+    skips bit-exactly; FEC recovery matches libopus."""
+    rate = 16000 if app == "voice" else 48000
+    frame = rate // 50
+    t = np.arange(frame * 8) / rate
+    rng = np.random.default_rng(9)
+    phase = np.cumsum(2 * np.pi * (120 + 30 * np.sin(2 * np.pi * 3 * t)) / rate)
+    s = 0.3 * np.sign(np.sin(phase)) * np.exp(-3 * (t % 0.01) * 100) + 0.02 * rng.standard_normal(frame * 8)
+    if app == "hybrid":
+        s = s + 0.06 * np.sin(2 * np.pi * 9500 * t)
+    pcm = (np.stack([s, np.roll(s, 17) * 0.8], -1) if ch == 2 else s[:, None]).astype(np.float32)
+    enc = Encoder(EncoderConfiguration(SamplingRate(rate), Channels(ch), 40000 * ch,
+                                       application=app, fec=True))
+    pkts = [enc.encode(pcm[f * frame : (f + 1) * frame]) for f in range(8)]
+    ref = oracle.Decoder(rate, ch)
+    mine = Decoder(DecoderConfiguration(SamplingRate(rate), Channels(ch)))
+    tol = 2e-5 if app == "hybrid" else 1e-6
+    for f in range(4):
+        r = np.asarray(ref.decode_float(pkts[f], frame)).reshape(frame, ch)
+        m = mine.decode_float(pkts[f], frame)
+        assert ref.final_range == mine.final_range, f
+        assert float(np.abs(m - r).max()) < tol
+    r = np.asarray(ref.decode_float(pkts[5], frame, fec=True)).reshape(frame, ch)
+    m = mine.decode_float(pkts[5], frame, decode_fec=True)
+    assert float(np.abs(m - r).max()) < tol
+
+
+def test_voice_bandwidth_forcing():
+    """bandwidth=NB/MB/WB forces the SILK internal rate from 48k input."""
+    from opus_tpu import query_packet_bandwidth
+
+    t = np.arange(48000) / 48000
+    rng = np.random.default_rng(7)
+    phase = np.cumsum(2 * np.pi * (120 + 30 * np.sin(2 * np.pi * 3 * t)) / 48000)
+    sig = (0.35 * np.sign(np.sin(phase)) * np.exp(-3 * (t % 0.01) * 100)
+           + 0.02 * rng.standard_normal(48000)).astype(np.float32)
+    for bw, want in [("NB", "NARROWBAND"), ("MB", "MEDIUMBAND"), ("WB", "WIDEBAND")]:
+        enc = Encoder(EncoderConfiguration(SamplingRate.HZ_48000, Channels.MONO, 20000,
+                                           application="voice", bandwidth=bw))
+        ref = oracle.Decoder(48000, 1)
+        mine = Decoder(DecoderConfiguration(SamplingRate.HZ_48000, Channels.MONO))
+        for f in range(4):
+            pkt = enc.encode(sig[f * 960 : (f + 1) * 960, None])
+            assert query_packet_bandwidth(pkt).name == want
+            r = np.asarray(ref.decode_float(pkt, 960)).reshape(-1)
+            m = mine.decode_float(pkt, 960)[:, 0]
+            assert ref.final_range == mine.final_range
+            assert float(np.abs(m - r).max()) < 1e-6
