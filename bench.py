@@ -85,6 +85,26 @@ def main() -> None:
     e2e_rate = audio_sec_per_step / (host_elapsed + p50)
     projected_16core = audio_sec_per_step / (host_elapsed * min(cores, 16) / 16 + p50)
 
+    # --- Device-plane scaling (extras): one chip is latency-bound below
+    # ~4k streams; measure the throughput-bound regime too.
+    device_rate_8k = 0.0
+    try:
+        B8 = 8192
+        reps = B8 // BATCH
+        arrays8 = [jnp.asarray(np.concatenate([np.asarray(a)] * reps, axis=0)) for a in stacked]
+        state8 = init_state(B8, 2)
+        state8, out8 = step(state8, *arrays8)
+        out8.block_until_ready()
+        best = float("inf")
+        for _ in range(5):
+            t1 = time.perf_counter()
+            state8, out8 = step(state8, *arrays8)
+            out8.block_until_ready()
+            best = min(best, time.perf_counter() - t1)
+        device_rate_8k = B8 * (FRAME / 48000.0) / best
+    except Exception:
+        pass
+
     # --- SILK voice path (extras): native host engine + TPU device plane ---
     silk_host_rate = silk_device_rate = 0.0
     try:
@@ -143,6 +163,7 @@ def main() -> None:
         "unit": "audio-sec/s end-to-end (48kHz stereo, 1024 streams, native C++ plane A + TPU plane B)",
         "vs_baseline": round(e2e_rate / 5000.0, 3),
         "device_plane_audio_sec_per_sec": round(device_rate, 1),
+        "device_plane_8192_streams_audio_sec_per_sec": round(device_rate_8k, 1),
         "p50_step_ms": round(p50 * 1e3, 3),
         "host_plane_native_audio_sec_per_sec_per_core": round(host_rate, 1),
         "host_plane_python_audio_sec_per_sec_per_core": round(py_host_rate, 2),
