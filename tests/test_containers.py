@@ -151,3 +151,48 @@ def test_ogg_roundtrip_and_libopusfile():
     ours = np.concatenate([dec.decode_float(p, 960) for p in r.audio_packets])[120:]
     nmin = min(len(ours), len(decoded))
     assert float(np.abs(decoded[:nmin] - ours[:nmin]).max()) < 2e-5
+
+
+def test_surround_ogg_roundtrip():
+    """5.1-layout multistream inside Ogg (mapping family 1): header fields
+    survive the container and every packet decodes identically in our
+    MultistreamDecoder and libopus."""
+    import io
+
+    import numpy as np
+
+    from opus_tpu import oracle
+    from opus_tpu.multistream import MultistreamDecoder, MultistreamEncoder
+    from opus_tpu.ogg import OggOpusReader, OggOpusWriter, OpusHead
+    from opus_tpu.types import SamplingRate
+
+    if not oracle.available():
+        import pytest
+
+        pytest.skip("libopus not present")
+    ch, streams, coupled = 6, 4, 2
+    mapping = [0, 4, 1, 2, 3, 5]
+    enc = MultistreamEncoder(SamplingRate.HZ_48000, ch, streams, coupled, mapping,
+                             bitrate_per_stream=96000)
+    t = np.arange(960 * 6) / 48000
+    rng = np.random.default_rng(5)
+    pcm = np.stack([0.25 * np.sin(2 * np.pi * (180 + 70 * k) * t)
+                    + 0.02 * rng.standard_normal(len(t)) for k in range(ch)], -1).astype(np.float32)
+    head = OpusHead(channels=ch, pre_skip=0, mapping_family=1, streams=streams,
+                    coupled=coupled, mapping=tuple(mapping))
+    buf = io.BytesIO()
+    w = OggOpusWriter(buf, head)
+    for f in range(6):
+        w.write_packet(enc.encode(pcm[f * 960 : (f + 1) * 960]), 960, end_of_stream=f == 5)
+    w.close()
+    r = OggOpusReader(buf.getvalue())
+    h = r.head
+    assert (h.channels, h.mapping_family, h.streams, h.coupled, tuple(h.mapping)) == (
+        ch, 1, streams, coupled, tuple(mapping))
+    dec = MultistreamDecoder(SamplingRate.HZ_48000, ch, h.streams, h.coupled, list(h.mapping))
+    ref = oracle.MultistreamDecoder(48000, ch, streams, coupled, mapping)
+    for pkt in r.packets[2:]:
+        m = dec.decode(pkt, 960)
+        rr = np.asarray(ref.decode_float(pkt, 960)).reshape(960, ch)
+        assert dec.final_range == ref.final_range
+        assert float(np.abs(m - rr).max()) < 1e-5
