@@ -196,7 +196,15 @@ class CeltEncoder:
                 intensity = min(12, end)
             elif bps < 56000:
                 intensity = min(16, end)
+        # Dual stereo: decorrelated channels waste theta bits on a
+        # meaningless mid/side angle; code them separately instead.
         dual_stereo = False
+        if c_ == 2:
+            a_ch = band_input[0, ov:]
+            b_ch = band_input[1, ov:]
+            den = (float(np.dot(a_ch, a_ch)) * float(np.dot(b_ch, b_ch))) ** 0.5
+            if den > 1e-9 and abs(float(np.dot(a_ch, b_ch))) / den < 0.3:
+                dual_stereo = True
         pulses, fine_quant, fine_priority, coded_bands, intensity, dual_stereo, balance = compute_allocation(
             start, end, offsets, cap, alloc_trim, intensity, dual_stereo,
             bits, c_, lm, enc, True, 0, end,
