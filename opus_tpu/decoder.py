@@ -7,9 +7,9 @@ the ToC (mode, bandwidth, frame size, stream channels), the multi-frame
 sequential loop, PLC, FEC, CELT<->SILK transition fades, redundancy frames
 with both-direction cross-fades, Q8-dB gain, and final_range exposure.
 
-SILK-mode packets are dispatched to opus_tpu.silk (decoder milestone in
-progress); CELT-only streams are fully supported and conformance-tested
-against libopus.
+SILK-mode packets are dispatched to opus_tpu.silk; SILK, CELT, and hybrid
+streams are all conformance-tested against libopus (tests/test_decoder.py,
+tests/test_silk.py, tests/test_celt_decoder.py).
 """
 
 from __future__ import annotations

@@ -4,9 +4,9 @@ conforming decoder (validated against both our decoder and libopus).
 Design: the bitstream layer is the exact inverse of our bit-exact decoder
 (opus_tpu/silk/{bitstream,decoder}.py); all decoder-visible state (gain
 index chain, NLSF dequant) is replayed with the decoder's own integer
-code so the stream can never desynchronise.  Analysis is deliberately
-simple for round 1 — unvoiced frames only (no LTP search), Burg LPC,
-greedy NLSF codebook search, per-subframe residual-energy gains.
+code so the stream can never desynchronise.  Analysis: Burg LPC, greedy
+NLSF codebook search, per-subframe residual-energy gains, and a voiced
+path with cross-frame LTP search (see find_pitch_lags/ltp_search below).
 Reference surface: the encoder stub at /root/reference/src/silk/encoder.rs.
 """
 
