@@ -81,10 +81,6 @@ class BatchedMultistreamDecoder:
             for s, sub in enumerate(subs):
                 payloads.append(sub)
                 schs.append(2 if s < self.coupled else 1)
-        # The native batch front end takes per-stream channel counts.
-        if self.core.use_native:
-            sch = np.array(schs, dtype=np.int32)
-            self.core.native_sch = sch
         pcm = self._decode_elementary(payloads, schs, frame_size)
         # Un-map: [B*S, n, 2] -> [B, channels, n]
         B, S = self.batch, self.streams
@@ -99,75 +95,13 @@ class BatchedMultistreamDecoder:
     def _decode_elementary(self, payloads, schs, frame_size):
         core = self.core
         if core.use_native:
-            # Per-stream channel counts: drive the native batch directly.
-            import ctypes
-
-            import jax.numpy as jnp
-
-            nat = core.native
-            B = nat.batch
-            blob = b"".join(payloads)
-            lens = np.array([len(p) for p in payloads], dtype=np.int32)
-            sch = np.array(schs, dtype=np.int32)
-            n48 = frame_size * core.downsample
-            x = np.zeros((B, 2 * 960), dtype=np.float32)
-            ble = np.zeros((B, 2, 21), dtype=np.float32)
-            meta = np.zeros((B, 16), dtype=np.int32)
-            gains = np.zeros((B, 3), dtype=np.float32)
-            rc = nat.lib.celt_fe_decode_batch_f32(
-                nat.handles, blob,
-                lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), B, n48,
-                sch.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), x.shape[1],
-                ble.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                gains.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            )
-            if rc != B:
-                raise ValueError(f"multistream batch decode failed at {-rc-1}")
-            arrays_np, lm, short_mask = self._stack_from_native(x, ble, meta, gains)
-            arrays = [jnp.asarray(a) for a in arrays_np]
-            if not short_mask.any() or short_mask.all():
-                step = core._step_fn(lm, bool(short_mask[0]))
-                core.state, pcm = step(core.state, *arrays)
-                return np.asarray(pcm)
-            from ..dsp.synthesis import SynthState
-
-            state_long, pcm_long = core._step_fn(lm, False)(core.state, *arrays)
-            state_short, pcm_short = core._step_fn(lm, True)(core.state, *arrays)
-            m = jnp.asarray(short_mask)
-            core.state = SynthState(
-                jnp.where(m[:, None, None], state_short.mem, state_long.mem),
-                jnp.where(m[:, None], state_short.preemph, state_long.preemph),
-            )
-            return np.asarray(jnp.where(m[:, None, None], pcm_short, pcm_long))
+            # Per-stream channel counts drive the shared raw pipeline path.
+            return core.decode_frames(payloads, frame_size,
+                                      stream_channels=np.array(schs, np.int32))
         # Python plane fallback.
         for front, sch in zip(core.fronts, schs):
             front.stream_channels = sch
         return core.synthesize(core.extract(payloads, frame_size), frame_size)
-
-    def _stack_from_native(self, x, ble, meta, gains):
-        from ..celt import modes
-
-        lm = int(meta[0, 2])
-        n = (1 << lm) * 120
-        B = self.batch * self.streams
-        xs = x[:, : 2 * n].reshape(B, 2, n)
-        mono = (meta[:, 3] == 1)[:, None, None]
-        xq = np.where(mono, np.broadcast_to(xs[:, :1, :], (B, 2, n)), xs)
-        loge = ble
-        m = 1 << lm
-        bound = m * modes.E_BANDS[meta[:, 5]]
-        bound = np.where(meta[:, 0] != 0, 0, bound).astype(np.int32)
-        periods = meta[:, 6:9].copy()
-        periods[:, 2] = np.maximum(periods[:, 2], 0)
-        return (
-            (np.ascontiguousarray(xq), loge, bound,
-             periods.astype(np.int32), gains,
-             meta[:, 9:12].astype(np.int32)),
-            lm,
-            meta[:, 1] != 0,
-        )
 
     def final_ranges(self) -> list[int]:
         """Per-session XOR of elementary final ranges (opus multistream)."""

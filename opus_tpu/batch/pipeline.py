@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from ..celt import modes
 from ..celt.decoder import CeltDecoder
-from ..dsp.synthesis import SynthState, init_state, make_synthesis_step
+from ..dsp.synthesis import SynthState, init_state, make_pipeline_step, make_synthesis_step
 
 
 class BatchedCeltDecoder:
@@ -65,6 +65,70 @@ class BatchedCeltDecoder:
                 lm, short_blocks, self.channels, self.downsample
             )
         return self._steps[key]
+
+    def _pipe_step_fn(self, lm: int, short_blocks: bool):
+        key = ("raw", lm, short_blocks)
+        if key not in self._steps:
+            self._steps[key] = make_pipeline_step(
+                lm, short_blocks, self.channels, self.downsample
+            )
+        return self._steps[key]
+
+    def _raw_args(self, frame_size: int, packets: list[bytes], stream_channels=None):
+        """Plane A -> raw jit-ready args; all heavy prep happens on device.
+
+        Returns (lm, short_mask, args) with args = (xraw, mono, ble, bound,
+        periods, gains, tapsets); only [B]-sized numpy work on the host.
+        """
+        x, ble, meta, gains = self.native.decode_batch_f32(
+            packets, frame_size, stream_channels
+        )
+        lm = int(meta[0, 2])
+        if not (meta[:, 2] == lm).all():
+            raise ValueError("mixed frame sizes in one step not supported")
+        n = (1 << lm) * modes.SHORT_MDCT_SIZE
+        m = 1 << lm
+        bound = m * modes.E_BANDS[meta[:, 5]]
+        if self.downsample != 1:
+            bound = np.minimum(bound, n // self.downsample)
+        bound = np.where(meta[:, 0] != 0, 0, bound).astype(np.int32)
+        periods = meta[:, 6:9].copy()
+        periods[:, 2] = np.maximum(periods[:, 2], 0)
+        tapsets = np.ascontiguousarray(meta[:, 9:12])
+        mono = meta[:, 3] == 1
+        short_mask = meta[:, 1] != 0
+        args = (x, mono, ble, bound, periods.astype(np.int32), gains, tapsets)
+        return lm, short_mask, args
+
+    def _dispatch(self, lm: int, short_mask: np.ndarray, args):
+        """Run the right synthesis variant(s); async — no host sync."""
+        jargs = [jnp.asarray(a) for a in args]
+        if not short_mask.any() or short_mask.all():
+            step = self._pipe_step_fn(lm, bool(short_mask[0]))
+            self.state, pcm = step(self.state, *jargs)
+            return pcm
+        state_long, pcm_long = self._pipe_step_fn(lm, False)(self.state, *jargs)
+        state_short, pcm_short = self._pipe_step_fn(lm, True)(self.state, *jargs)
+        msk = jnp.asarray(short_mask)
+        self.state = SynthState(
+            jnp.where(msk[:, None, None], state_short.mem, state_long.mem),
+            jnp.where(msk[:, None], state_short.preemph, state_long.preemph),
+        )
+        return jnp.where(msk[:, None, None], pcm_short, pcm_long)
+
+    def run_pipelined(self, batches: list[list[bytes]], frame_size: int):
+        """Decode a sequence of per-step packet batches, overlapping plane A
+        (host symbol decode, step t+1) with plane B (device synthesis,
+        step t) via JAX async dispatch.  Returns the last step's PCM (all
+        device work is synced); decode state persists across steps.
+        """
+        pcm = None
+        for packets in batches:
+            lm, short_mask, args = self._raw_args(frame_size, packets)
+            pcm = self._dispatch(lm, short_mask, args)
+        if pcm is not None:
+            pcm.block_until_ready()
+        return pcm
 
     def extract(self, packets: list[bytes], frame_size: int) -> list[dict]:
         """Plane A: run the entropy front end for every stream."""
@@ -204,21 +268,10 @@ class BatchedCeltDecoder:
         short_mask = meta[:, 1] != 0
         return arrays, lm, short_mask
 
-    def decode_frames(self, packets: list[bytes], frame_size: int) -> np.ndarray:
+    def decode_frames(self, packets: list[bytes], frame_size: int,
+                      stream_channels=None) -> np.ndarray:
         """Full pipeline step: entropy plane then device synthesis."""
         if self.use_native:
-            arrays_np, lm, short_mask = self.extract_stacked(packets, frame_size)
-            arrays = [jnp.asarray(a) for a in arrays_np]
-            if not short_mask.any() or short_mask.all():
-                step = self._step_fn(lm, bool(short_mask[0]))
-                self.state, pcm = step(self.state, *arrays)
-                return np.asarray(pcm)
-            state_long, pcm_long = self._step_fn(lm, False)(self.state, *arrays)
-            state_short, pcm_short = self._step_fn(lm, True)(self.state, *arrays)
-            msk = jnp.asarray(short_mask)
-            self.state = SynthState(
-                jnp.where(msk[:, None, None], state_short.mem, state_long.mem),
-                jnp.where(msk[:, None], state_short.preemph, state_long.preemph),
-            )
-            return np.asarray(jnp.where(msk[:, None, None], pcm_short, pcm_long))
+            lm, short_mask, args = self._raw_args(frame_size, packets, stream_channels)
+            return np.asarray(self._dispatch(lm, short_mask, args))
         return self.synthesize(self.extract(packets, frame_size), frame_size)

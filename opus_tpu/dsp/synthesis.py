@@ -232,3 +232,31 @@ def make_synthesis_step(lm: int, short_blocks: bool, channels: int = 2, downsamp
     # No buffer donation: a mixed transient/long batch runs two variants
     # against the same input state.
     return jax.jit(step)
+
+
+def make_pipeline_step(lm: int, short_blocks: bool, channels: int = 2, downsample: int = 1):
+    """Serving-path variant of make_synthesis_step taking RAW plane-A output.
+
+    The native front end emits x as a flat [B, 2*960] float32 buffer (first
+    stream_channels*N entries valid) and band log-energies as [B, 2, 21];
+    mono-frame broadcast, slicing, and reshape all happen here inside the
+    jit instead of as host-side numpy copies (which at B=1024 cost more
+    than the whole native symbol decode).
+
+    step(state, xraw, mono, band_log_e2, bound, pf_periods, pf_gains,
+    pf_tapsets) -> (state, pcm).
+    """
+    n = (1 << lm) * modes.SHORT_MDCT_SIZE
+    inner = make_synthesis_step(lm, short_blocks, channels, downsample)
+
+    def step(state, xraw, mono, band_log_e2, bound, pf_periods, pf_gains, pf_tapsets):
+        if channels == 2:
+            x = xraw[:, : 2 * n].reshape(-1, 2, n)
+            x = jnp.where(mono[:, None, None], x[:, :1], x)
+            le = jnp.where(mono[:, None, None], band_log_e2[:, :1], band_log_e2)
+        else:
+            x = xraw[:, :n].reshape(-1, 1, n)
+            le = band_log_e2[:, :1]
+        return inner(state, x, le, bound, pf_periods, pf_gains, pf_tapsets)
+
+    return jax.jit(step)

@@ -1,7 +1,11 @@
 """Build the native plane-A engine: g++ -> libceltfe.so (ctypes-loaded).
 
--ffp-contract=off forbids FMA contraction so float arithmetic matches the
-Python reference op-for-op (same IEEE operations in the same order).
+The band-shape plane computes in float32 (libopus float-build semantics)
+with FMA contraction and the host's native SIMD enabled; correctness is
+gated at PCM level against libopus (tests/test_celt_decoder.py) and at
+~1e-4 plane level against the float64 Python reference (tests/test_native.py),
+not at bit level — reassociation-free ordering is still preserved
+(-fno-fast-math), only contraction is allowed.
 """
 
 import pathlib
@@ -16,7 +20,8 @@ def build(verbose: bool = True) -> pathlib.Path:
     out = HERE / "libceltfe.so"
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-        "-ffp-contract=off", "-fno-fast-math", "-fopenmp",
+        "-march=native", "-ffp-contract=fast", "-fno-fast-math", "-fopenmp",
+        "-funroll-loops",
         "-o", str(out), *map(str, srcs),
     ]
     if verbose:

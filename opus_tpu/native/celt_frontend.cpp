@@ -572,18 +572,18 @@ namespace {
 constexpr int SPREAD_NONE_ = 0;
 constexpr int SPREAD_AGGRESSIVE_ = 3;
 constexpr int SPREAD_FACTOR[3] = {15, 10, 5};
-constexpr double EPSILON = 1e-15;
+constexpr float EPSILON = 1e-15;
 
-static void exp_rotation1(double* x, int len, int stride, double c, double s) {
-    double ms = -s;
+static void exp_rotation1(float* x, int len, int stride, float c, float s) {
+    float ms = -s;
     if (stride == 1) {
         // Forward pass: iteration i+1's x1 is the value just written to
         // x[i+1] — carry it in a register (same FP ops, one load less,
         // shorter address chain on the latency-bound recurrence).
-        double x1 = x[0];
+        float x1 = x[0];
         for (int i = 0; i < len - 1; i++) {
-            double x2 = x[i + 1];
-            double nx2 = c * x2 + s * x1;
+            float x2 = x[i + 1];
+            float nx2 = c * x2 + s * x1;
             x[i] = c * x1 + ms * x2;
             x[i + 1] = nx2;
             x1 = nx2;
@@ -591,11 +591,11 @@ static void exp_rotation1(double* x, int len, int stride, double c, double s) {
         // Backward pass: iteration i-1's x2 is the value just written to
         // x[i] — carry it the same way.
         if (len >= 3) {
-            double x2 = x[len - 2];
+            float x2 = x[len - 2];
             for (int i = len - 3; i >= 0; i--) {
-                double x1b = x[i];
+                float x1b = x[i];
                 x[i + 1] = c * x2 + s * x1b;
-                double nx1 = c * x1b + ms * x2;
+                float nx1 = c * x1b + ms * x2;
                 x[i] = nx1;
                 x2 = nx1;
             }
@@ -603,24 +603,24 @@ static void exp_rotation1(double* x, int len, int stride, double c, double s) {
         return;
     }
     for (int i = 0; i < len - stride; i++) {
-        double x1 = x[i], x2 = x[i + stride];
+        float x1 = x[i], x2 = x[i + stride];
         x[i + stride] = c * x2 + s * x1;
         x[i] = c * x1 + ms * x2;
     }
     for (int i = len - 2 * stride - 1; i >= 0; i--) {
-        double x1 = x[i], x2 = x[i + stride];
+        float x1 = x[i], x2 = x[i + stride];
         x[i + stride] = c * x2 + s * x1;
         x[i] = c * x1 + ms * x2;
     }
 }
 
-static void exp_rotation(double* x, int len, int direction, int stride, int k, int spread) {
+static void exp_rotation(float* x, int len, int direction, int stride, int k, int spread) {
     if (2 * k >= len || spread == SPREAD_NONE_) return;
     int factor = SPREAD_FACTOR[spread - 1];
-    double gain = (double)len / (double)(len + factor * k);
-    double theta = 0.5 * gain * gain;
-    double c = std::cos(0.5 * M_PI * theta);
-    double s = std::cos(0.5 * M_PI * (1.0 - theta));
+    float gain = (float)len / (float)(len + factor * k);
+    float theta = 0.5 * gain * gain;
+    float c = std::cos(0.5 * M_PI * theta);
+    float s = std::cos(0.5 * M_PI * (1.0 - theta));
     int stride2 = 0;
     if (len >= 8 * stride) {
         stride2 = 1;
@@ -628,7 +628,7 @@ static void exp_rotation(double* x, int len, int direction, int stride, int k, i
     }
     len /= stride;
     for (int i = 0; i < stride; i++) {
-        double* seg = x + i * len;
+        float* seg = x + i * len;
         if (direction < 0) {
             if (stride2) exp_rotation1(seg, len, stride2, s, c);
             exp_rotation1(seg, len, 1, c, s);
@@ -651,18 +651,18 @@ static uint32_t extract_collapse_mask(const int32_t* iy, int n, int b) {
     return mask;
 }
 
-static void renormalise_vector(double* x, int n, double gain) {
-    double e = EPSILON;
+static void renormalise_vector(float* x, int n, float gain) {
+    float e = EPSILON;
     for (int j = 0; j < n; j++) e += x[j] * x[j];
-    double g = gain / std::sqrt(e);
+    float g = gain / std::sqrt(e);
     for (int j = 0; j < n; j++) x[j] *= g;
 }
 
-static uint32_t alg_unquant(double* x, int n, int k, int spread, int b, RangeDec& dec, double gain) {
+static uint32_t alg_unquant(float* x, int n, int k, int spread, int b, RangeDec& dec, float gain) {
     int32_t iy[256];
     uint64_t ryy;
     decode_pulses(dec, n, k, iy, &ryy);
-    double g = gain / std::sqrt((double)ryy);
+    float g = gain / std::sqrt((float)ryy);
     for (int j = 0; j < n; j++) x[j] = g * iy[j];
     exp_rotation(x, n, -1, b, k, spread);
     return extract_collapse_mask(iy, n, b);
@@ -693,24 +693,24 @@ constexpr uint8_t BIT_DEINTERLEAVE[16] = {0x00, 0x03, 0x0C, 0x0F, 0x30, 0x33, 0x
                                           0xC0, 0xC3, 0xCC, 0xCF, 0xF0, 0xF3, 0xFC, 0xFF};
 constexpr int EXP2_TABLE8[8] = {16384, 17866, 19483, 21247, 23170, 25267, 27554, 30048};
 
-static void haar1(double* x, int n0, int stride) {
+static void haar1(float* x, int n0, int stride) {
     n0 >>= 1;
-    const double c = 0.70710678;
+    const float c = 0.70710678;
     for (int i = 0; i < stride; i++) {
         for (int j = 0; j < n0; j++) {
             int idx = i + stride * 2 * j;
-            double a = c * x[idx];
-            double b = c * x[idx + stride];
+            float a = c * x[idx];
+            float b = c * x[idx + stride];
             x[idx] = a + b;
             x[idx + stride] = a - b;
         }
     }
 }
 
-static void deinterleave_hadamard(double* x, int n0, int stride, bool hadamard, std::vector<double>& tmpbuf) {
+static void deinterleave_hadamard(float* x, int n0, int stride, bool hadamard, std::vector<float>& tmpbuf) {
     int n = n0 * stride;
     if ((int)tmpbuf.size() < n) tmpbuf.resize(n);
-    double* tmp = tmpbuf.data();
+    float* tmp = tmpbuf.data();
     if (hadamard) {
         const int* ordery = ordery_for(stride);
         for (int i = 0; i < stride; i++)
@@ -719,13 +719,13 @@ static void deinterleave_hadamard(double* x, int n0, int stride, bool hadamard, 
         for (int i = 0; i < stride; i++)
             for (int j = 0; j < n0; j++) tmp[i * n0 + j] = x[i + j * stride];
     }
-    std::memcpy(x, tmp, n * sizeof(double));
+    std::memcpy(x, tmp, n * sizeof(float));
 }
 
-static void interleave_hadamard(double* x, int n0, int stride, bool hadamard, std::vector<double>& tmpbuf) {
+static void interleave_hadamard(float* x, int n0, int stride, bool hadamard, std::vector<float>& tmpbuf) {
     int n = n0 * stride;
     if ((int)tmpbuf.size() < n) tmpbuf.resize(n);
-    double* tmp = tmpbuf.data();
+    float* tmp = tmpbuf.data();
     if (hadamard) {
         const int* ordery = ordery_for(stride);
         for (int i = 0; i < stride; i++)
@@ -734,7 +734,7 @@ static void interleave_hadamard(double* x, int n0, int stride, bool hadamard, st
         for (int i = 0; i < stride; i++)
             for (int j = 0; j < n0; j++) tmp[i + j * stride] = x[i * n0 + j];
     }
-    std::memcpy(x, tmp, n * sizeof(double));
+    std::memcpy(x, tmp, n * sizeof(float));
 }
 
 static int compute_qn(int n, int b, int offset, int pulse_cap, bool stereo) {
@@ -749,21 +749,21 @@ static int compute_qn(int n, int b, int offset, int pulse_cap, bool stereo) {
     return qn;
 }
 
-static void stereo_merge(double* x, double* y, double mid, int n) {
-    double xp = 0, side = 0;
+static void stereo_merge(float* x, float* y, float mid, int n) {
+    float xp = 0, side = 0;
     for (int j = 0; j < n; j++) { xp += y[j] * x[j]; side += y[j] * y[j]; }
     xp *= mid;
-    double el = mid * mid + side - 2 * xp;
-    double er = mid * mid + side + 2 * xp;
+    float el = mid * mid + side - 2 * xp;
+    float er = mid * mid + side + 2 * xp;
     if (er < 6e-4 || el < 6e-4) {
-        std::memcpy(y, x, n * sizeof(double));
+        std::memcpy(y, x, n * sizeof(float));
         return;
     }
-    double lgain = 1.0 / std::sqrt(el);
-    double rgain = 1.0 / std::sqrt(er);
+    float lgain = 1.0 / std::sqrt(el);
+    float rgain = 1.0 / std::sqrt(er);
     for (int j = 0; j < n; j++) {
-        double l = mid * x[j];
-        double r = y[j];
+        float l = mid * x[j];
+        float r = y[j];
         x[j] = lgain * (l - r);
         y[j] = rgain * (l + r);
     }
@@ -868,8 +868,8 @@ static void compute_theta_dec(BandCtx& ctx, SplitCtx& sctx, int n, int64_t& b, i
     sctx.qalloc = qalloc;
 }
 
-static uint32_t quant_band_n1(BandCtx& ctx, double* x, double* y, double* lowband_out) {
-    double* vec = x;
+static uint32_t quant_band_n1(BandCtx& ctx, float* x, float* y, float* lowband_out) {
+    float* vec = x;
     int count = y ? 2 : 1;
     for (int c = 0; c < count; c++) {
         int sign = 0;
@@ -884,15 +884,15 @@ static uint32_t quant_band_n1(BandCtx& ctx, double* x, double* y, double* lowban
     return 1;
 }
 
-static uint32_t quant_partition(BandCtx& ctx, double* x, int n, int64_t b, int B,
-                                double* lowband, int lm, double gain, uint32_t fill) {
+static uint32_t quant_partition(BandCtx& ctx, float* x, int n, int64_t b, int B,
+                                float* lowband, int lm, float gain, uint32_t fill) {
     int band = ctx.band;
     int B0 = B;
     int cache_off = CACHE_INDEX[lm + 1][band];
     const uint8_t* cache = CACHE_BITS;
     if (lm != -1 && b > (int64_t)cache[cache_off + cache[cache_off]] + 12 && n > 2) {
         n >>= 1;
-        double* y = x + n;
+        float* y = x + n;
         lm -= 1;
         if (B == 1) fill = (fill & 1) | (fill << 1);
         B = (B + 1) >> 1;
@@ -903,8 +903,8 @@ static uint32_t quant_partition(BandCtx& ctx, double* x, int n, int64_t b, int B
         int64_t delta = sctx.delta;
         int itheta = sctx.itheta;
         int64_t qalloc = sctx.qalloc;
-        double mid = imid / 32768.0;
-        double side = iside / 32768.0;
+        float mid = imid / 32768.0;
+        float side = iside / 32768.0;
 
         if (B0 > 1 && (itheta & 0x3FFF)) {
             if (itheta > 8192) {
@@ -917,7 +917,7 @@ static uint32_t quant_partition(BandCtx& ctx, double* x, int n, int64_t b, int B
         int64_t sbits = b - mbits;
         ctx.remaining_bits -= qalloc;
 
-        double* next_lowband2 = lowband ? lowband + n : nullptr;
+        float* next_lowband2 = lowband ? lowband + n : nullptr;
         int64_t rebalance = ctx.remaining_bits;
         uint32_t cm;
         if (mbits >= sbits) {
@@ -954,18 +954,18 @@ static uint32_t quant_partition(BandCtx& ctx, double* x, int n, int64_t b, int B
     fill &= cm_mask;
     uint32_t cm = 0;
     if (!fill) {
-        std::memset(x, 0, n * sizeof(double));
+        std::memset(x, 0, n * sizeof(float));
     } else {
         if (lowband == nullptr) {
             for (int j = 0; j < n; j++) {
                 ctx.seed = lcg_rand(ctx.seed);
-                x[j] = (double)((int32_t)ctx.seed >> 20);
+                x[j] = (float)((int32_t)ctx.seed >> 20);
             }
             cm = cm_mask;
         } else {
             for (int j = 0; j < n; j++) {
                 ctx.seed = lcg_rand(ctx.seed);
-                double tmp = 1.0 / 256.0;
+                float tmp = 1.0 / 256.0;
                 if (!(ctx.seed & 0x8000)) tmp = -tmp;
                 x[j] = lowband[j] + tmp;
             }
@@ -976,9 +976,9 @@ static uint32_t quant_partition(BandCtx& ctx, double* x, int n, int64_t b, int B
     return cm;
 }
 
-static uint32_t quant_band(BandCtx& ctx, double* x, int n, int64_t b, int B,
-                           double* lowband, int lm, double* lowband_out, double gain,
-                           double* lowband_scratch, uint32_t fill, std::vector<double>& tmpbuf) {
+static uint32_t quant_band(BandCtx& ctx, float* x, int n, int64_t b, int B,
+                           float* lowband, int lm, float* lowband_out, float gain,
+                           float* lowband_scratch, uint32_t fill, std::vector<float>& tmpbuf) {
     int n0 = n;
     int n_b = n / B;
     int B0 = B;
@@ -993,7 +993,7 @@ static uint32_t quant_band(BandCtx& ctx, double* x, int n, int64_t b, int B,
 
     if (lowband_scratch && lowband &&
         (recombine || ((n_b & 1) == 0 && tf_change < 0) || B0 > 1)) {
-        std::memcpy(lowband_scratch, lowband, n * sizeof(double));
+        std::memcpy(lowband_scratch, lowband, n * sizeof(float));
         lowband = lowband_scratch;
     }
 
@@ -1038,16 +1038,16 @@ static uint32_t quant_band(BandCtx& ctx, double* x, int n, int64_t b, int B,
     B <<= recombine;
 
     if (lowband_out) {
-        double scale = std::sqrt((double)n0);
+        float scale = std::sqrt((float)n0);
         for (int j = 0; j < n0; j++) lowband_out[j] = scale * x[j];
     }
     cm &= (1u << B) - 1;
     return cm;
 }
 
-static uint32_t quant_band_stereo(BandCtx& ctx, double* x, double* y, int n, int64_t b, int B,
-                                  double* lowband, int lm, double* lowband_out,
-                                  double* lowband_scratch, uint32_t fill, std::vector<double>& tmpbuf) {
+static uint32_t quant_band_stereo(BandCtx& ctx, float* x, float* y, int n, int64_t b, int B,
+                                  float* lowband, int lm, float* lowband_out,
+                                  float* lowband_scratch, uint32_t fill, std::vector<float>& tmpbuf) {
     if (n == 1) return quant_band_n1(ctx, x, y, lowband_out);
 
     uint32_t orig_fill = fill;
@@ -1058,8 +1058,8 @@ static uint32_t quant_band_stereo(BandCtx& ctx, double* x, double* y, int n, int
     int64_t delta = sctx.delta;
     int itheta = sctx.itheta;
     int64_t qalloc = sctx.qalloc;
-    double mid = imid / 32768.0;
-    double side = iside / 32768.0;
+    float mid = imid / 32768.0;
+    float side = iside / 32768.0;
     uint32_t cm;
 
     if (n == 2) {
@@ -1069,8 +1069,8 @@ static uint32_t quant_band_stereo(BandCtx& ctx, double* x, double* y, int n, int
         mbits -= sbits;
         bool c = itheta > 8192;
         ctx.remaining_bits -= qalloc + sbits;
-        double* x2 = c ? y : x;
-        double* y2 = c ? x : y;
+        float* x2 = c ? y : x;
+        float* y2 = c ? x : y;
         int sign = 0;
         if (sbits) sign = (int)ctx.ec->decode_bits(1);
         sign = 1 - 2 * sign;
@@ -1081,7 +1081,7 @@ static uint32_t quant_band_stereo(BandCtx& ctx, double* x, double* y, int n, int
         x[1] = mid * x[1];
         y[0] = side * y[0];
         y[1] = side * y[1];
-        double tmp = x[0];
+        float tmp = x[0];
         x[0] = tmp - y[0];
         y[0] = tmp + y[0];
         tmp = x[1];
@@ -1120,7 +1120,7 @@ namespace {
 // quant_all_bands + anti_collapse (opus_tpu/celt/bands.py), decode side.
 // ---------------------------------------------------------------------------
 
-static uint32_t quant_all_bands_dec(int start, int end, double* x_, double* y_,
+static uint32_t quant_all_bands_dec(int start, int end, float* x_, float* y_,
                                     int32_t collapse_masks[NB_E_BANDS][2],
                                     const int* pulses, bool short_blocks, int spread,
                                     bool dual_stereo, int intensity, const int* tf_res,
@@ -1131,10 +1131,10 @@ static uint32_t quant_all_bands_dec(int start, int end, double* x_, double* y_,
     int C = y_ ? 2 : 1;
     int norm_offset = M * E_BANDS[start];
     int norm_len = M * E_BANDS[NB_E_BANDS - 1] - norm_offset;
-    static thread_local std::vector<double> norm_buf, norm2_buf, scratch_buf, tmpbuf;
+    static thread_local std::vector<float> norm_buf, norm2_buf, scratch_buf, tmpbuf;
     norm_buf.assign(norm_len, 0.0);
-    double* norm = norm_buf.data();
-    double* norm2 = norm;
+    float* norm = norm_buf.data();
+    float* norm2 = norm;
     if (C == 2) {
         norm2_buf.assign(norm_len, 0.0);
         norm2 = norm2_buf.data();
@@ -1156,8 +1156,8 @@ static uint32_t quant_all_bands_dec(int start, int end, double* x_, double* y_,
     for (int i = start; i < end; i++) {
         ctx.band = i;
         bool last = i == end - 1;
-        double* X = x_ + M * E_BANDS[i];
-        double* Y = y_ ? y_ + M * E_BANDS[i] : nullptr;
+        float* X = x_ + M * E_BANDS[i];
+        float* Y = y_ ? y_ + M * E_BANDS[i] : nullptr;
         int n = M * E_BANDS[i + 1] - M * E_BANDS[i];
         int64_t tell = (int64_t)(int32_t)ec.tell_frac();
 
@@ -1178,13 +1178,13 @@ static uint32_t quant_all_bands_dec(int start, int end, double* x_, double* y_,
             // special_hybrid_folding
             int n1 = M * (E_BANDS[start + 1] - E_BANDS[start]);
             int n2 = M * (E_BANDS[start + 2] - E_BANDS[start + 1]);
-            std::memcpy(norm + n1, norm + 2 * n1 - n2, (n2 - n1) * sizeof(double));
+            std::memcpy(norm + n1, norm + 2 * n1 - n2, (n2 - n1) * sizeof(float));
             if (dual_stereo)
-                std::memcpy(norm2 + n1, norm2 + 2 * n1 - n2, (n2 - n1) * sizeof(double));
+                std::memcpy(norm2 + n1, norm2 + 2 * n1 - n2, (n2 - n1) * sizeof(float));
         }
 
         ctx.tf_change = tf_res[i];
-        double* scratch = scratch_buf.data();
+        float* scratch = scratch_buf.data();
         if (i >= EFF_E_BANDS) {
             X = norm;
             Y = y_ ? norm : nullptr;
@@ -1217,10 +1217,10 @@ static uint32_t quant_all_bands_dec(int start, int end, double* x_, double* y_,
             for (int j = 0; j < upto; j++) norm[j] = 0.5 * (norm[j] + norm2[j]);
         }
 
-        double* lowband = effective_lowband != -1 ? norm + effective_lowband : nullptr;
-        double* lowband2 = effective_lowband != -1 ? norm2 + effective_lowband : nullptr;
-        double* lowband_out = last ? nullptr : norm + (M * E_BANDS[i] - norm_offset);
-        double* lowband_out2 = last ? nullptr : norm2 + (M * E_BANDS[i] - norm_offset);
+        float* lowband = effective_lowband != -1 ? norm + effective_lowband : nullptr;
+        float* lowband2 = effective_lowband != -1 ? norm2 + effective_lowband : nullptr;
+        float* lowband_out = last ? nullptr : norm + (M * E_BANDS[i] - norm_offset);
+        float* lowband_out2 = last ? nullptr : norm2 + (M * E_BANDS[i] - norm_offset);
 
         if (dual_stereo) {
             x_cm = quant_band(ctx, X, n, b / 2, B, lowband, lm, lowband_out, 1.0, scratch, x_cm, tmpbuf);
@@ -1241,7 +1241,7 @@ static uint32_t quant_all_bands_dec(int start, int end, double* x_, double* y_,
     return ctx.seed;
 }
 
-static uint32_t anti_collapse_c(double* x_, const int32_t collapse_masks[NB_E_BANDS][2],
+static uint32_t anti_collapse_c(float* x_, const int32_t collapse_masks[NB_E_BANDS][2],
                                 int lm, int C, int size, int start, int end,
                                 const float log_e[2][NB_E_BANDS],
                                 const float prev1_log_e[2][NB_E_BANDS],
@@ -1250,8 +1250,8 @@ static uint32_t anti_collapse_c(double* x_, const int32_t collapse_masks[NB_E_BA
     for (int i = start; i < end; i++) {
         int n0 = E_BANDS[i + 1] - E_BANDS[i];
         int depth = ((1 + pulses[i]) / n0) >> lm;
-        double thresh = 0.5 * celt_exp2d(-0.125 * depth);
-        double sqrt_1 = 1.0 / std::sqrt((double)(n0 << lm));
+        float thresh = 0.5 * celt_exp2d(-0.125 * depth);
+        float sqrt_1 = 1.0 / std::sqrt((float)(n0 << lm));
         for (int c = 0; c < C; c++) {
             float prev1 = prev1_log_e[c][i];
             float prev2 = prev2_log_e[c][i];
@@ -1259,8 +1259,8 @@ static uint32_t anti_collapse_c(double* x_, const int32_t collapse_masks[NB_E_BA
                 prev1 = std::max(prev1, prev1_log_e[1][i]);
                 prev2 = std::max(prev2, prev2_log_e[1][i]);
             }
-            double ediff = std::max(0.0, (double)log_e[c][i] - (double)std::min(prev1, prev2));
-            double r = 2.0 * celt_exp2d(-ediff);
+            float ediff = std::max(0.0f, (float)log_e[c][i] - (float)std::min(prev1, prev2));
+            float r = 2.0 * celt_exp2d(-ediff);
             if (lm == 3) r *= 1.41421356;
             r = std::min(thresh, r) * sqrt_1;
             int base = c * size + (E_BANDS[i] << lm);
@@ -1327,7 +1327,7 @@ struct FrontEnd {
 // pf_gains (double[3]): gain0, gain1, gain2
 
 static int decode_frame(FrontEnd& st, const uint8_t* data, int len, int frame_size48,
-                        int stream_channels, double* x_out, float* band_log_e_out,
+                        int stream_channels, float* x_out, float* band_log_e_out,
                         int32_t* meta, double* pf_gains) {
     int frame_size = frame_size48;  // caller passes samples at 48 kHz
     int lm = -1;
@@ -1434,8 +1434,8 @@ static int decode_frame(FrontEnd& st, const uint8_t* data, int len, int frame_si
 
     int32_t collapse_masks[NB_E_BANDS][2];
     std::memset(collapse_masks, 0, sizeof(collapse_masks));
-    std::memset(x_out, 0, (size_t)c_ * n * sizeof(double));
-    double* y_ = c_ == 2 ? x_out + n : nullptr;
+    std::memset(x_out, 0, (size_t)c_ * n * sizeof(float));
+    float* y_ = c_ == 2 ? x_out + n : nullptr;
 
     st.rng = quant_all_bands_dec(start, end, x_out, y_, collapse_masks, alloc.pulses,
                                  short_blocks, spread_decision, alloc.dual_stereo,
@@ -1563,8 +1563,16 @@ uint32_t celt_fe_rng(void* h) { return ((FrontEnd*)h)->rng; }
 int celt_fe_decode(void* h, const uint8_t* data, int len, int frame_size48,
                    int stream_channels, double* x_out, float* band_log_e_out,
                    int32_t* meta, double* pf_gains) {
-    return decode_frame(*(FrontEnd*)h, data, len, frame_size48, stream_channels,
-                        x_out, band_log_e_out, meta, pf_gains);
+    // The internal band plane is float32 (libopus float build semantics);
+    // this legacy entry keeps its f64 ABI by converting on the way out.
+    static thread_local std::vector<float> scratch(2 * 960);
+    int rc = decode_frame(*(FrontEnd*)h, data, len, frame_size48, stream_channels,
+                          scratch.data(), band_log_e_out, meta, pf_gains);
+    if (rc == 0) {
+        int n = 120 << meta[2];
+        for (int j = 0; j < meta[3] * n; j++) x_out[j] = (double)scratch[j];
+    }
+    return rc;
 }
 
 }  // extern "C"
@@ -1582,24 +1590,30 @@ int celt_fe_decode_batch(void** handles, const uint8_t* data, const int32_t* len
     std::vector<int64_t> offs(n_packets + 1, 0);
     for (int i = 0; i < n_packets; i++) offs[i + 1] = offs[i] + lens[i];
     int bad = 0;
-#pragma omp parallel for schedule(dynamic, 8)
-    for (int i = 0; i < n_packets; i++) {
-        FrontEnd* st = (FrontEnd*)handles[i];
-        int rc = decode_frame(*st, data + offs[i], lens[i], frame_size48, stream_channels[i],
-                              x_out + (int64_t)i * x_stride, ble_out + i * 2 * NB_E_BANDS,
-                              meta_out + i * 16, gains_out + i * 3);
-        if (rc != 0) {
+#pragma omp parallel
+    {
+        std::vector<float> scratch(2 * 960, 0.0f);
+#pragma omp for schedule(dynamic, 8)
+        for (int i = 0; i < n_packets; i++) {
+            FrontEnd* st = (FrontEnd*)handles[i];
+            int rc = decode_frame(*st, data + offs[i], lens[i], frame_size48, stream_channels[i],
+                                  scratch.data(), ble_out + i * 2 * NB_E_BANDS,
+                                  meta_out + i * 16, gains_out + i * 3);
+            if (rc != 0) {
 #pragma omp critical
-            bad = i + 1;
+                bad = i + 1;
+            } else {
+                double* dst = x_out + (int64_t)i * x_stride;
+                for (int64_t j = 0; j < x_stride; j++) dst[j] = (double)scratch[j];
+            }
         }
     }
     if (bad) return -bad;
     return n_packets;
 }
 
-// f32 output variant for the device-plane feed: decodes into a per-thread
-// double scratch (stays hot in cache) and converts once into the big f32
-// batch array — half the memory traffic of the double variant at B=1024.
+// f32 output variant for the device-plane feed: the internal band plane is
+// already float32, so frames decode straight into the batch array.
 int celt_fe_decode_batch_f32(void** handles, const uint8_t* data, const int32_t* lens,
                              int n_packets, int frame_size48, const int32_t* stream_channels,
                              float* x_out, int64_t x_stride,
@@ -1609,20 +1623,17 @@ int celt_fe_decode_batch_f32(void** handles, const uint8_t* data, const int32_t*
     int bad = 0;
 #pragma omp parallel
     {
-        std::vector<double> scratch(2 * 960);
         double g[3];
 #pragma omp for schedule(dynamic, 8)
         for (int i = 0; i < n_packets; i++) {
             FrontEnd* st = (FrontEnd*)handles[i];
             int rc = decode_frame(*st, data + offs[i], lens[i], frame_size48,
-                                  stream_channels[i], scratch.data(),
+                                  stream_channels[i], x_out + (int64_t)i * x_stride,
                                   ble_out + i * 2 * NB_E_BANDS, meta_out + i * 16, g);
             if (rc != 0) {
 #pragma omp critical
                 bad = i + 1;
             } else {
-                float* dst = x_out + (int64_t)i * x_stride;
-                for (int64_t j = 0; j < x_stride; j++) dst[j] = (float)scratch[j];
                 for (int j = 0; j < 3; j++) gains_out[i * 3 + j] = (float)g[j];
             }
         }

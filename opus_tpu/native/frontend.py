@@ -20,6 +20,12 @@ def _load():
     global _LIB
     if _LIB is not None:
         return _LIB
+    import os
+
+    # OMP workers must sleep between batch calls: active spin-waiting
+    # starves the JAX dispatch/transfer threads that share host cores
+    # with plane A (measured 2x step-time regression on a 1-core host).
+    os.environ.setdefault("OMP_WAIT_POLICY", "passive")
     so = _HERE / "libceltfe.so"
     if not so.exists():
         from .build import build
@@ -154,6 +160,20 @@ class NativeBatchFrontEnd:
         self.handles = (ctypes.c_void_p * batch)(
             *[self.lib.celt_fe_create(channels, downsample) for _ in range(batch)]
         )
+        # Preallocated, double-buffered output planes: allocating ~8 MB of
+        # numpy zeros per step costs more than the symbol decode itself;
+        # two slots so an in-flight async device transfer of slot k is
+        # never clobbered by the next decode into slot 1-k.
+        self._slots = [
+            dict(
+                x=np.zeros((batch, 2 * 960), np.float32),
+                ble=np.zeros((batch, 2, self.NB), np.float32),
+                meta=np.zeros((batch, 16), np.int32),
+                gains=np.zeros((batch, 3), np.float32),
+            )
+            for _ in range(2)
+        ]
+        self._slot = 0
 
     def __del__(self):
         try:
@@ -194,18 +214,25 @@ class NativeBatchFrontEnd:
             raise ValueError(f"native batch decode failed at stream {-rc - 1}")
         return x, ble, meta, gains
 
-    def decode_batch_f32(self, packets: list, frame_size: int):
+    def decode_batch_f32(self, packets: list, frame_size: int, stream_channels=None):
         """Like decode_batch but the band-shape and gain planes come back
-        float32 directly (device-plane feed; half the memory traffic)."""
+        float32 directly (device-plane feed; half the memory traffic).
+
+        Returns VIEWS of a preallocated double-buffered slot: valid until
+        the call after next.  stream_channels: optional [B] int array of
+        per-stream coded channel counts (multistream: coupled=2, mono=1).
+        """
         B = self.batch
         blob = b"".join(packets)
         lens = np.array([len(p) for p in packets], dtype=np.int32)
-        sch = np.array([self.channels] * B, dtype=np.int32)
+        if stream_channels is None:
+            sch = np.array([self.channels] * B, dtype=np.int32)
+        else:
+            sch = np.ascontiguousarray(stream_channels, dtype=np.int32)
         n48 = frame_size * self.downsample
-        x = np.zeros((B, 2 * 960), dtype=np.float32)
-        ble = np.zeros((B, 2, self.NB), dtype=np.float32)
-        meta = np.zeros((B, 16), dtype=np.int32)
-        gains = np.zeros((B, 3), dtype=np.float32)
+        slot = self._slots[self._slot]
+        self._slot = 1 - self._slot
+        x, ble, meta, gains = slot["x"], slot["ble"], slot["meta"], slot["gains"]
         rc = self.lib.celt_fe_decode_batch_f32(
             self.handles, blob,
             lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), B, n48,

@@ -43,7 +43,12 @@ def test_native_plane_parity(channels, frame, kbps):
         assert py.rng == nat.final_range
         for k in pp:
             if isinstance(pp[k], np.ndarray):
-                assert float(np.abs(pp[k] - pn[k]).max()) < 1e-12, k
+                # Native band plane computes in float32 (libopus float-build
+                # semantics, FMA allowed) vs the float64 Python reference:
+                # integer symbol streams stay bit-identical (final_range
+                # above), float planes agree to f32 round-off.
+                tol = 1e-12 if pp[k].dtype.kind in "iu" else 2e-4
+                assert float(np.abs(pp[k] - pn[k]).max()) < tol, k
             elif isinstance(pp[k], float):
                 assert abs(pp[k] - pn[k]) < 1e-12, k
             else:
@@ -63,7 +68,9 @@ def test_native_batch_pipeline_matches_python():
         bp = [payloads[f]] * B
         out_n = nat.decode_frames(bp, 960)
         out_p = pyd.decode_frames(bp, 960)
-        assert float(np.abs(out_n - out_p).max()) == 0.0
+        # f32 native plane vs f64 Python plane: PCM-level agreement; the
+        # symbol decode itself is proven identical by final_range equality.
+        assert float(np.abs(out_n - out_p).max()) < 2e-5
         assert nat.final_ranges() == pyd.final_ranges()
 
 
