@@ -1,0 +1,200 @@
+"""Batched mixed-mode Opus decode: the full-codec serving pipeline.
+
+BASELINE.json configs[1]/[2]: SILK-only voice and hybrid traffic batched
+next to CELT music streams.  One native C call per step runs every
+stream's plane A — the SILK fixed-point synthesis (bit-exact, incl. the
+normative resampler to the API rate) and the CELT symbol decode behind
+the shared range coder for hybrid — and one jitted device step per
+(frame size, transient) variant synthesises the CELT plane for the whole
+batch and mixes the SILK PCM in (decoder.rs:722-729 semantics).
+
+Fast-path contract (steady-state serving): one Opus frame per packet
+(code 0/1 single-frame), no mode switches mid-stream, no redundancy
+frames, no PLC/FEC.  Streams that violate it raise with the stream index
+so the caller can route them to the scalar opus_tpu.Decoder.
+"""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+import jax.numpy as jnp
+
+from .. import packet as pkt_mod
+from ..celt import modes
+from ..dsp.synthesis import SynthState, init_state, make_opus_step
+from ..native.frontend import _load
+from ..types import Bandwidth, CodecMode
+
+_MODE_CODE = {CodecMode.SILK_ONLY: 0, CodecMode.HYBRID: 1, CodecMode.CELT_ONLY: 2}
+
+_FALLBACK_REASON = {
+    -10: "mode switch mid-stream",
+    -11: "hybrid redundancy frame",
+    -12: "silk-only trailing redundancy",
+}
+
+
+class BatchedOpusDecoder:
+    """Decode a fixed batch of Opus streams (any mode), one frame/step."""
+
+    NB = 21
+
+    def __init__(self, batch: int, channels: int = 2):
+        lib = _load()
+        lib.opus_fe_create.restype = ctypes.c_void_p
+        lib.opus_fe_create.argtypes = [ctypes.c_int]
+        lib.opus_fe_destroy.argtypes = [ctypes.c_void_p]
+        lib.opus_fe_decode_batch.restype = ctypes.c_int
+        lib.opus_fe_decode_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p), ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int16), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32),
+        ]
+        self.lib = lib
+        self.batch = batch
+        self.channels = channels
+        self.handles = (ctypes.c_void_p * batch)(
+            *[lib.opus_fe_create(channels) for _ in range(batch)]
+        )
+        self.state = init_state(batch, channels)
+        self._steps: dict = {}
+        # Double-buffered output slots (see NativeBatchFrontEnd).
+        self._slots = [
+            dict(
+                x=np.zeros((batch, 2 * 960), np.float32),
+                ble=np.zeros((batch, 2, self.NB), np.float32),
+                meta=np.zeros((batch, 16), np.int32),
+                gains=np.zeros((batch, 3), np.float32),
+                silk=np.zeros((batch, 2880 * channels), np.int16),
+                ranges=np.zeros(batch, np.uint32),
+                rcs=np.zeros(batch, np.int32),
+            )
+            for _ in range(2)
+        ]
+        self._slot = 0
+        self._ranges = np.zeros(batch, np.uint32)
+
+    def __del__(self):
+        try:
+            for h in self.handles:
+                self.lib.opus_fe_destroy(h)
+        except Exception:
+            pass
+
+    def _step_fn(self, lm: int, short_blocks: bool):
+        key = (lm, short_blocks)
+        if key not in self._steps:
+            self._steps[key] = make_opus_step(lm, short_blocks, self.channels, 1)
+        return self._steps[key]
+
+    def _plane_a(self, packets: list[bytes]):
+        """ToC parse + one native batch call. Returns (frame48, slot)."""
+        B = self.batch
+        assert len(packets) == B
+        modes_np = np.zeros(B, np.int32)
+        bws = np.zeros(B, np.int32)
+        schs = np.zeros(B, np.int32)
+        payloads = []
+        frame48 = None
+        for i, pkt in enumerate(packets):
+            parsed = pkt_mod.parse_packet(pkt)
+            if parsed.frame_count != 1:
+                raise ValueError(f"stream {i}: multi-frame packets use the scalar path")
+            f48 = pkt_mod.query_packet_samples_per_frame(pkt, 48000)
+            if frame48 is None:
+                frame48 = f48
+            elif frame48 != f48:
+                raise ValueError("mixed frame durations in one step not supported")
+            modes_np[i] = _MODE_CODE[pkt_mod.query_packet_codec_mode(pkt)]
+            bws[i] = int(pkt_mod.query_packet_bandwidth(pkt)) - int(Bandwidth.NARROWBAND)
+            schs[i] = 2 if (pkt[0] & 0x4) else 1
+            payloads.append(pkt[parsed.payload_offset :])
+
+        slot = self._slots[self._slot]
+        self._slot = 1 - self._slot
+        blob = b"".join(payloads)
+        lens = np.array([len(p) for p in payloads], np.int32)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        rc = self.lib.opus_fe_decode_batch(
+            self.handles, blob, lens.ctypes.data_as(i32p), B,
+            modes_np.ctypes.data_as(i32p), bws.ctypes.data_as(i32p),
+            frame48, schs.ctypes.data_as(i32p),
+            slot["x"].ctypes.data_as(ctypes.POINTER(ctypes.c_float)), slot["x"].shape[1],
+            slot["ble"].ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            slot["meta"].ctypes.data_as(i32p),
+            slot["gains"].ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            slot["silk"].ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), slot["silk"].shape[1],
+            slot["ranges"].ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            slot["rcs"].ctypes.data_as(i32p),
+        )
+        if rc != B:
+            i = -rc - 1
+            code = int(slot["rcs"][i])
+            reason = _FALLBACK_REASON.get(code, f"codec error {code}")
+            raise ValueError(f"stream {i}: {reason}")
+        self._ranges[:] = slot["ranges"]
+        return frame48, slot
+
+    def decode_frames(self, packets: list[bytes]) -> np.ndarray:
+        """One step: decode one frame per stream -> pcm [B, frame48, C]."""
+        frame48, slot = self._plane_a(packets)
+        meta = slot["meta"]
+        if frame48 > 960:
+            # 40/60 ms packets are SILK-only; no CELT device step needed.
+            silk = slot["silk"][:, : frame48 * self.channels]
+            return silk.reshape(self.batch, frame48, self.channels).astype(np.float32) / 32768.0
+        return np.asarray(self._dispatch(frame48, slot))
+
+    def _dispatch(self, frame48: int, slot: dict):
+        meta = slot["meta"]
+        lm = int(np.log2(frame48 // 120))
+        n = frame48
+        m = 1 << lm
+        bound = m * modes.E_BANDS[meta[:, 5]]
+        bound = np.where(meta[:, 0] != 0, 0, bound).astype(np.int32)
+        periods = np.maximum(meta[:, 6:9], 15)  # comb_filter MINPERIOD clamp
+        mono = meta[:, 3] == 1
+        short_mask = meta[:, 1] != 0
+        silk = slot["silk"][:, : n * self.channels]
+        args = [
+            slot["x"], mono, slot["ble"], bound, periods.astype(np.int32),
+            slot["gains"], np.ascontiguousarray(meta[:, 9:12]), silk,
+        ]
+        jargs = [jnp.asarray(a) for a in args]
+        if not short_mask.any() or short_mask.all():
+            step = self._step_fn(lm, bool(short_mask[0]))
+            self.state, pcm = step(self.state, *jargs)
+            return pcm
+        state_long, pcm_long = self._step_fn(lm, False)(self.state, *jargs)
+        state_short, pcm_short = self._step_fn(lm, True)(self.state, *jargs)
+        msk = jnp.asarray(short_mask)
+        self.state = SynthState(
+            jnp.where(msk[:, None, None], state_short.mem, state_long.mem),
+            jnp.where(msk[:, None], state_short.preemph, state_long.preemph),
+        )
+        return jnp.where(msk[:, None, None], pcm_short, pcm_long)
+
+    def run_pipelined(self, batches: list[list[bytes]]):
+        """Decode a sequence of steps with async host/device overlap."""
+        pcm = None
+        for packets in batches:
+            frame48, slot = self._plane_a(packets)
+            if frame48 > 960:
+                silk = slot["silk"][:, : frame48 * self.channels]
+                pcm = jnp.asarray(silk)
+                continue
+            pcm = self._dispatch(frame48, slot)
+        if pcm is not None:
+            pcm.block_until_ready()
+        return pcm
+
+    def final_ranges(self) -> list[int]:
+        return [int(r) for r in self._ranges]

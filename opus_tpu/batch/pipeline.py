@@ -92,8 +92,7 @@ class BatchedCeltDecoder:
         if self.downsample != 1:
             bound = np.minimum(bound, n // self.downsample)
         bound = np.where(meta[:, 0] != 0, 0, bound).astype(np.int32)
-        periods = meta[:, 6:9].copy()
-        periods[:, 2] = np.maximum(periods[:, 2], 0)
+        periods = np.maximum(meta[:, 6:9], 15)  # comb_filter MINPERIOD clamp
         tapsets = np.ascontiguousarray(meta[:, 9:12])
         mono = meta[:, 3] == 1
         short_mask = meta[:, 1] != 0
@@ -193,7 +192,7 @@ class BatchedCeltDecoder:
             if self.downsample != 1:
                 b = min(b, n // self.downsample)
             bound[row] = 0 if p["silence"] else b
-            periods[row] = (p["pf_period0"], p["pf_period1"], max(p["pf_period2"], 0))
+            periods[row] = (p["pf_period0"], p["pf_period1"], max(p["pf_period2"], 15))
             gains[row] = (p["pf_gain0"], p["pf_gain1"], p["pf_gain2"])
             tapsets[row] = (p["pf_tapset0"], p["pf_tapset1"], p["pf_tapset2"])
         return x, loge, bound, periods, gains, tapsets

@@ -170,7 +170,12 @@ def make_synthesis_step(lm: int, short_blocks: bool, channels: int = 2, downsamp
             zero = (g_a == 0.0) & (g_b == 0.0)
 
             def tap5(yy, pos, t, taps):
-                base = pos - t[:, None, None]
+                # Lags are clamped to >= MIN_PERIOD like libopus comb_filter
+                # (zero-gain filters still evaluate); the clip keeps the
+                # +-2-tap gathers in range even for a lag-0 feed — XLA CPU
+                # clamps out-of-bounds gathers but TPU returns garbage.
+                t = jnp.maximum(t, 15)
+                base = jnp.clip(pos - t[:, None, None], 2, yy.shape[-1] - 3)
                 s = jnp.take_along_axis(yy, base, axis=-1)
                 s1 = jnp.take_along_axis(yy, base + 1, axis=-1) + jnp.take_along_axis(yy, base - 1, axis=-1)
                 s2 = jnp.take_along_axis(yy, base + 2, axis=-1) + jnp.take_along_axis(yy, base - 2, axis=-1)
@@ -258,5 +263,24 @@ def make_pipeline_step(lm: int, short_blocks: bool, channels: int = 2, downsampl
             x = xraw[:, :n].reshape(-1, 1, n)
             le = band_log_e2[:, :1]
         return inner(state, x, le, bound, pf_periods, pf_gains, pf_tapsets)
+
+    return jax.jit(step)
+
+
+def make_opus_step(lm: int, short_blocks: bool, channels: int = 2, downsample: int = 1):
+    """Mode-mux serving step: CELT synthesis + SILK mix (decoder.rs:722-729).
+
+    Like make_pipeline_step plus a silk48 plane: interleaved int16 PCM at
+    the output rate from the native SILK driver (zeros for CELT-only
+    streams; the whole signal for SILK-only streams, whose CELT spectra
+    are bound-masked to silence).  out = celt + silk/32768.
+    """
+    n = (1 << lm) * modes.SHORT_MDCT_SIZE
+    inner = make_pipeline_step(lm, short_blocks, channels, downsample)
+
+    def step(state, xraw, mono, band_log_e2, bound, pf_periods, pf_gains, pf_tapsets, silk48):
+        state, pcm = inner(state, xraw, mono, band_log_e2, bound, pf_periods, pf_gains, pf_tapsets)
+        silk = silk48[:, : (n // downsample) * channels].reshape(-1, n // downsample, channels)
+        return state, pcm + silk.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
 
     return jax.jit(step)

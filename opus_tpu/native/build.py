@@ -16,7 +16,7 @@ HERE = pathlib.Path(__file__).parent
 
 
 def build(verbose: bool = True) -> pathlib.Path:
-    srcs = [HERE / "celt_frontend.cpp", HERE / "silk_frontend.cpp"]
+    srcs = [HERE / "celt_frontend.cpp", HERE / "silk_frontend.cpp", HERE / "opus_frontend.cpp"]
     out = HERE / "libceltfe.so"
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC",

@@ -1326,24 +1326,22 @@ struct FrontEnd {
 // 9 pf_tapset0, 10 pf_tapset1, 11 pf_tapset2, 12 error
 // pf_gains (double[3]): gain0, gain1, gain2
 
-static int decode_frame(FrontEnd& st, const uint8_t* data, int len, int frame_size48,
-                        int stream_channels, float* x_out, float* band_log_e_out,
-                        int32_t* meta, double* pf_gains) {
+static int decode_frame_ec(FrontEnd& st, RangeDec& dec, int frame_bytes, int frame_size48,
+                           int stream_channels, float* x_out, float* band_log_e_out,
+                           int32_t* meta, double* pf_gains) {
+    // dec is already initialised (and, for hybrid frames, advanced past the
+    // SILK symbols — the shared-range-coder contract, decoder.rs:603/:711).
     int frame_size = frame_size48;  // caller passes samples at 48 kHz
     int lm = -1;
     for (int l = 0; l <= MAX_LM; l++)
         if (SHORT_MDCT_SIZE << l == frame_size) { lm = l; break; }
-    if (lm < 0 || len < 2 || len > 1275) return -1;
+    if (lm < 0 || frame_bytes < 2 || frame_bytes > 1275) return -1;
     int m = 1 << lm;
     int n = m * SHORT_MDCT_SIZE;
     int c_ = stream_channels;
     int cc = st.channels;
     int start = st.start_band, end = st.end_band;
     int eff_end = std::min(end, (int)EFF_E_BANDS);
-
-    RangeDec dec;
-    dec.init(data, len);
-    int frame_bytes = len;
 
     float(*old_band_e)[NB_E_BANDS] = st.old_band_e;
     if (c_ == 1)
@@ -1528,6 +1526,16 @@ static int decode_frame(FrontEnd& st, const uint8_t* data, int len, int frame_si
     return 0;
 }
 
+static int decode_frame(FrontEnd& st, const uint8_t* data, int len, int frame_size48,
+                        int stream_channels, float* x_out, float* band_log_e_out,
+                        int32_t* meta, double* pf_gains) {
+    if (len < 2 || len > 1275) return -1;
+    RangeDec dec;
+    dec.init(data, len);
+    return decode_frame_ec(st, dec, len, frame_size48, stream_channels, x_out,
+                           band_log_e_out, meta, pf_gains);
+}
+
 }  // namespace
 
 // ---------------------------------------------------------------------------
@@ -1573,6 +1581,14 @@ int celt_fe_decode(void* h, const uint8_t* data, int len, int frame_size48,
         for (int j = 0; j < meta[3] * n; j++) x_out[j] = (double)scratch[j];
     }
     return rc;
+}
+
+int celt_fe_decode_ec(void* h, void* ec, int frame_bytes, int frame_size48,
+                      int stream_channels, float* x_out, float* band_log_e_out,
+                      int32_t* meta, double* pf_gains) {
+    return decode_frame_ec(*(FrontEnd*)h, *(opusfe::RangeDec*)ec, frame_bytes,
+                           frame_size48, stream_channels, x_out, band_log_e_out,
+                           meta, pf_gains);
 }
 
 }  // extern "C"

@@ -1,0 +1,174 @@
+// Combined Opus mode-mux front end (plane A) for the batched serving path.
+//
+// One handle per stream composes the CELT front end and the SILK driver
+// behind the shared range decoder (the defining Opus constraint,
+// /root/reference/src/decoder.rs:603/:711: SILK then CELT consume ONE
+// bitstream).  Handles SilkOnly / Hybrid / CeltOnly packets with steady
+// mode per stream; mode switches, redundancy frames, PLC and FEC belong
+// to the scalar path (opus_tpu.decoder) and are flagged, not guessed.
+//
+// Emits, per stream: the CELT symbol planes consumed by the batched TPU
+// synthesis step, plus SILK PCM at the API rate (bit-exact fixed-point
+// synthesis + normative resampler) for the device-side mix
+// (decoder.rs:722-729 semantics: out = celt + silk/32768).
+
+#include <cstdint>
+#include <cstring>
+#include <algorithm>
+#include <vector>
+
+#include "ec.h"
+
+extern "C" {
+// celt_frontend.cpp
+void* celt_fe_create(int channels, int downsample);
+void celt_fe_destroy(void* h);
+void celt_fe_config(void* h, int start_band, int end_band, int disable_inv);
+uint32_t celt_fe_rng(void* h);
+int celt_fe_decode_ec(void* h, void* ec, int frame_bytes, int frame_size48,
+                      int stream_channels, float* x_out, float* band_log_e_out,
+                      int32_t* meta, double* pf_gains);
+// silk_frontend.cpp
+void* silk_dec_create();
+void silk_dec_destroy(void* h);
+int silk_dec_run(void* h, opusfe::RangeDec* dec, int internal_khz, int payload_ms,
+                 int nci, int nca, int fs_api_hz, int16_t* out);
+}
+
+namespace {
+
+constexpr int MODE_SILK = 0;
+constexpr int MODE_HYBRID = 1;
+constexpr int MODE_CELT = 2;
+
+// ToC bandwidth code (0=NB..4=FB) -> CELT end band (opus_decoder.c mapping).
+constexpr int CELT_END_BAND[5] = {13, 17, 17, 19, 21};
+
+struct OpusFE {
+    void* celt;
+    void* silk;
+    int channels;   // API channels (1 or 2)
+    int prev_mode;  // -1 until the first frame
+};
+
+}  // namespace
+
+extern "C" {
+
+void* opus_fe_create(int channels) {
+    OpusFE* st = new OpusFE();
+    st->celt = celt_fe_create(channels, 1);
+    st->silk = silk_dec_create();
+    st->channels = channels;
+    st->prev_mode = -1;
+    return st;
+}
+
+void opus_fe_destroy(void* h) {
+    OpusFE* st = (OpusFE*)h;
+    celt_fe_destroy(st->celt);
+    silk_dec_destroy(st->silk);
+    delete st;
+}
+
+uint32_t opus_fe_celt_rng(void* h) { return celt_fe_rng(((OpusFE*)h)->celt); }
+
+// Decode ONE Opus frame (already split out of the packet; payload only).
+// mode: 0 silk / 1 hybrid / 2 celt; bw: ToC bandwidth code 0..4;
+// frame48: frame duration in 48 kHz samples; sch: coded channels (1/2).
+// Outputs: CELT planes (x/ble/meta/pf_gains, untouched for silk-only
+// except meta), silk48 (interleaved int16 at 48 kHz, API channels;
+// zeroed for celt-only), final_range.
+// Returns 0, or: -10 mode switch, -11 hybrid redundancy frame,
+// -12 silk-only trailing redundancy (all = use the scalar path),
+// other negatives = codec error.
+int opus_fe_decode(void* h, const uint8_t* payload, int len, int mode, int bw,
+                   int frame48, int sch, float* x_out, float* ble_out,
+                   int32_t* meta, float* pf_gains_out, int16_t* silk48,
+                   uint32_t* final_range) {
+    OpusFE* st = (OpusFE*)h;
+    if (len < 1 || len > 1275 || bw < 0 || bw > 4) return -1;
+    if (st->prev_mode >= 0 && mode != st->prev_mode) return -10;
+    st->prev_mode = mode;
+    int cc = st->channels;
+
+    opusfe::RangeDec dec;
+    dec.init(payload, len);
+
+    if (mode != MODE_CELT) {
+        int khz = mode == MODE_HYBRID ? 16 : (bw == 0 ? 8 : bw == 1 ? 12 : 16);
+        int ms = frame48 / 48;
+        if (ms != 10 && ms != 20 && ms != 40 && ms != 60) return -3;
+        if (mode == MODE_HYBRID && ms > 20) return -3;
+        int rc = silk_dec_run(st->silk, &dec, khz, ms, sch, cc, 48000, silk48);
+        if (rc != 0) return rc;
+        // Redundancy budget rule (decoder.rs:626-656 / opus_decoder.c).
+        if (mode == MODE_HYBRID) {
+            if (dec.tell() + 17 + 20 <= 8 * len) {
+                if (dec.decode_bit_logp(12)) return -11;
+            }
+        } else if (dec.tell() + 17 <= 8 * len) {
+            return -12;  // SILK-only packets with spare bytes carry redundancy
+        }
+    } else {
+        std::memset(silk48, 0, (size_t)frame48 * cc * sizeof(int16_t));
+    }
+
+    if (mode != MODE_SILK) {
+        celt_fe_config(st->celt, mode == MODE_HYBRID ? 17 : 0, CELT_END_BAND[bw], -1);
+        double g[3];
+        int rc = celt_fe_decode_ec(st->celt, &dec, len, frame48, sch, x_out,
+                                   ble_out, meta, g);
+        if (rc != 0) return rc;
+        for (int j = 0; j < 3; j++) pf_gains_out[j] = (float)g[j];
+    } else {
+        // No CELT contribution: emit a "silent spectra" meta row so the
+        // device step's bound mask zeroes the CELT plane.
+        int lm = 3;
+        for (int l = 0; l <= 3; l++)
+            if ((120 << l) == frame48) lm = l;
+        meta[0] = 1;  // silence -> bound 0
+        meta[1] = 0;
+        meta[2] = lm;
+        meta[3] = sch;
+        meta[4] = 0;
+        meta[5] = 0;
+        meta[6] = meta[7] = meta[8] = 15;
+        meta[9] = meta[10] = meta[11] = 0;
+        meta[12] = 0;
+        pf_gains_out[0] = pf_gains_out[1] = pf_gains_out[2] = 0.0f;
+    }
+    *final_range = dec.rng;
+    return 0;
+}
+
+// Batch entry: one call decodes every stream (OpenMP across streams).
+// silk48 stride = frame48 * api_channels int16s.  Returns n on success or
+// -(i+1) where stream i failed; per-stream rc values land in rcs[].
+int opus_fe_decode_batch(void** handles, const uint8_t* data, const int32_t* lens,
+                         int n, const int32_t* modes, const int32_t* bws,
+                         int frame48, const int32_t* schs,
+                         float* x_out, int64_t x_stride,
+                         float* ble_out, int32_t* meta_out, float* gains_out,
+                         int16_t* silk48_out, int64_t silk_stride,
+                         uint32_t* ranges, int32_t* rcs) {
+    std::vector<int64_t> offs(n + 1, 0);
+    for (int i = 0; i < n; i++) offs[i + 1] = offs[i] + lens[i];
+    int bad = 0;
+#pragma omp parallel for schedule(dynamic, 8)
+    for (int i = 0; i < n; i++) {
+        int rc = opus_fe_decode(handles[i], data + offs[i], lens[i], modes[i], bws[i],
+                                frame48, schs[i], x_out + (int64_t)i * x_stride,
+                                ble_out + i * 2 * 21, meta_out + i * 16,
+                                gains_out + i * 3, silk48_out + (int64_t)i * silk_stride,
+                                &ranges[i]);
+        rcs[i] = rc;
+        if (rc != 0) {
+#pragma omp critical
+            bad = i + 1;
+        }
+    }
+    return bad ? -bad : n;
+}
+
+}  // extern "C"

@@ -366,10 +366,10 @@ struct SideInfo {
 };
 
 struct SilkState {
-    int fs_khz = 16;
-    int nb_subfr = 4;
-    int frame_length = 320;
-    int subfr_length = 80;
+    int fs_khz = 0;   // 0 = unset; set_fs(16) runs at create time
+    int nb_subfr = 4; // caller sets before set_fs (silk_decoder_set_fs contract)
+    int frame_length = 0;
+    int subfr_length = 0;
     int ltp_mem_length = 320;
     int lpc_order = 16;
     const NlsfCB* cb = &CB_WB;
@@ -388,36 +388,70 @@ struct SilkState {
     int32_t s_lpc_q14[MAX_LPC_ORDER] = {0};
     std::vector<int32_t> exc_q14;
     int vad_flag = 1;
+    // Packet-level flags (driver path).
+    int vad_flags[3] = {0, 0, 0};
+    int lbrr_flag = 0;
+    int lbrr_flags[3] = {0, 0, 0};
+    int n_frames_per_packet = 0;
+    int n_frames_decoded = 0;
+
+    void reset_decoder_state() {
+        first_frame_after_reset = 1;
+        lag_prev = 100;
+        last_gain_index = 10;
+        prev_signal_type = 0;
+        std::memset(out_buf, 0, sizeof(out_buf));
+        std::memset(s_lpc_q14, 0, sizeof(s_lpc_q14));
+        std::memset(prev_nlsf_q15, 0, sizeof(prev_nlsf_q15));
+    }
 
     void set_fs(int fs) {
-        fs_khz = fs;
+        // silk_decoder_set_fs: nb_subfr is set by the caller beforehand.
         subfr_length = 5 * fs;
-        frame_length = nb_subfr * subfr_length;
-        ltp_mem_length = 20 * fs;
-        if (fs == 16) {
-            lpc_order = 16; cb = &CB_WB; lag_low_icdf = UNIFORM8_ICDF;
-        } else if (fs == 12) {
-            lpc_order = 10; cb = &CB_NB_MB; lag_low_icdf = UNIFORM6_ICDF;
-        } else {
-            lpc_order = 10; cb = &CB_NB_MB; lag_low_icdf = UNIFORM4_ICDF;
+        int new_frame_length = nb_subfr * subfr_length;
+        if (fs_khz != fs || new_frame_length != frame_length) {
+            if (fs == 8)
+                contour_icdf = nb_subfr == 4 ? PITCH_CONTOUR_NB_ICDF : PITCH_CONTOUR_10MS_NB_ICDF;
+            else
+                contour_icdf = nb_subfr == 4 ? PITCH_CONTOUR_ICDF : PITCH_CONTOUR_10MS_ICDF;
+            if (fs_khz != fs) {
+                ltp_mem_length = 20 * fs;
+                if (fs == 16) {
+                    lpc_order = 16; cb = &CB_WB; lag_low_icdf = UNIFORM8_ICDF;
+                } else if (fs == 12) {
+                    lpc_order = 10; cb = &CB_NB_MB; lag_low_icdf = UNIFORM6_ICDF;
+                } else {
+                    lpc_order = 10; cb = &CB_NB_MB; lag_low_icdf = UNIFORM4_ICDF;
+                }
+                reset_decoder_state();
+            }
+            fs_khz = fs;
+            frame_length = new_frame_length;
         }
-        contour_icdf = (fs == 8) ? PITCH_CONTOUR_NB_ICDF : PITCH_CONTOUR_ICDF;
     }
 };
 
 static const uint8_t* LTP_GAIN_ICDFS[3] = {LTP_GAIN_ICDF_0, LTP_GAIN_ICDF_1, LTP_GAIN_ICDF_2};
 static const int8_t* LTP_VQS[3] = {&LTP_GAIN_VQ_0[0][0], &LTP_GAIN_VQ_1[0][0], &LTP_GAIN_VQ_2[0][0]};
 
-static void decode_indices(RangeDec& dec, SilkState& st, SideInfo& ind, bool vad) {
+// Inter-frame conditional-coding modes (silk/bitstream.py).
+constexpr int CODE_INDEP = 0;
+constexpr int CODE_COND = 1;
+constexpr int CODE_INDEP_NO_LTP = 2;
+
+static void decode_indices(RangeDec& dec, SilkState& st, SideInfo& ind, bool vad, int cond) {
     int ix;
     if (vad) ix = dec.decode_icdf(TYPE_OFFSET_VAD_ICDF, 8) + 2;
     else ix = dec.decode_icdf(TYPE_OFFSET_NO_VAD_ICDF, 8);
     ind.signal_type = ix >> 1;
     ind.quant_offset_type = ix & 1;
 
-    // CODE_INDEPENDENTLY (one 20 ms frame per packet on this fast path).
-    ind.gains_indices[0] = dec.decode_icdf(GAIN_ICDF[ind.signal_type], 8) << 3;
-    ind.gains_indices[0] += dec.decode_icdf(UNIFORM8_ICDF, 8);
+    if (cond == CODE_COND) {
+        ind.gains_indices[0] = dec.decode_icdf(DELTA_GAIN_ICDF, 8);
+    } else {
+        ind.gains_indices[0] = dec.decode_icdf(GAIN_ICDF[ind.signal_type], 8) << 3;
+        ind.gains_indices[0] += dec.decode_icdf(UNIFORM8_ICDF, 8);
+    }
     for (int i = 1; i < st.nb_subfr; i++)
         ind.gains_indices[i] = dec.decode_icdf(DELTA_GAIN_ICDF, 8);
 
@@ -436,14 +470,24 @@ static void decode_indices(RangeDec& dec, SilkState& st, SideInfo& ind, bool vad
     else ind.nlsf_interp_q2 = 4;
 
     if (ind.signal_type == 2) {
-        ind.lag_index = dec.decode_icdf(PITCH_LAG_ICDF, 8) * (st.fs_khz >> 1);
-        ind.lag_index += dec.decode_icdf(st.lag_low_icdf, 8);
+        bool decode_absolute = true;
+        if (cond == CODE_COND && st.ec_prev_signal_type == 2) {
+            int delta = dec.decode_icdf(PITCH_DELTA_ICDF, 8);
+            if (delta > 0) {
+                ind.lag_index = st.ec_prev_lag_index + (delta - 9);
+                decode_absolute = false;
+            }
+        }
+        if (decode_absolute) {
+            ind.lag_index = dec.decode_icdf(PITCH_LAG_ICDF, 8) * (st.fs_khz >> 1);
+            ind.lag_index += dec.decode_icdf(st.lag_low_icdf, 8);
+        }
         st.ec_prev_lag_index = ind.lag_index;
         ind.contour_index = dec.decode_icdf(st.contour_icdf, 8);
         ind.per_index = dec.decode_icdf(LTP_PER_INDEX_ICDF, 8);
         for (int k = 0; k < st.nb_subfr; k++)
             ind.ltp_index[k] = dec.decode_icdf(LTP_GAIN_ICDFS[ind.per_index], 8);
-        ind.ltp_scale_index = dec.decode_icdf(LTPSCALE_ICDF, 8);
+        ind.ltp_scale_index = cond == CODE_INDEP ? dec.decode_icdf(LTPSCALE_ICDF, 8) : 0;
     }
     st.ec_prev_signal_type = ind.signal_type;
     ind.seed = dec.decode_icdf(UNIFORM4_ICDF, 8);
@@ -550,16 +594,20 @@ static void gains_dequant(const int* idx, int* prev_ind, bool conditional, int n
 static void decode_pitch(int lag_index, int contour, int fs_khz, int nb_subfr, int* pitch_l) {
     const int8_t* cb;
     int stride;
-    if (fs_khz == 8) { cb = &CB_LAGS_STAGE2[0][0]; stride = 11; }
-    else { cb = &CB_LAGS_STAGE3[0][0]; stride = 34; }
+    if (fs_khz == 8) {
+        if (nb_subfr == 4) { cb = &CB_LAGS_STAGE2[0][0]; stride = 11; }
+        else { cb = &CB_LAGS_STAGE2_10MS[0][0]; stride = 3; }
+    } else if (nb_subfr == 4) { cb = &CB_LAGS_STAGE3[0][0]; stride = 34; }
+    else { cb = &CB_LAGS_STAGE3_10MS[0][0]; stride = 12; }
     int min_lag = 2 * fs_khz, max_lag = 18 * fs_khz;
     int lag = min_lag + lag_index;
     for (int k = 0; k < nb_subfr; k++)
         pitch_l[k] = std::max(min_lag, std::min(max_lag, lag + cb[k * stride + contour]));
 }
 
-static void decode_parameters(SilkState& st, SideInfo& ind, Control& ctrl) {
-    gains_dequant(ind.gains_indices, &st.last_gain_index, false, st.nb_subfr, ctrl.gains_q16);
+static void decode_parameters(SilkState& st, SideInfo& ind, Control& ctrl, int cond = CODE_INDEP) {
+    gains_dequant(ind.gains_indices, &st.last_gain_index, cond == CODE_COND, st.nb_subfr,
+                  ctrl.gains_q16);
     int nlsf_q15[MAX_LPC_ORDER];
     nlsf_decode(ind.nlsf_indices, *st.cb, nlsf_q15);
     nlsf2a(nlsf_q15, st.lpc_order, ctrl.pred_coef_q12[1]);
@@ -737,7 +785,7 @@ int silk_fe_decode(void* h, const uint8_t* data, int len, int16_t* xq,
     int vad = dec.decode_bit_logp(1) ? 1 : 0;
     dec.decode_bit_logp(1);  // LBRR (absent on this fast path)
     SideInfo ind;
-    decode_indices(dec, st, ind, vad != 0);
+    decode_indices(dec, st, ind, vad != 0, CODE_INDEP);
     int pulses[24 * 16];
     decode_pulses(dec, ind.signal_type, ind.quant_offset_type, st.frame_length, pulses);
     Control ctrl;
@@ -818,6 +866,471 @@ int silk_fe_decode_batch(void** handles, const uint8_t* data, const int32_t* len
         }
     }
     return bad ? -bad : n;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Full SILK decoder driver: resampler + stereo + multi-frame packets.
+// C++ translation of opus_tpu/silk/{api,stereo,resampler}.py (bit-exact,
+// validated against libopus through the Python reference).  Serves the
+// batched mixed-mode pipeline (SILK-only and hybrid streams).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// ----- resampler (opus_tpu/silk/resampler.py) ------------------------------
+
+constexpr int16_t UP2_HQ_0c[3] = {1746, 14986, -26453};
+constexpr int16_t UP2_HQ_1c[3] = {6854, 25769, -9994};
+
+constexpr int16_t COEFS_3_4[] = {-20694, -13867,
+    -49, 64, 17, -157, 353, -496, 163, 11047, 22205,
+    -39, 6, 91, -170, 186, 23, -896, 6336, 19928,
+    -19, -36, 102, -89, -24, 328, -951, 2568, 15909};
+constexpr int16_t COEFS_2_3[] = {-14457, -14019,
+    64, 128, -122, 36, 310, -768, 584, 9267, 17733,
+    12, 128, 18, -142, 288, -117, -865, 4123, 14459};
+constexpr int16_t COEFS_1_2[] = {616, -14323,
+    -10, 39, 58, -46, -84, 120, 184, -315, -541, 1284, 5380, 9024};
+constexpr int16_t COEFS_1_3[] = {16102, -15162,
+    -13, 0, 20, 26, 5, -31, -43, -4, 65, 90, 7, -157, -248, -44, 593, 1583, 2612, 3271};
+constexpr int16_t COEFS_1_4[] = {22500, -15099,
+    3, -14, -20, -15, 2, 25, 37, 25, -16, -71, -107, -79, 50, 292, 623, 982, 1288, 1464};
+constexpr int16_t COEFS_1_6[] = {27540, -15257,
+    17, 12, 8, 1, -10, -22, -30, -32, -22, 3, 44, 100, 168, 243, 317, 381, 429, 455};
+
+constexpr int ORDER_FIR0 = 18, ORDER_FIR1 = 24, ORDER_FIR2 = 36, ORDER_FIR_12 = 8;
+
+// resampler.c delay_matrix_dec (decoder direction), input-rate samples.
+static int delay_dec(int in_khz, int out_khz) {
+    static const int tab[3][5] = {
+        // out:      8  12  16  24  48
+        /* in 8 */ { 4,  0,  2,  0,  0},
+        /* in 12*/ { 0,  9,  4,  7,  4},
+        /* in 16*/ { 0,  3, 12,  7,  7},
+    };
+    int r = in_khz == 8 ? 0 : in_khz == 12 ? 1 : 2;
+    int c = out_khz == 8 ? 0 : out_khz == 12 ? 1 : out_khz == 16 ? 2 : out_khz == 24 ? 3 : 4;
+    return tab[r][c];
+}
+
+struct ResamplerC {
+    int fs_in_khz = 0, fs_out_khz = 0;
+    int batch_size = 0, input_delay = 0;
+    int16_t delay_buf[48] = {0};
+    int32_t s_iir[6] = {0};
+    int32_t s_fir[ORDER_FIR2] = {0};  // holds i16 (iirfir) or i32 (downfir) history
+    int fir_order = 0, fir_fracs = 0;
+    const int16_t* coefs = nullptr;
+    int mode = 0;  // 0 copy, 1 up2hq, 2 iirfir, 3 downfir
+    int32_t inv_ratio_q16 = 0;
+
+    void init(int fs_in_hz, int fs_out_hz) {
+        fs_in_khz = fs_in_hz / 1000;
+        fs_out_khz = fs_out_hz / 1000;
+        batch_size = fs_in_khz * 10;
+        input_delay = delay_dec(fs_in_khz, fs_out_khz);
+        std::memset(delay_buf, 0, sizeof(delay_buf));
+        std::memset(s_iir, 0, sizeof(s_iir));
+        std::memset(s_fir, 0, sizeof(s_fir));
+        int up2x = 0;
+        if (fs_out_hz > fs_in_hz) {
+            if (fs_out_hz == 2 * fs_in_hz) mode = 1;
+            else { mode = 2; up2x = 1; }
+        } else if (fs_out_hz < fs_in_hz) {
+            mode = 3;
+            if (fs_out_hz * 4 == fs_in_hz * 3) { fir_fracs = 3; fir_order = ORDER_FIR0; coefs = COEFS_3_4; }
+            else if (fs_out_hz * 3 == fs_in_hz * 2) { fir_fracs = 2; fir_order = ORDER_FIR0; coefs = COEFS_2_3; }
+            else if (fs_out_hz * 2 == fs_in_hz) { fir_fracs = 1; fir_order = ORDER_FIR1; coefs = COEFS_1_2; }
+            else if (fs_out_hz * 3 == fs_in_hz) { fir_fracs = 1; fir_order = ORDER_FIR2; coefs = COEFS_1_3; }
+            else if (fs_out_hz * 4 == fs_in_hz) { fir_fracs = 1; fir_order = ORDER_FIR2; coefs = COEFS_1_4; }
+            else { fir_fracs = 1; fir_order = ORDER_FIR2; coefs = COEFS_1_6; }
+        } else {
+            mode = 0;
+        }
+        int32_t inv = (int32_t)((((int64_t)fs_in_hz << (14 + up2x)) / fs_out_hz) << 2);
+        while (smulww(inv, fs_out_hz) < (int32_t)((uint32_t)fs_in_hz << up2x)) inv++;
+        inv_ratio_q16 = inv;
+    }
+
+    static void up2_hq(int32_t* s, int16_t* out, int out_off, const int16_t* in, int in_off, int len) {
+        for (int k = 0; k < len; k++) {
+            int32_t in32 = (int32_t)((uint32_t)in[in_off + k] << 10);
+            int32_t y = (int32_t)((uint32_t)in32 - (uint32_t)s[0]);
+            int32_t x = smulwb(y, UP2_HQ_0c[0]);
+            int32_t out1 = (int32_t)((uint32_t)s[0] + (uint32_t)x);
+            s[0] = (int32_t)((uint32_t)in32 + (uint32_t)x);
+            y = (int32_t)((uint32_t)out1 - (uint32_t)s[1]);
+            x = smulwb(y, UP2_HQ_0c[1]);
+            int32_t out2 = (int32_t)((uint32_t)s[1] + (uint32_t)x);
+            s[1] = (int32_t)((uint32_t)out1 + (uint32_t)x);
+            y = (int32_t)((uint32_t)out2 - (uint32_t)s[2]);
+            x = smlawb(y, y, UP2_HQ_0c[2]);
+            out1 = (int32_t)((uint32_t)s[2] + (uint32_t)x);
+            s[2] = (int32_t)((uint32_t)out2 + (uint32_t)x);
+            out[out_off + 2 * k] = (int16_t)sat16i(rshift_round(out1, 10));
+            y = (int32_t)((uint32_t)in32 - (uint32_t)s[3]);
+            x = smulwb(y, UP2_HQ_1c[0]);
+            out1 = (int32_t)((uint32_t)s[3] + (uint32_t)x);
+            s[3] = (int32_t)((uint32_t)in32 + (uint32_t)x);
+            y = (int32_t)((uint32_t)out1 - (uint32_t)s[4]);
+            x = smulwb(y, UP2_HQ_1c[1]);
+            out2 = (int32_t)((uint32_t)s[4] + (uint32_t)x);
+            s[4] = (int32_t)((uint32_t)out1 + (uint32_t)x);
+            y = (int32_t)((uint32_t)out2 - (uint32_t)s[5]);
+            x = smlawb(y, y, UP2_HQ_1c[2]);
+            out1 = (int32_t)((uint32_t)s[5] + (uint32_t)x);
+            s[5] = (int32_t)((uint32_t)out2 + (uint32_t)x);
+            out[out_off + 2 * k + 1] = (int16_t)sat16i(rshift_round(out1, 10));
+        }
+    }
+
+    static void ar2(int32_t* s, int32_t* out_q8, int out_off, const int16_t* in, int in_off,
+                    const int16_t* a_q14, int len) {
+        for (int k = 0; k < len; k++) {
+            int32_t out32 = (int32_t)((uint32_t)s[0] + ((uint32_t)in[in_off + k] << 8));
+            out_q8[out_off + k] = out32;
+            out32 = (int32_t)((uint32_t)out32 << 2);
+            s[0] = smlawb(s[1], out32, a_q14[0]);
+            s[1] = smulwb(out32, a_q14[1]);
+        }
+    }
+
+    void iir_fir(std::vector<int16_t>& out, const int16_t* in, int in_off, int length) {
+        std::vector<int16_t> buf(2 * batch_size + ORDER_FIR_12);
+        int16_t* sfir16 = (int16_t*)s_fir;
+        for (int i = 0; i < ORDER_FIR_12; i++) buf[i] = sfir16[i];
+        int32_t increment = inv_ratio_q16;
+        int n = 0;
+        for (;;) {
+            n = std::min(length, batch_size);
+            up2_hq(s_iir, buf.data(), ORDER_FIR_12, in, in_off, n);
+            int64_t max_index_q16 = (int64_t)n << 17;
+            for (int64_t index_q16 = 0; index_q16 < max_index_q16; index_q16 += increment) {
+                int table_index = smulwb((int32_t)(index_q16 & 0xFFFF), 12);
+                int b = (int)(index_q16 >> 16);
+                int32_t res = smulbb(buf[b + 0], RESAMPLER_FRAC_FIR_12[table_index][0]);
+                res = (int32_t)((uint32_t)res + (uint32_t)smulbb(buf[b + 1], RESAMPLER_FRAC_FIR_12[table_index][1]));
+                res = (int32_t)((uint32_t)res + (uint32_t)smulbb(buf[b + 2], RESAMPLER_FRAC_FIR_12[table_index][2]));
+                res = (int32_t)((uint32_t)res + (uint32_t)smulbb(buf[b + 3], RESAMPLER_FRAC_FIR_12[table_index][3]));
+                res = (int32_t)((uint32_t)res + (uint32_t)smulbb(buf[b + 4], RESAMPLER_FRAC_FIR_12[11 - table_index][3]));
+                res = (int32_t)((uint32_t)res + (uint32_t)smulbb(buf[b + 5], RESAMPLER_FRAC_FIR_12[11 - table_index][2]));
+                res = (int32_t)((uint32_t)res + (uint32_t)smulbb(buf[b + 6], RESAMPLER_FRAC_FIR_12[11 - table_index][1]));
+                res = (int32_t)((uint32_t)res + (uint32_t)smulbb(buf[b + 7], RESAMPLER_FRAC_FIR_12[11 - table_index][0]));
+                out.push_back((int16_t)sat16i(rshift_round(res, 15)));
+            }
+            in_off += n;
+            length -= n;
+            if (length > 0) {
+                for (int i = 0; i < ORDER_FIR_12; i++) buf[i] = buf[2 * n + i];
+            } else break;
+        }
+        for (int i = 0; i < ORDER_FIR_12; i++) sfir16[i] = buf[2 * n + i];
+    }
+
+    void down_fir(std::vector<int16_t>& out, const int16_t* in, int in_off, int length) {
+        std::vector<int32_t> buf(batch_size + fir_order);
+        for (int i = 0; i < fir_order; i++) buf[i] = s_fir[i];
+        const int16_t* fir = coefs + 2;
+        int32_t increment = inv_ratio_q16;
+        int n = 0;
+        for (;;) {
+            n = std::min(length, batch_size);
+            ar2(s_iir, buf.data(), fir_order, in, in_off, coefs, n);
+            int64_t max_index_q16 = (int64_t)n << 16;
+            for (int64_t index_q16 = 0; index_q16 < max_index_q16; index_q16 += increment) {
+                int b = (int)(index_q16 >> 16);
+                int32_t res;
+                if (fir_order == ORDER_FIR0) {
+                    int interpol_ind = smulwb((int32_t)(index_q16 & 0xFFFF), fir_fracs);
+                    int p1 = 9 * interpol_ind;
+                    int p2 = 9 * (fir_fracs - 1 - interpol_ind);
+                    res = smulwb(buf[b + 0], fir[p1 + 0]);
+                    for (int j = 1; j < 9; j++) res = smlawb(res, buf[b + j], fir[p1 + j]);
+                    for (int j = 0; j < 9; j++) res = smlawb(res, buf[b + 17 - j], fir[p2 + j]);
+                } else if (fir_order == ORDER_FIR1) {
+                    res = smulwb((int32_t)((uint32_t)buf[b + 0] + (uint32_t)buf[b + 23]), fir[0]);
+                    for (int j = 1; j < 12; j++)
+                        res = smlawb(res, (int32_t)((uint32_t)buf[b + j] + (uint32_t)buf[b + 23 - j]), fir[j]);
+                } else {
+                    res = smulwb((int32_t)((uint32_t)buf[b + 0] + (uint32_t)buf[b + 35]), fir[0]);
+                    for (int j = 1; j < 18; j++)
+                        res = smlawb(res, (int32_t)((uint32_t)buf[b + j] + (uint32_t)buf[b + 35 - j]), fir[j]);
+                }
+                out.push_back((int16_t)sat16i(rshift_round(res, 6)));
+            }
+            in_off += n;
+            length -= n;
+            if (length > 1) {
+                for (int i = 0; i < fir_order; i++) buf[i] = buf[n + i];
+            } else break;
+        }
+        for (int i = 0; i < fir_order; i++) s_fir[i] = buf[n + i];
+    }
+
+    void run(std::vector<int16_t>& out, const int16_t* in, int in_off, int length) {
+        if (mode == 0) {
+            for (int i = 0; i < length; i++) out.push_back(in[in_off + i]);
+        } else if (mode == 1) {
+            size_t base = out.size();
+            out.resize(base + 2 * length);
+            up2_hq(s_iir, out.data(), (int)base, in, in_off, length);
+        } else if (mode == 2) {
+            iir_fir(out, in, in_off, length);
+        } else {
+            down_fir(out, in, in_off, length);
+        }
+    }
+
+    // silk_resampler: 1 ms delay-buffer phase then the rest.
+    void process(std::vector<int16_t>& out, const int16_t* in, int in_len) {
+        int n = fs_in_khz - input_delay;
+        for (int i = 0; i < n; i++) delay_buf[input_delay + i] = in[i];
+        run(out, delay_buf, 0, fs_in_khz);
+        run(out, in, n, in_len - fs_in_khz);
+        for (int i = 0; i < input_delay; i++) delay_buf[i] = in[in_len - input_delay + i];
+    }
+};
+
+// ----- stereo prediction / unmix (opus_tpu/silk/stereo.py) -----------------
+
+constexpr int STEREO_INTERP_LEN_MS = 8;
+
+struct StereoDecStateC {
+    int pred_prev_q13[2] = {0, 0};
+    int16_t s_mid[2] = {0, 0};
+    int16_t s_side[2] = {0, 0};
+};
+
+static void stereo_decode_pred(RangeDec& dec, int pred_q13[2]) {
+    int n = dec.decode_icdf(STEREO_PRED_JOINT_ICDF, 8);
+    int ix[2][3];
+    ix[0][2] = n / 5;
+    ix[1][2] = n - 5 * ix[0][2];
+    for (int ch = 0; ch < 2; ch++) {
+        ix[ch][0] = dec.decode_icdf(UNIFORM3_ICDF, 8);
+        ix[ch][1] = dec.decode_icdf(UNIFORM5_ICDF, 8);
+    }
+    for (int ch = 0; ch < 2; ch++) {
+        ix[ch][0] += 3 * ix[ch][2];
+        int low = STEREO_PRED_QUANT_Q13[ix[ch][0]];
+        int step = (int)(((int64_t)(STEREO_PRED_QUANT_Q13[ix[ch][0] + 1] - low) * 6554) >> 16);
+        pred_q13[ch] = (int32_t)(low + smulbb(step, 2 * ix[ch][1] + 1));
+    }
+    pred_q13[0] = (int32_t)((uint32_t)pred_q13[0] - (uint32_t)pred_q13[1]);
+}
+
+static int stereo_decode_mid_only(RangeDec& dec) {
+    return dec.decode_icdf(STEREO_ONLY_CODE_MID_ICDF, 8);
+}
+
+static inline void stereo_apply_pred(int16_t* x1, int16_t* x2, int n, int pred0_q13, int pred1_q13) {
+    int32_t s = (int32_t)((uint32_t)(x1[n] + x1[n + 2] + 2 * x1[n + 1]) << 9);
+    s = smlawb((int32_t)((uint32_t)x2[n + 1] << 8), s, pred0_q13);
+    s = smlawb(s, (int32_t)((uint32_t)x1[n + 1] << 11), pred1_q13);
+    x2[n + 1] = (int16_t)sat16i(rshift_round(s, 8));
+}
+
+static void stereo_ms_to_lr(StereoDecStateC& st, int16_t* x1, int16_t* x2,
+                            const int pred_q13[2], int fs_khz, int frame_length) {
+    x1[0] = st.s_mid[0]; x1[1] = st.s_mid[1];
+    x2[0] = st.s_side[0]; x2[1] = st.s_side[1];
+    st.s_mid[0] = x1[frame_length]; st.s_mid[1] = x1[frame_length + 1];
+    st.s_side[0] = x2[frame_length]; st.s_side[1] = x2[frame_length + 1];
+
+    int pred0 = st.pred_prev_q13[0];
+    int pred1 = st.pred_prev_q13[1];
+    int interp_len = STEREO_INTERP_LEN_MS * fs_khz;
+    int denom_q16 = (1 << 16) / interp_len;
+    int delta0 = rshift_round(smulbb(pred_q13[0] - st.pred_prev_q13[0], denom_q16), 16);
+    int delta1 = rshift_round(smulbb(pred_q13[1] - st.pred_prev_q13[1], denom_q16), 16);
+    for (int n = 0; n < interp_len; n++) {
+        pred0 += delta0;
+        pred1 += delta1;
+        stereo_apply_pred(x1, x2, n, pred0, pred1);
+    }
+    for (int n = interp_len; n < frame_length; n++)
+        stereo_apply_pred(x1, x2, n, pred_q13[0], pred_q13[1]);
+    st.pred_prev_q13[0] = pred_q13[0];
+    st.pred_prev_q13[1] = pred_q13[1];
+
+    for (int n = 0; n < frame_length; n++) {
+        int s = x1[n + 1] + x2[n + 1];
+        int d = x1[n + 1] - x2[n + 1];
+        x1[n + 1] = (int16_t)sat16i(s);
+        x2[n + 1] = (int16_t)sat16i(d);
+    }
+}
+
+// ----- one channel-frame decode (api.py decode_frame, normal path) ---------
+
+static int decode_channel_frame(SilkState& st, RangeDec& dec, bool vad, int cond, int16_t* xq) {
+    SideInfo ind;
+    decode_indices(dec, st, ind, vad, cond);
+    int pulses[24 * 16];
+    decode_pulses(dec, ind.signal_type, ind.quant_offset_type, st.frame_length, pulses);
+    Control ctrl;
+    decode_parameters(st, ind, ctrl, cond);
+    decode_core(st, ctrl, ind, pulses, xq);
+    st.loss_cnt = 0;
+    st.prev_signal_type = ind.signal_type;
+    st.first_frame_after_reset = 0;
+    // Roll the LTP history.
+    int L = st.frame_length;
+    int mv = st.ltp_mem_length - L;
+    if (mv > 0) std::memmove(st.out_buf, &st.out_buf[L], mv * sizeof(int16_t));
+    std::memcpy(&st.out_buf[std::max(mv, 0)], xq, std::min(L, st.ltp_mem_length) * sizeof(int16_t));
+    st.lag_prev = ctrl.pitch_l[st.nb_subfr - 1];
+    return 0;
+}
+
+// ----- silk_Decode-level driver (api.py SilkDecoder) ------------------------
+
+struct SilkDriver {
+    SilkState ch[2];
+    StereoDecStateC stereo;
+    ResamplerC rs[2];
+    int n_channels_api = 0;
+    int n_channels_internal = 0;
+    int prev_decode_only_middle = 0;
+    int fs_api_hz = 0;
+};
+
+// Decode one whole SILK payload (1-3 frames) -> interleaved int16 at the
+// API rate.  out must hold (ms*fs_api/1000)*n_api samples.  Returns 0 ok.
+static int silk_driver_decode(SilkDriver& d, RangeDec& dec, int internal_khz, int payload_ms,
+                              int nci, int nca, int fs_api_hz, int16_t* out) {
+    SilkState* cs = d.ch;
+    for (int n = 0; n < nci; n++) cs[n].n_frames_decoded = 0;
+    if (nci > d.n_channels_internal) cs[1] = SilkState();
+
+    int fpp = payload_ms <= 20 ? 1 : payload_ms == 40 ? 2 : 3;
+    int nb_subfr = payload_ms <= 10 ? 2 : 4;
+    for (int n = 0; n < nci; n++) {
+        cs[n].n_frames_per_packet = fpp;
+        cs[n].nb_subfr = nb_subfr;
+        cs[n].set_fs(internal_khz);
+        if (d.rs[n].fs_in_khz != internal_khz || d.rs[n].fs_out_khz * 1000 != fs_api_hz)
+            d.rs[n].init(internal_khz * 1000, fs_api_hz);
+    }
+    if (nca == 2 && nci == 2 && (d.n_channels_api == 1 || d.n_channels_internal == 1)) {
+        d.stereo.pred_prev_q13[0] = d.stereo.pred_prev_q13[1] = 0;
+        d.stereo.s_side[0] = d.stereo.s_side[1] = 0;
+        d.rs[1] = d.rs[0];
+    }
+    d.n_channels_api = nca;
+    d.n_channels_internal = nci;
+
+    // Header flags (VAD per frame + LBRR), then LBRR skip.
+    for (int n = 0; n < nci; n++) {
+        for (int i = 0; i < fpp; i++) cs[n].vad_flags[i] = dec.decode_bit_logp(1) ? 1 : 0;
+        cs[n].lbrr_flag = dec.decode_bit_logp(1) ? 1 : 0;
+    }
+    for (int n = 0; n < nci; n++) {
+        cs[n].lbrr_flags[0] = cs[n].lbrr_flags[1] = cs[n].lbrr_flags[2] = 0;
+        if (cs[n].lbrr_flag) {
+            if (fpp == 1) {
+                cs[n].lbrr_flags[0] = 1;
+            } else {
+                int sym = dec.decode_icdf(fpp == 2 ? LBRR_FLAGS_2_ICDF : LBRR_FLAGS_3_ICDF, 8) + 1;
+                for (int i = 0; i < fpp; i++) cs[n].lbrr_flags[i] = (sym >> i) & 1;
+            }
+        }
+    }
+    for (int i = 0; i < fpp; i++) {
+        for (int n = 0; n < nci; n++) {
+            if (cs[n].lbrr_flags[i]) {
+                if (nci == 2 && n == 0) {
+                    int pq[2];
+                    stereo_decode_pred(dec, pq);
+                    if (cs[1].lbrr_flags[i] == 0) stereo_decode_mid_only(dec);
+                }
+                int cond = (i > 0 && cs[n].lbrr_flags[i - 1]) ? CODE_COND : CODE_INDEP;
+                SideInfo ind;
+                decode_indices(dec, cs[n], ind, true, cond);
+                int pulses[24 * 16];
+                decode_pulses(dec, ind.signal_type, ind.quant_offset_type,
+                              cs[n].frame_length, pulses);
+            }
+        }
+    }
+
+    int frame_len = cs[0].frame_length;
+    int out_per_frame = frame_len * (fs_api_hz / 1000) / internal_khz;
+    std::vector<int16_t> x1(frame_len + 2), x2(frame_len + 2);
+    std::vector<int16_t> res;
+    res.reserve(out_per_frame + 16);
+
+    for (int fi = 0; fi < fpp; fi++) {
+        int ms_pred_q13[2] = {0, 0};
+        int decode_only_middle = 0;
+        if (nci == 2) {
+            stereo_decode_pred(dec, ms_pred_q13);
+            if (cs[1].vad_flags[cs[0].n_frames_decoded] == 0)
+                decode_only_middle = stereo_decode_mid_only(dec);
+        }
+        if (nci == 2 && decode_only_middle == 0 && d.prev_decode_only_middle == 1) {
+            SilkState& s = cs[1];
+            std::memset(s.out_buf, 0, sizeof(s.out_buf));
+            std::memset(s.s_lpc_q14, 0, sizeof(s.s_lpc_q14));
+            s.lag_prev = 100;
+            s.last_gain_index = 10;
+            s.prev_signal_type = 0;
+            s.first_frame_after_reset = 1;
+        }
+        bool has_side = !decode_only_middle;
+
+        std::fill(x1.begin(), x1.end(), 0);
+        std::fill(x2.begin(), x2.end(), 0);
+        for (int n = 0; n < nci; n++) {
+            if (n == 0 || has_side) {
+                int frame_index = cs[0].n_frames_decoded - n;
+                int cond;
+                if (frame_index <= 0) cond = CODE_INDEP;
+                else if (n > 0 && d.prev_decode_only_middle) cond = CODE_INDEP_NO_LTP;
+                else cond = CODE_COND;
+                bool vad = cs[n].vad_flags[cs[n].n_frames_decoded] != 0;
+                int16_t* dst = (n == 0 ? x1.data() : x2.data()) + 2;
+                decode_channel_frame(cs[n], dec, vad, cond, dst);
+            }
+            cs[n].n_frames_decoded += 1;
+        }
+
+        if (nca == 2 && nci == 2) {
+            stereo_ms_to_lr(d.stereo, x1.data(), x2.data(), ms_pred_q13,
+                            cs[0].fs_khz, frame_len);
+        } else {
+            x1[0] = d.stereo.s_mid[0];
+            x1[1] = d.stereo.s_mid[1];
+            d.stereo.s_mid[0] = x1[frame_len];
+            d.stereo.s_mid[1] = x1[frame_len + 1];
+        }
+
+        int16_t* out_f = out + (int64_t)fi * out_per_frame * nca;
+        for (int n = 0; n < std::min(nca, nci); n++) {
+            res.clear();
+            d.rs[n].process(res, (n == 0 ? x1.data() : x2.data()) + 1, frame_len);
+            for (int i = 0; i < out_per_frame; i++) out_f[i * nca + n] = res[i];
+        }
+        if (nca == 2 && nci == 1)
+            for (int i = 0; i < out_per_frame; i++) out_f[i * nca + 1] = out_f[i * nca];
+        d.prev_decode_only_middle = decode_only_middle;
+    }
+    return dec.error ? -2 : 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* silk_dec_create() { return new SilkDriver(); }
+void silk_dec_destroy(void* h) { delete (SilkDriver*)h; }
+
+int silk_dec_run(void* h, opusfe::RangeDec* dec, int internal_khz, int payload_ms,
+                 int nci, int nca, int fs_api_hz, int16_t* out) {
+    return silk_driver_decode(*(SilkDriver*)h, *dec, internal_khz, payload_ms,
+                              nci, nca, fs_api_hz, out);
 }
 
 }  // extern "C"
