@@ -170,7 +170,7 @@ def pitch_search(x_lp: np.ndarray, y: np.ndarray, length: int, max_pitch: int) -
         a, b, c = xcorr[bp - 1], xcorr[bp], xcorr[bp + 1]
         if (c - a) > 0.7 * (b - a):
             offset = 1
-        elif (a - c) > 0.7 * (c - b):
+        elif (a - c) > 0.7 * (b - c):
             offset = -1
         else:
             offset = 0
