@@ -36,6 +36,9 @@ class CeltEncoder:
         self.stream_channels = channels
         self.start_band = 0
         self.end_band = modes.NB_E_BANDS
+        #: libopus-scale complexity knob; >= 8 enables the theta RDO
+        #: search in quant_all_bands (set per frame by the Opus encoder).
+        self.complexity = 10
         self.reset()
 
     def reset(self) -> None:
@@ -218,7 +221,7 @@ class CeltEncoder:
             True, start, end, x_, x_[n:] if c_ == 2 else None, collapse_masks,
             band_e, pulses, is_transient, spread, dual_stereo, intensity, tf_res,
             nb_bytes * (8 << BITRES) - anti_collapse_rsv, balance, enc, lm,
-            coded_bands, self.rng, complexity=0,
+            coded_bands, self.rng, complexity=self.complexity,
         )
         if anti_collapse_rsv > 0:
             # Enable collapse fill on transient frames: the decoder then

@@ -67,6 +67,13 @@ class Encoder:
         self.channels = int(self.config.channels)
         self.application = self.config.application
         self.bitrate = int(self.config.bitrate)
+        # Runtime-tunable knobs (see ctl()/set_* below); initialised from
+        # the construction-time configuration.
+        self.vbr = bool(self.config.vbr)
+        self.dtx = bool(self.config.dtx)
+        self.bandwidth = self.config.bandwidth
+        self.complexity = 10
+        self.packet_loss_perc = 10 if self.config.fec else 0
         self._rng = 0
         self._dtx_run = 0
         self._last_toc = None
@@ -142,6 +149,86 @@ class Encoder:
     def max_encoded_size(self, frame_size: int) -> int:
         return 1 + min(1275, self.frame_bytes(frame_size))
 
+    # ------------------------------------------------------------------
+    # Runtime control surface (the libopus opus_encoder_ctl equivalent;
+    # the reference encoder sketch implies it, /root/reference/src/encoder.rs).
+    # Every knob takes effect from the next encode() call.
+    # ------------------------------------------------------------------
+
+    def set_bitrate(self, bits_per_second: int) -> None:
+        """Change the target bitrate mid-stream (500 .. 512000 b/s)."""
+        if not 500 <= int(bits_per_second) <= 512000:
+            raise BadArguments("bitrate out of range")
+        self.bitrate = int(bits_per_second)
+
+    def set_vbr(self, enabled: bool) -> None:
+        """Toggle variable bitrate (music mode's per-frame budget loop)."""
+        self.vbr = bool(enabled)
+
+    def set_dtx(self, enabled: bool) -> None:
+        """Toggle discontinuous transmission (1-byte packets in silence)."""
+        self.dtx = bool(enabled)
+        if not self.dtx:
+            self._dtx_run = 0
+
+    def set_complexity(self, complexity: int) -> None:
+        """0..10; >= 8 enables the CELT theta RDO search (libopus scale)."""
+        if not 0 <= int(complexity) <= 10:
+            raise BadArguments("complexity must be 0..10")
+        self.complexity = int(complexity)
+
+    def set_packet_loss_perc(self, perc: int) -> None:
+        """Expected loss rate; > 0 activates LBRR when in-band FEC is on."""
+        if not 0 <= int(perc) <= 100:
+            raise BadArguments("packet loss percentage must be 0..100")
+        self.packet_loss_perc = int(perc)
+        self._update_fec_state()
+
+    def set_inband_fec(self, enabled: bool) -> None:
+        """Toggle in-band FEC (LBRR) for voice/hybrid streams."""
+        self._fec_requested = bool(enabled)
+        if enabled and self.packet_loss_perc == 0:
+            self.packet_loss_perc = 10
+        self._update_fec_state()
+
+    def set_bandwidth(self, bandwidth: str) -> None:
+        """Change the coded audio bandwidth. Music: NB/WB/SWB/FB mid-stream
+        (the decoder reconfigures from each packet's ToC).  Voice/hybrid
+        keep their internal rate; pick it at construction time."""
+        if self.application != "music":
+            if bandwidth != self.bandwidth:
+                raise BadArguments("voice/hybrid bandwidth is fixed per stream")
+            return
+        if bandwidth not in _CELT_BW:
+            raise BadArguments("bandwidth must be NB/WB/SWB/FB")
+        self.bandwidth = bandwidth
+        self.celt.end_band = _CELT_BW[bandwidth][1]
+
+    def ctl(self, name: str, value) -> None:
+        """Generic control entry: ctl('bitrate', 64000) etc."""
+        setter = getattr(self, f"set_{name}", None)
+        if setter is None:
+            raise BadArguments(f"unknown encoder control {name!r}")
+        setter(value)
+
+    def _update_fec_state(self) -> None:
+        want = getattr(self, "_fec_requested", self.config.fec) and self.packet_loss_perc > 0
+        if self.application not in ("voice", "hybrid"):
+            return
+        if want and self._lbrr_enc is None:
+            if self.channels == 2:
+                from .silk.stereo_encoder import SilkStereoEncoder
+
+                self._lbrr_enc = SilkStereoEncoder(self.silk_fs_khz)
+            else:
+                from .silk.encoder import SilkEncoder
+
+                self._lbrr_enc = SilkEncoder(self.silk_fs_khz)
+            self._lbrr_prev = None
+        elif not want and self._lbrr_enc is not None:
+            self._lbrr_enc = None
+            self._lbrr_prev = None
+
     def frame_bytes(self, frame_size: int) -> int:
         return max(2, min(1275, (self.bitrate * frame_size) // (48000 * 8)))
 
@@ -157,7 +244,7 @@ class Encoder:
         n = pcm.shape[0]
         if pcm.shape[1] != self.channels:
             raise BadArguments("channel count mismatch")
-        if self.config.dtx:
+        if self.dtx:
             rms = float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2)))
             if rms < 1e-4:
                 self._dtx_run += 1
@@ -176,9 +263,10 @@ class Encoder:
             return self._encode_hybrid(pcm, n)
         if n not in _CELT_FB_CONFIG:
             raise BadArguments("frame must be 2.5/5/10/20 ms at 48 kHz")
-        cfg = _CELT_BW[self.config.bandwidth][0] + (_CELT_FB_CONFIG[n] - 28)
+        cfg = _CELT_BW[self.bandwidth][0] + (_CELT_FB_CONFIG[n] - 28)
         toc = (cfg << 3) | (0x4 if self.channels == 2 else 0)
-        nb = self._vbr_bytes(pcm, n) if self.config.vbr else self.frame_bytes(n)
+        nb = self._vbr_bytes(pcm, n) if self.vbr else self.frame_bytes(n)
+        self.celt.complexity = self.complexity
         payload = self.celt.encode(pcm, nb)
         self._last_toc = toc
         return bytes([toc]) + payload
@@ -220,7 +308,7 @@ class Encoder:
             return ((_SILK_20MS_CONFIG[self.silk_fs_khz] + (ms // 20 - 1)) << 3) | stereo
         if self.application == "hybrid":
             return (_HYBRID_20MS_SWB << 3) | stereo
-        return ((_CELT_BW[self.config.bandwidth][0] + (_CELT_FB_CONFIG.get(n, 31) - 28)) << 3) | stereo
+        return ((_CELT_BW[self.bandwidth][0] + (_CELT_FB_CONFIG.get(n, 31) - 28)) << 3) | stereo
 
     def _encode_voice(self, pcm: np.ndarray, n: int) -> bytes:
         from .rc.encoder import RangeEncoder

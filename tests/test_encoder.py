@@ -205,3 +205,53 @@ def test_spread_decision_tonal_vs_noise():
         CE.CeltEncoder._spread_decision = orig
     assert any(v < 2 for v in decs["tone"]), decs["tone"]
     assert all(v == 2 for v in decs["noise"]), decs["noise"]
+
+
+def test_encoder_ctl_surface():
+    """Runtime controls: bitrate/bandwidth/complexity/vbr mid-stream, with
+    every produced packet decoded by live libopus."""
+    import opus_tpu
+    from opus_tpu.encoder import Encoder, EncoderConfiguration
+
+    if not oracle.available():
+        pytest.skip("libopus not present")
+    enc = Encoder(EncoderConfiguration(bitrate=64000, application="music"))
+    ref = oracle.Decoder(48000, 2)
+    ours = opus_tpu.Decoder()
+    t = np.arange(960 * 8) / 48000.0
+    sig = (0.4 * np.sin(2 * np.pi * 440 * t) + 0.1 * np.sin(2 * np.pi * 3000 * t)).astype(np.float32)
+    pcm = np.stack([sig, np.roll(sig, 5)], -1)
+    sizes = []
+    for f in range(8):
+        if f == 2:
+            enc.ctl("bitrate", 128000)
+        if f == 4:
+            enc.set_bandwidth("WB")
+        if f == 5:
+            enc.set_complexity(0)
+        if f == 6:
+            enc.set_vbr(True)
+        pkt = enc.encode(pcm[f * 960 : (f + 1) * 960])
+        sizes.append(len(pkt))
+        r = ref.decode_float(pkt, 960)
+        o = ours.decode_float(pkt, 960)
+        assert enc.final_range == ref.final_range == ours.final_range
+        assert np.abs(np.asarray(o).reshape(-1) - np.asarray(r).reshape(-1)).max() < 2e-5
+    assert sizes[2] > sizes[1] * 1.5  # bitrate jump took effect
+
+    # FEC toggling on a voice stream.
+    venc = Encoder(EncoderConfiguration(bitrate=24000, application="voice",
+                                        channels=opus_tpu.Channels.MONO, bandwidth="WB",
+                                        sampling_rate=opus_tpu.SamplingRate.HZ_16000))
+    venc.set_inband_fec(True)
+    venc.set_packet_loss_perc(20)
+    vref = oracle.Decoder(48000, 1)
+    v = np.sin(2 * np.pi * 220 * np.arange(320 * 4) / 16000).astype(np.float32) * 0.5
+    for f in range(4):
+        pkt = venc.encode(v[f * 320 : (f + 1) * 320][:, None])
+        vref.decode_float(pkt, 960)
+        assert venc.final_range == vref.final_range
+    venc.set_packet_loss_perc(0)  # disables LBRR
+    pkt = venc.encode(v[:320][:, None])
+    vref.decode_float(pkt, 960)
+    assert venc.final_range == vref.final_range
