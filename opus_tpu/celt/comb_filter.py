@@ -93,3 +93,43 @@ def comb_filter(
     if g1 == 0.0:
         return
     comb_filter_const_inplace(x, offset + ov, t1, n - ov, g10, g11, g12)
+
+
+def comb_filter_into(
+    y: np.ndarray, y_off: int, x: np.ndarray, x_off: int, t0: int, t1: int, n: int,
+    g0: float, g1: float, tapset0: int, tapset1: int,
+    window: np.ndarray, overlap: int,
+) -> None:
+    """Out-of-place comb: y[i] = x[i] + taps, reading only the (fixed)
+    input x — the encoder-side prefilter form, where libopus passes
+    separate in/out buffers so there is no feedback (celt_encoder.c
+    run_prefilter -> comb_filter(in+..., pre[c]+MAXPERIOD, ...)).
+    Gains may be negative (the prefilter subtracts the pitch prediction).
+    """
+    if g0 == 0.0 and g1 == 0.0:
+        y[y_off : y_off + n] = x[x_off : x_off + n]
+        return
+    t0 = max(t0, MIN_PERIOD)
+    t1 = max(t1, MIN_PERIOD)
+    g00, g01, g02 = (g0 * GAINS[tapset0][k] for k in range(3))
+    g10, g11, g12 = (g1 * GAINS[tapset1][k] for k in range(3))
+    ov = 0 if (g0 == g1 and t0 == t1 and tapset0 == tapset1) else min(overlap, n)
+
+    def taps(t, ga, gb, gc, i0, m):
+        lag = x_off + i0 - t
+        return (
+            ga * x[lag : lag + m]
+            + gb * (x[lag + 1 : lag + 1 + m] + x[lag - 1 : lag - 1 + m])
+            + gc * (x[lag + 2 : lag + 2 + m] + x[lag - 2 : lag - 2 + m])
+        )
+
+    if ov > 0:
+        f = (window[:ov].astype(np.float64)) ** 2
+        y[y_off : y_off + ov] = (
+            x[x_off : x_off + ov]
+            + (1.0 - f) * taps(t0, g00, g01, g02, 0, ov)
+            + f * taps(t1, g10, g11, g12, 0, ov)
+        )
+    m = n - ov
+    if m > 0:
+        y[y_off + ov : y_off + n] = x[x_off + ov : x_off + n] + taps(t1, g10, g11, g12, ov, m)

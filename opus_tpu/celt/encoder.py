@@ -20,8 +20,9 @@ import numpy as np
 from ..rc import RangeEncoder
 from . import modes
 from .bands import compute_band_energies, normalise_bands, quant_all_bands
-from .decoder import SPREAD_ICDF, TF_SELECT_TABLE, TRIM_ICDF
+from .decoder import SPREAD_ICDF, TAPSET_ICDF, TF_SELECT_TABLE, TRIM_ICDF
 from .energy_encode import amp2_log2, quant_coarse_energy, quant_energy_finalise, quant_fine_energy
+from .comb_filter import comb_filter_into
 from .mdct import mdct_forward
 from .rate import BITRES, compute_allocation, init_caps
 from .vq import SPREAD_NORMAL
@@ -48,6 +49,69 @@ class CeltEncoder:
         self.old_band_e = np.zeros((2, modes.NB_E_BANDS), dtype=np.float32)
         self.rng = 0
         self.frame_count = 0
+        # Pitch prefilter state (libopus celt_encoder.c run_prefilter):
+        # UNFILTERED pre-emphasised history for the pitch analysis, plus
+        # the (period, gain, tapset) actually applied last frame for the
+        # comb cross-fade.
+        self.prefilter_mem = np.zeros((self.channels, 1024), dtype=np.float64)
+        self.prefilter_period = 15
+        self.prefilter_gain = 0.0
+        self.prefilter_tapset = 0
+
+    def _run_prefilter(self, prebuf: np.ndarray, n: int, nb_available_bytes: int,
+                       enabled: bool):
+        """Pitch prefilter decision (libopus celt_encoder.c run_prefilter).
+
+        prebuf: [cc, 1024 + n] pre-emphasised UNFILTERED signal (1024 of
+        history).  Returns (pf_on, pitch_index, gain, qg, tapset): the comb
+        is applied by the caller with negative gains; the decoder's
+        post-filter (+gain) undoes it, shaping coding noise harmonically.
+        """
+        MAXP, MINP = 1024, 15
+        if self.complexity < 5:
+            enabled = False
+        # Digital-silence guard: the silence flag would stop the decoder
+        # from reading the post-filter params.
+        if float(np.max(np.abs(prebuf[:, MAXP:]))) < 0.5:
+            enabled = False
+        gain1 = 0.0
+        pitch_index = MINP
+        qg = 0
+        if enabled:
+            from .plc import pitch_downsample, pitch_search, remove_doubling
+
+            pitch_buf = pitch_downsample(prebuf, MAXP + n)
+            raw = pitch_search(pitch_buf[MAXP >> 1 :], pitch_buf, n, MAXP - 3 * MINP)
+            pitch_index = MAXP - raw
+            pitch_index, gain1 = remove_doubling(
+                pitch_buf, MAXP, MINP, n, pitch_index,
+                self.prefilter_period, self.prefilter_gain,
+            )
+            if pitch_index > MAXP - 2:
+                pitch_index = MAXP - 2
+            gain1 = 0.7 * gain1
+
+        # Threshold with rate + continuity hysteresis.
+        pf_threshold = 0.2
+        if abs(pitch_index - self.prefilter_period) * 10 > pitch_index:
+            pf_threshold += 0.2
+        if nb_available_bytes < 25:
+            pf_threshold += 0.1
+        if nb_available_bytes < 35:
+            pf_threshold += 0.1
+        if self.prefilter_gain > 0.4:
+            pf_threshold -= 0.1
+        if self.prefilter_gain > 0.55:
+            pf_threshold -= 0.1
+        pf_threshold = max(pf_threshold, 0.2)
+
+        if gain1 < pf_threshold:
+            return False, MINP, 0.0, 0, self.prefilter_tapset
+        if abs(gain1 - self.prefilter_gain) < 0.1:
+            gain1 = self.prefilter_gain
+        qg = max(0, min(7, int(np.floor(0.5 + gain1 * 32.0 / 3.0)) - 1))
+        gain1 = 0.09375 * (qg + 1)
+        return True, pitch_index, gain1, qg, self.prefilter_tapset
 
     def encode(self, pcm: np.ndarray, nb_bytes: int, enc: RangeEncoder | None = None) -> bytes:
         """Encode one frame of pcm [N, channels] (N in 2.5-20 ms at 48 kHz)
@@ -77,15 +141,35 @@ class CeltEncoder:
             enc = RangeEncoder(buf)
         total_bits = nb_bytes * 8
 
-        # --- pre-emphasis + transient analysis + MDCT analysis -----------
-        band_input = np.zeros((cc, ov + n))
+        # --- pre-emphasis + pitch prefilter + MDCT analysis ---------------
+        MAXP = 1024
+        prebuf = np.zeros((cc, MAXP + n))
         for c in range(cc):
             x = pcm[:, c].astype(np.float64) * 32768.0
             pre = x - np.concatenate([[self.preemph_mem[c]], float(modes.PREEMPH) * x[:-1]])
             self.preemph_mem[c] = float(modes.PREEMPH) * x[-1]
+            prebuf[c, :MAXP] = self.prefilter_mem[c]
+            prebuf[c, MAXP:] = pre
+
+        pf_on, pitch_index, gain1, qg, pf_tapset = self._run_prefilter(
+            prebuf, n, nb_bytes, enabled=(start == 0 and total_bits >= 19)
+        )
+
+        band_input = np.zeros((cc, ov + n))
+        for c in range(cc):
             band_input[c, :ov] = self.in_mem[c]
-            band_input[c, ov:] = pre
-            self.in_mem[c] = pre[n - ov :]
+            comb_filter_into(
+                band_input[c], ov, prebuf[c], MAXP,
+                self.prefilter_period, pitch_index, n,
+                -self.prefilter_gain, -gain1,
+                self.prefilter_tapset, pf_tapset,
+                modes.WINDOW.astype(np.float64), ov,
+            )
+            self.in_mem[c] = band_input[c, n : n + ov]
+            self.prefilter_mem[c] = prebuf[c, n : n + MAXP]
+        self.prefilter_period = pitch_index
+        self.prefilter_gain = gain1
+        self.prefilter_tapset = pf_tapset
 
         is_transient = lm > 0 and self._transient_decision(band_input[:, ov:], m)
         B = m if is_transient else 1
@@ -122,7 +206,19 @@ class CeltEncoder:
                 return bytes(buf)
         tell = enc.tell()
         if start == 0 and tell + 16 <= total_bits:
-            enc.encode_bit_logp(0, 1)  # no post-filter
+            if pf_on:
+                from ..mathops import ilog
+
+                enc.encode_bit_logp(1, 1)
+                pi = pitch_index + 1
+                octave = ilog(pi) - 5
+                enc.encode_uint(octave, 6)
+                enc.encode_bits(pi - (16 << octave), 4 + octave)
+                enc.encode_bits(qg, 3)
+                if enc.tell() + 2 <= total_bits:
+                    enc.encode_icdf(pf_tapset, TAPSET_ICDF, 2)
+            else:
+                enc.encode_bit_logp(0, 1)  # no post-filter this frame
             tell = enc.tell()
         if lm > 0 and tell + 3 <= total_bits:
             enc.encode_bit_logp(1 if is_transient else 0, 3)

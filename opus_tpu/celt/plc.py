@@ -318,3 +318,89 @@ def decode_lost(dec, n: int, lm: int) -> None:
                 )
 
     dec.loss_count = loss_count + 1
+
+
+# ---------------------------------------------------------------------------
+# Encoder-side pitch refinement (libopus pitch.c remove_doubling), shared
+# here with the decoder's pitch machinery above.
+# ---------------------------------------------------------------------------
+
+_SECOND_CHECK = [0, 0, 3, 2, 3, 2, 5, 2, 3, 2, 3, 2, 5, 2, 3, 2]
+
+
+def _pitch_gain(xy: float, xx: float, yy: float) -> float:
+    return xy / math.sqrt(1.0 + xx * yy)
+
+
+def remove_doubling(x: np.ndarray, maxperiod: int, minperiod: int, n: int,
+                    t0_: int, prev_period: int, prev_gain: float) -> tuple[int, float]:
+    """Subharmonic check on a pitch candidate (libopus remove_doubling).
+
+    x: 2x-downsampled signal with `maxperiod` history before the current
+    frame (index maxperiod = first sample of the frame, like pitch.c).
+    Returns (refined_period, gain) at the ORIGINAL (non-downsampled) rate.
+    """
+    minperiod0 = minperiod
+    maxperiod //= 2
+    minperiod //= 2
+    t0 = t0_ // 2
+    prev_period //= 2
+    n //= 2
+    off = maxperiod  # x[off] = first sample of the frame
+    if t0 >= maxperiod:
+        t0 = maxperiod - 1
+
+    frame = x[off : off + n]
+    xx = float(np.dot(frame, frame))
+    xy = float(np.dot(frame, x[off - t0 : off - t0 + n]))
+    yy_lookup = np.empty(maxperiod + 1)
+    yy_lookup[0] = xx
+    yy = xx
+    for i in range(1, maxperiod + 1):
+        yy = yy + x[off - i] * x[off - i] - x[off + n - i] * x[off + n - i]
+        yy_lookup[i] = max(0.0, yy)
+    yy = yy_lookup[t0]
+    best_xy, best_yy = xy, yy
+    t = t0
+    g = g0 = _pitch_gain(xy, xx, yy)
+    for k in range(2, 16):
+        t1 = (2 * t0 + k) // (2 * k)
+        if t1 < minperiod:
+            break
+        if k == 2:
+            t1b = t0 if t1 + t0 > maxperiod else t0 + t1
+        else:
+            t1b = (2 * _SECOND_CHECK[k] * t0 + k) // (2 * k)
+        xy1 = float(np.dot(frame, x[off - t1 : off - t1 + n]))
+        xy2 = float(np.dot(frame, x[off - t1b : off - t1b + n]))
+        xyk = 0.5 * (xy1 + xy2)
+        yyk = 0.5 * (yy_lookup[t1] + yy_lookup[t1b])
+        g1 = _pitch_gain(xyk, xx, yyk)
+        if abs(t1 - prev_period) <= 1:
+            cont = prev_gain
+        elif abs(t1 - prev_period) <= 2 and 5 * k * k < t0:
+            cont = 0.5 * prev_gain
+        else:
+            cont = 0.0
+        thresh = max(0.3, 0.7 * g0 - cont)
+        # Bias against very short periods (false short-term correlation).
+        if t1 < 3 * minperiod:
+            thresh = max(0.4, 0.85 * g0 - cont)
+        if t1 < 2 * minperiod:
+            thresh = max(0.5, 0.9 * g0 - cont)
+        if g1 > thresh:
+            best_xy, best_yy = xyk, yyk
+            t = t1
+            g = g1
+    best_xy = max(0.0, best_xy)
+    pg = 1.0 if best_yy <= best_xy else best_xy / (best_yy + 1.0)
+    xcorr = [float(np.dot(frame, x[off - (t + k - 1) : off - (t + k - 1) + n])) for k in range(3)]
+    if (xcorr[2] - xcorr[0]) > 0.7 * (xcorr[1] - xcorr[0]):
+        offset = 1
+    elif (xcorr[0] - xcorr[2]) > 0.7 * (xcorr[1] - xcorr[2]):
+        offset = -1
+    else:
+        offset = 0
+    pg = min(pg, g)
+    t0_out = max(2 * t + offset, minperiod0)
+    return t0_out, pg

@@ -255,3 +255,47 @@ def test_encoder_ctl_surface():
     pkt = venc.encode(v[:320][:, None])
     vref.decode_float(pkt, 960)
     assert venc.final_range == vref.final_range
+
+
+def test_celt_prefilter_pitched_content():
+    """The pitch prefilter fires on voiced/harmonic content, every stream
+    stays libopus-decodable, and quality does not regress vs prefilter-off
+    (the round-1 failure mode; validated with aligned SNR, not raw SNR)."""
+    import opus_tpu
+    from opus_tpu.encoder import Encoder, EncoderConfiguration
+
+    if not oracle.available():
+        pytest.skip("libopus not present")
+    rng = np.random.default_rng(8)
+    frame, NF = 960, 16
+    t = np.arange(frame * NF) / 48000.0
+    ph = np.cumsum(2 * np.pi * (160 + 20 * np.sin(2 * np.pi * 1.1 * t)) / 48000.0)
+    sig = (0.35 * np.sin(ph) + 0.22 * np.sin(2 * ph) + 0.12 * np.sin(3 * ph)
+           + 0.02 * rng.standard_normal(t.size)).astype(np.float32)
+    pcm = np.stack([sig, np.roll(sig, 7) * 0.9], -1)
+
+    def run(complexity):
+        enc = Encoder(EncoderConfiguration(bitrate=48000, application="music"))
+        enc.set_complexity(complexity)
+        ref = oracle.Decoder(48000, 2)
+        ours = opus_tpu.Decoder()
+        out, fired = [], 0
+        for f in range(NF):
+            pkt = enc.encode(pcm[f * frame : (f + 1) * frame])
+            fired += enc.celt.prefilter_gain > 0
+            r = np.asarray(ref.decode_float(pkt, frame)).reshape(frame, 2)
+            o = np.asarray(ours.decode_float(pkt, frame)).reshape(frame, 2)
+            assert enc.final_range == ref.final_range == ours.final_range
+            assert np.abs(o - r).max() < 2e-5
+            out.append(r)
+        dec = np.concatenate(out)
+        a = pcm[frame * 2 : frame * (NF - 1)]
+        b = dec[frame * 2 + 120 : frame * (NF - 1) + 120]  # CELT overlap delay
+        d = a - b
+        return fired, 10 * np.log10(float((a**2).sum()) / float((d**2).sum()))
+
+    fired_on, snr_on = run(10)
+    fired_off, snr_off = run(4)  # complexity < 5 disables the prefilter
+    assert fired_off == 0
+    assert fired_on >= NF * 3 // 4, fired_on
+    assert snr_on >= snr_off - 0.25, (snr_on, snr_off)
