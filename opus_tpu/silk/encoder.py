@@ -92,8 +92,10 @@ def lpc_to_nlsf_q15(a: np.ndarray, order: int) -> list:
 # Quantisation: exact bitstream-level inverses of the decoder.
 # ---------------------------------------------------------------------------
 
-def quantize_nlsf(nlsf_q15: list, cb: NlsfCodebook):
-    """Greedy two-stage NLSF quantisation; returns indices[1+order]."""
+def quantize_nlsf(nlsf_q15: list, cb: NlsfCodebook, max_amp: int = 10):
+    """Greedy two-stage NLSF quantisation; returns indices[1+order].
+    max_amp clamps the residual indices (out-of-range values escape-code
+    at ~8-10 bits each; tiny CBR budgets cap them at the base range)."""
     order = cb.order
     target = np.array(nlsf_q15[:order], dtype=np.float64)
     best_i, best_err = 0, None
@@ -118,7 +120,7 @@ def quantize_nlsf(nlsf_q15: list, cb: NlsfCodebook):
         want = res_target_q10[j] - pred_q10
         step = cb.quant_step_size_q16 / 65536.0
         idx = int(round(want / (1024.0 * step)))
-        idx = max(-10, min(10, idx))
+        idx = max(-max_amp, min(max_amp, idx))
         indices[1 + j] = idx
         out_q10 = i16(idx << 10)
         if out_q10 > 0:
@@ -306,6 +308,9 @@ class SilkEncoder:
         self.x_hist = np.zeros(self.lpc_order)
         self.xq_hist = np.zeros(self.lpc_order)
         self.xq_buf = np.zeros(20 * fs_khz)  # quantised-signal history (LTP)
+        # Noise-shaping feedback: (quantiser-domain, output-domain) error
+        # histories for the two-filter NSQ form.
+        self.nsq_err_hist = (np.zeros(16), np.zeros(16))
         self.last_range = 0
         # Inter-frame entropy context for conditional coding inside
         # multi-frame (40/60 ms) packets; mirrors the decoder's
@@ -341,15 +346,31 @@ class SilkEncoder:
                 best_c, best_lag = c, lag
         return best_lag if best_c > 0.45 else None
 
-    def _ltp_search(self, res: np.ndarray, sub_lags, vq: np.ndarray):
-        """Per subframe, pick the VQ row minimising LTP residual energy over
-        the open-loop LPC residual (with cross-frame residual history);
-        returns (total_energy, row_indices)."""
+    @staticmethod
+    def _icdf_bits(icdf) -> np.ndarray:
+        """Symbol cost in bits from an 8-bit inverse-CDF table."""
+        c = np.concatenate([[256], np.asarray(icdf, np.float64)])
+        p = np.maximum(c[:-1] - c[1:], 0.5) / 256.0
+        return -np.log2(p)
+
+    def _ltp_search(self, res: np.ndarray, sub_lags, vq: np.ndarray,
+                    bits: np.ndarray | None = None):
+        """Per subframe, pick the VQ row by rate-distortion over the
+        open-loop LPC residual (with cross-frame residual history);
+        returns (total_rd_cost_bits, total_energy, row_indices).
+
+        RD model: a Gaussian residual of energy e over `sub` samples costs
+        (sub/2)*log2(e) bits at fixed distortion, plus the row's entropy
+        cost — this is what lets the 3 LTP codebooks compete fairly
+        (libopus silk_find_LTP VQ + per_index selection)."""
         sub = self.subfr_length
         h0 = 18 * self.fs_khz + 3
         hist = np.concatenate([self.res_hist, res])
         idx = np.zeros(len(sub_lags), np.int32)
         e_tot = 0.0
+        rd_tot = 0.0
+        if bits is None:
+            bits = np.zeros(vq.shape[0])
         for k in range(len(sub_lags)):
             L = sub_lags[k]
             tgt = res[k * sub : (k + 1) * sub]
@@ -359,20 +380,24 @@ class SilkEncoder:
             ])
             pred = vq @ cols                  # [rows, sub]
             errs = ((tgt[None, :] - pred) ** 2).sum(axis=1)
-            r = int(np.argmin(errs))
+            rd = 0.5 * sub * np.log2(np.maximum(errs, 1e-3)) + bits
+            r = int(np.argmin(rd))
             idx[k] = r
             e_tot += float(errs[r])
-        return e_tot, idx
+            rd_tot += float(rd[r])
+        return rd_tot, e_tot, idx
 
     def snapshot(self):
         return (self.gain_state, self.x_hist.copy(), self.xq_hist.copy(), self.xq_buf.copy(),
-                self.ec_prev_signal_type, self.ec_prev_lag_index, self.res_hist.copy())
+                self.ec_prev_signal_type, self.ec_prev_lag_index, self.res_hist.copy(),
+                (self.nsq_err_hist[0].copy(), self.nsq_err_hist[1].copy()))
 
     def restore(self, s) -> None:
         (self.gain_state, self.x_hist, self.xq_hist, self.xq_buf,
          self.ec_prev_signal_type, self.ec_prev_lag_index) = (
             s[0], s[1].copy(), s[2].copy(), s[3].copy(), s[4], s[5])
         self.res_hist = s[6].copy()
+        self.nsq_err_hist = (s[7][0].copy(), s[7][1].copy())
 
     def encode_packet_cbr(self, x: np.ndarray, budget_bytes: int,
                           lbrr_x: np.ndarray | None = None,
@@ -400,10 +425,15 @@ class SilkEncoder:
             nf, flen = len(x) // self.frame_length, self.frame_length
             assert nf * self.frame_length == len(x) and 1 <= nf <= 3
         headroom = 1.8
+        # In-band FEC costs rate: LBRR frames ride along with a ~25%%
+        # budget allowance (libopus likewise raises the effective rate
+        # when FEC is requested) rather than being dropped or coded
+        # uselessly coarse.
+        budget_eff = budget_bytes if lbrr_x is None else (budget_bytes * 5) // 4 + 2
         saved = self.snapshot()
         saved_lbrr = lbrr_enc.snapshot() if lbrr_enc is not None else None
         payload = b""
-        for _ in range(6):
+        for it in range(9):
             self.restore(saved)
             if saved_lbrr is not None:
                 lbrr_enc.restore(saved_lbrr)
@@ -420,26 +450,38 @@ class SilkEncoder:
                 lbrr_enc.ec_prev_signal_type = self.ec_prev_signal_type
                 lbrr_enc.ec_prev_lag_index = self.ec_prev_lag_index
                 for f in range(nf):
+                    # LBRR stays usable even when the primary frame is
+                    # squeezed: a coarse-but-intelligible floor of 1.2.
                     lbrr_enc.encode_frame(enc, lbrr_x[f * flen : (f + 1) * flen],
-                                          headroom=headroom * 2.0,
+                                          headroom=max(headroom * 2.0, 1.2),
                                           write_header=False, cond=f > 0)
                 self.ec_prev_signal_type = lbrr_enc.ec_prev_signal_type
                 self.ec_prev_lag_index = lbrr_enc.ec_prev_lag_index
             for f in range(nf):
                 self.encode_frame(enc, x[f * flen : (f + 1) * flen],
-                                  headroom=headroom, write_header=False, cond=f > 0)
+                                  headroom=headroom, write_header=False, cond=f > 0,
+                                  zero_pulses=headroom < 0.052)
             nbytes = min((enc.tell() + 7) >> 3, 1275)
             enc.shrink(nbytes)
             enc.done()
             payload = bytes(enc.data())
             self.last_range = enc.rng & 0xFFFFFFFF
-            if len(payload) <= budget_bytes or headroom <= 0.36:
+            if len(payload) <= budget_eff or headroom <= 0.051:
                 break
-            headroom = max(0.35, headroom / (1.15 * max(1.0, len(payload) / max(budget_bytes, 1)) ** 0.5))
+            # Headroom floor 0.35 for the first retries (quality: below it
+            # quantisation-offset noise dominates); deeper retries drop the
+            # voiced side info, clamp NLSF residuals, and finally code a
+            # zero-pulse excitation — CBR wins over detail at tiny budgets.
+            if it >= 6:
+                headroom = 0.05  # final fallback: side info + zero pulses
+            else:
+                floor = 0.35 if it < 4 else 0.06
+                headroom = max(floor, headroom / (1.15 * max(1.0, len(payload) / max(budget_eff, 1)) ** 0.5))
         return payload
 
     def encode_frame(self, enc, x: np.ndarray, headroom: float = 1.8,
-                     write_header: bool = True, cond: bool = False) -> None:
+                     write_header: bool = True, cond: bool = False,
+                     zero_pulses: bool = False) -> None:
         flen = len(x)
         assert flen in (self.frame_length, self.frame_length // 2)
         nsf = 4 if flen == self.frame_length else 2  # 20 ms / 10 ms frame
@@ -451,7 +493,8 @@ class SilkEncoder:
         a = burg_lpc(np.concatenate([self.x_hist, xf]) * (1.0 / 32768.0), order)
         nlsf_q15 = lpc_to_nlsf_q15(a, order)
         nlsf_stabilize(nlsf_q15, self.cb.delta_min_q15, order)
-        nlsf_indices = quantize_nlsf(nlsf_q15, self.cb)
+        nlsf_indices = quantize_nlsf(nlsf_q15, self.cb,
+                                     max_amp=3 if headroom < 0.30 else 10)
         dec_nlsf = nlsf_decode(nlsf_indices, self.cb)
         a_q12 = nlsf2a(dec_nlsf, order)
         af = np.array(a_q12, dtype=np.float64) / 4096.0
@@ -477,23 +520,41 @@ class SilkEncoder:
         # the decoder would synthesise a full loud frame from past output.
         if float(np.dot(xf, xf)) / flen < 30.0**2:
             lag = None
+        # Deep CBR retries: voiced side info (pitch/contour/LTP/scale) alone
+        # can exceed a tiny byte budget — drop to unvoiced coding.
+        if headroom < 0.30:
+            lag = None
         if lag is not None:
             min_lag = 2 * self.fs_khz
             lag = max(min_lag + 2, min(18 * self.fs_khz, lag))
-            vq = np.array(T.LTP_GAIN_VQ_1, np.float64) * (1.0 / 128.0)
+            vq_tables = [np.array(t, np.float64) * (1.0 / 128.0)
+                         for t in (T.LTP_GAIN_VQ_0, T.LTP_GAIN_VQ_1, T.LTP_GAIN_VQ_2)]
+            vq_bits = [self._icdf_bits(t)
+                       for t in (T.LTP_GAIN_ICDF_0, T.LTP_GAIN_ICDF_1, T.LTP_GAIN_ICDF_2)]
+            per_bits = self._icdf_bits(T.LTP_PER_INDEX_ICDF)
             if nsf == 4:
                 cb_lags = T.CB_LAGS_STAGE3 if self.fs_khz != 8 else T.CB_LAGS_STAGE2
             else:
                 cb_lags = T.CB_LAGS_STAGE3_10MS if self.fs_khz != 8 else T.CB_LAGS_STAGE2_10MS
             n_ctr = len(cb_lags[0])
+            # Contour by energy with the mid codebook, then codebook
+            # (per_index) by rate-distortion at the chosen contour.
             best = None
             for ctr in range(n_ctr):
                 lags_k = [max(min_lag, min(18 * self.fs_khz, lag + int(cb_lags[k][ctr])))
                           for k in range(nsf)]
-                e_tot, idxs = self._ltp_search(res, lags_k, vq)
-                if best is None or e_tot < best[0]:
-                    best = (e_tot, ctr, idxs, lags_k)
-            e_ltp, contour, ltp_idx, sub_lags = best
+                _, e_tot, idxs = self._ltp_search(res, lags_k, vq_tables[1], vq_bits[1])
+                if best is None or e_tot < best[1]:
+                    best = (None, e_tot, ctr, idxs, lags_k)
+            _, e_ltp, contour, ltp_idx, sub_lags = best
+            best_tab = None
+            for pi in range(3):
+                rd, e_t, idxs = self._ltp_search(res, sub_lags, vq_tables[pi], vq_bits[pi])
+                rd += float(per_bits[pi])
+                if best_tab is None or rd < best_tab[0]:
+                    best_tab = (rd, e_t, pi, idxs)
+            _, e_ltp, per_index, ltp_idx = best_tab
+            vq = vq_tables[per_index]
             if e_ltp < 0.55 * e_plain:
                 signal_type = 2
                 for k in range(nsf):
@@ -548,8 +609,9 @@ class SilkEncoder:
                 contour_tbl = T.PITCH_CONTOUR_10MS_ICDF if self.fs_khz != 8 else T.PITCH_CONTOUR_10MS_NB_ICDF
             enc.encode_icdf(contour, contour_tbl, 8)
             enc.encode_icdf(per_index, T.LTP_PER_INDEX_ICDF, 8)
+            gain_icdf = (T.LTP_GAIN_ICDF_0, T.LTP_GAIN_ICDF_1, T.LTP_GAIN_ICDF_2)[per_index]
             for k in range(nsf):
-                enc.encode_icdf(int(ltp_idx[k]), T.LTP_GAIN_ICDF_1, 8)
+                enc.encode_icdf(int(ltp_idx[k]), gain_icdf, 8)
             if not cond:
                 enc.encode_icdf(0, T.LTPSCALE_ICDF, 8)  # CODE_INDEPENDENTLY
         self.ec_prev_signal_type = signal_type
@@ -570,6 +632,19 @@ class SilkEncoder:
             for i in range(len(self.xq_buf)):
                 white[i] = hist[order + i] - float(np.dot(af, hist[order + i - 1 :: -1][:order]))
             P[:head_len] = white[-head_len:] * ltp_scale
+        # Noise shaping (the role of libopus's NSQ shaping filter): the
+        # coding-noise spectrum becomes E(z)*A(z/g1)/A(z/g2) with g2 > g1,
+        # i.e. the noise partially FOLLOWS the spectral envelope so it
+        # hides under formants instead of being white in the valleys.
+        # f_i = Shp1*e_hist - Shp2*n_hist; e = quantiser-domain error,
+        # n = output-domain error (t - q).
+        # Shaping off for coarse re-encodes (LBRR at 2x headroom): error
+        # feedback at very coarse quantisation saturates and de-correlates
+        # the recovered frame.
+        g1, g2 = (0.8, 0.93) if headroom < 2.0 else (0.0, 0.0)
+        shp1 = af * (g1 ** np.arange(1, order + 1))
+        shp2 = af * (g2 ** np.arange(1, order + 1))
+        e_hist, n_hist = self.nsq_err_hist
         for i in range(flen):
             rand_seed = silk_rand(rand_seed)
             flip = -1 if rand_seed < 0 else 1
@@ -581,11 +656,16 @@ class SilkEncoder:
                 base = head_len + i - sub_lags[k] + 2
                 for j in range(5):
                     ltp_pred += b_taps[k][j] * P[base - j]
-            want = (xf[i] - pred - ltp_pred) * (1 << 30) / g
+            feedback = (float(np.dot(shp1, e_hist[:order]))
+                        - float(np.dot(shp2, n_hist[:order])))
+            t_sig = xf[i] - pred - ltp_pred
+            want = (t_sig + feedback) * (1 << 30) / g
             v = want * flip
             p0 = int(round((v - offset16) / 16384.0))
             best = None
-            for p in (p0 - 1, p0, p0 + 1):
+            if zero_pulses:
+                p0 = 0
+            for p in ((0,) if zero_pulses else (p0 - 1, p0, p0 + 1)):
                 pc = max(-31, min(31, p))
                 dv = pc << 14
                 if dv > 0:
@@ -597,10 +677,18 @@ class SilkEncoder:
                 if best is None or err < best[0]:
                     best = (err, pc, dv)
             _, pulses[i], dv = best
-            pres = (dv * flip) * g / (1 << 30) + ltp_pred
+            q_sig = (dv * flip) * g / (1 << 30)
+            e_new = (t_sig + feedback) - q_sig
+            n_new = t_sig - q_sig
+            e_hist[1:] = e_hist[:-1]
+            e_hist[0] = max(-3000.0, min(3000.0, e_new))
+            n_hist[1:] = n_hist[:-1]
+            n_hist[0] = max(-3000.0, min(3000.0, n_new))
+            pres = q_sig + ltp_pred
             P[head_len + i] = pres
             xq_ext[order + i] = pred + pres
             rand_seed = i32(rand_seed + pulses[i])
+        self.nsq_err_hist = (e_hist, n_hist)
         self.xq_hist = xq_ext[flen : flen + order].copy()
         self.xq_buf = np.concatenate([self.xq_buf, xq_ext[order:]])[-len(self.xq_buf):]
 

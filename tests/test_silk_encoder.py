@@ -324,3 +324,46 @@ def test_voice_bandwidth_forcing():
             m = mine.decode_float(pkt, 960)[:, 0]
             assert ref.final_range == mine.final_range
             assert float(np.abs(m - r).max()) < 1e-6
+
+
+def test_cbr_tiny_budgets():
+    """CBR contract at small budgets: deep retries drop voiced side info,
+    clamp NLSF residuals, and finally code zero-pulse excitation; packets
+    fit the byte budget at practical rates (>= 8 kbps NB / 10 kbps WB)."""
+    rng = np.random.default_rng(5)
+    cases = [(8000, "NB", 8, 10), (16000, "WB", 10, 10), (16000, "WB", 12, 20)]
+    for fs, bw, kbps, ms in cases:
+        frame = fs * ms // 1000
+        nf = 20
+        t = np.arange(frame * nf) / fs
+        ph = np.cumsum(2 * np.pi * (120 + 30 * np.sin(2 * np.pi * 3 * t)) / fs)
+        sig = (0.35 * np.sign(np.sin(ph)) + 0.02 * rng.standard_normal(t.size)).astype(np.float32)
+        enc = Encoder(EncoderConfiguration(SamplingRate(fs), Channels.MONO, kbps * 1000,
+                                           application="voice", bandwidth=bw))
+        ref = oracle.Decoder(fs, 1)
+        budget = kbps * 1000 * ms // 8000 + 1
+        for f in range(nf):
+            pkt = enc.encode(sig[f * frame : (f + 1) * frame][:, None])
+            ref.decode_float(pkt, frame)
+            assert enc.final_range == ref.final_range
+            assert len(pkt) <= budget, (bw, kbps, ms, f, len(pkt), budget)
+
+
+def test_rate_tracking_low_rates():
+    """Mean rate within 10% of target at 12-20 kbps WB voice (and never
+    over in CBR)."""
+    rng = np.random.default_rng(5)
+    fs, frame, nf = 16000, 320, 25
+    t = np.arange(frame * nf) / fs
+    ph = np.cumsum(2 * np.pi * (120 + 30 * np.sin(2 * np.pi * 3 * t)) / fs)
+    sig = (0.35 * np.sign(np.sin(ph)) * np.exp(-((t % 0.25) / 0.08) ** 2)
+           + 0.02 * rng.standard_normal(t.size)).astype(np.float32)
+    for kbps in (12, 16, 20):
+        enc = Encoder(EncoderConfiguration(SamplingRate(fs), Channels.MONO, kbps * 1000,
+                                           application="voice", bandwidth="WB"))
+        total = 0
+        for f in range(nf):
+            total += len(enc.encode(sig[f * frame : (f + 1) * frame][:, None]))
+        rate = total * 8 / (nf * 0.02)
+        assert rate <= kbps * 1000 * 1.02, (kbps, rate)
+        assert rate >= kbps * 1000 * 0.55, (kbps, rate)
