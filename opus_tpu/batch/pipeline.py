@@ -31,7 +31,13 @@ class BatchedCeltDecoder:
     ~200x slower — kept as the executable reference).
     """
 
-    def __init__(self, batch: int, channels: int = 2, downsample: int = 1, use_native: bool | None = None):
+    def __init__(self, batch: int, channels: int = 2, downsample: int = 1, use_native: bool | None = None,
+                 transfer: str = "f32"):
+        #: "f32" = exact float band shapes; "q14" = int16 Q14 shapes (half
+        #: the host->device bytes, libopus-fixed precision class; gated by
+        #: the RFC 8251 conformance metric in tests/test_conformance.py).
+        assert transfer in ("f32", "q14")
+        self.transfer = transfer
         self.batch = batch
         self.channels = channels
         self.downsample = downsample
@@ -67,10 +73,11 @@ class BatchedCeltDecoder:
         return self._steps[key]
 
     def _pipe_step_fn(self, lm: int, short_blocks: bool):
-        key = ("raw", lm, short_blocks)
+        key = ("raw", lm, short_blocks, self.transfer)
         if key not in self._steps:
             self._steps[key] = make_pipeline_step(
-                lm, short_blocks, self.channels, self.downsample
+                lm, short_blocks, self.channels, self.downsample,
+                quantized=self.transfer == "q14",
             )
         return self._steps[key]
 
@@ -80,9 +87,14 @@ class BatchedCeltDecoder:
         Returns (lm, short_mask, args) with args = (xraw, mono, ble, bound,
         periods, gains, tapsets); only [B]-sized numpy work on the host.
         """
-        x, ble, meta, gains = self.native.decode_batch_f32(
-            packets, frame_size, stream_channels
-        )
+        if self.transfer == "q14":
+            x, ble, meta, gains = self.native.decode_batch_q15(
+                packets, frame_size, stream_channels
+            )
+        else:
+            x, ble, meta, gains = self.native.decode_batch_f32(
+                packets, frame_size, stream_channels
+            )
         lm = int(meta[0, 2])
         if not (meta[:, 2] == lm).all():
             raise ValueError("mixed frame sizes in one step not supported")

@@ -239,7 +239,8 @@ def make_synthesis_step(lm: int, short_blocks: bool, channels: int = 2, downsamp
     return jax.jit(step)
 
 
-def make_pipeline_step(lm: int, short_blocks: bool, channels: int = 2, downsample: int = 1):
+def make_pipeline_step(lm: int, short_blocks: bool, channels: int = 2, downsample: int = 1,
+                       quantized: bool = False):
     """Serving-path variant of make_synthesis_step taking RAW plane-A output.
 
     The native front end emits x as a flat [B, 2*960] float32 buffer (first
@@ -255,6 +256,10 @@ def make_pipeline_step(lm: int, short_blocks: bool, channels: int = 2, downsampl
     inner = make_synthesis_step(lm, short_blocks, channels, downsample)
 
     def step(state, xraw, mono, band_log_e2, bound, pf_periods, pf_gains, pf_tapsets):
+        if quantized:
+            # Serving mode: band shapes arrive as Q14 int16 (half the
+            # transfer; libopus-fixed precision class).
+            xraw = xraw.astype(jnp.float32) * jnp.float32(1.0 / 16384.0)
         if channels == 2:
             x = xraw[:, : 2 * n].reshape(-1, 2, n)
             x = jnp.where(mono[:, None, None], x[:, :1], x)

@@ -1659,3 +1659,47 @@ int celt_fe_decode_batch_f32(void** handles, const uint8_t* data, const int32_t*
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Q14 int16 output variant: halves the host->device transfer for the
+// serving pipeline.  Band-shape values are unit-norm (|x| <= ~1.4 after
+// stereo merge), so Q14 keeps 1 LSB = 6.1e-5 in the shape domain --
+// the precision class of libopus's FIXED build (Q15 celt_norm), and
+// comfortably inside the RFC 8251 conformance gate.
+int celt_fe_decode_batch_q15(void** handles, const uint8_t* data, const int32_t* lens,
+                             int n_packets, int frame_size48, const int32_t* stream_channels,
+                             int16_t* x_out, int64_t x_stride,
+                             float* ble_out, int32_t* meta_out, float* gains_out) {
+    std::vector<int64_t> offs(n_packets + 1, 0);
+    for (int i = 0; i < n_packets; i++) offs[i + 1] = offs[i] + lens[i];
+    int bad = 0;
+#pragma omp parallel
+    {
+        std::vector<float> scratch(2 * 960);
+        double g[3];
+#pragma omp for schedule(dynamic, 8)
+        for (int i = 0; i < n_packets; i++) {
+            FrontEnd* st = (FrontEnd*)handles[i];
+            int rc = decode_frame(*st, data + offs[i], lens[i], frame_size48,
+                                  stream_channels[i], scratch.data(),
+                                  ble_out + i * 2 * NB_E_BANDS, meta_out + i * 16, g);
+            if (rc != 0) {
+#pragma omp critical
+                bad = i + 1;
+            } else {
+                int16_t* dst = x_out + (int64_t)i * x_stride;
+                int nvals = (120 << meta_out[i * 16 + 2]) * meta_out[i * 16 + 3];
+                for (int j = 0; j < nvals; j++) {
+                    float v = scratch[j] * 16384.0f;
+                    dst[j] = (int16_t)std::max(-32768.0f, std::min(32767.0f, std::floor(v + 0.5f)));
+                }
+                for (int j = 0; j < 3; j++) gains_out[i * 3 + j] = (float)g[j];
+            }
+        }
+    }
+    if (bad) return -bad;
+    return n_packets;
+}
+
+}  // extern "C"

@@ -154,6 +154,15 @@ class NativeBatchFrontEnd:
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_float),
         ]
+        self.lib.celt_fe_decode_batch_q15.restype = ctypes.c_int
+        self.lib.celt_fe_decode_batch_q15.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p), ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int16), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float),
+        ]
         self.batch = batch
         self.channels = channels
         self.downsample = downsample
@@ -167,6 +176,7 @@ class NativeBatchFrontEnd:
         self._slots = [
             dict(
                 x=np.zeros((batch, 2 * 960), np.float32),
+                xq=np.zeros((batch, 2 * 960), np.int16),
                 ble=np.zeros((batch, 2, self.NB), np.float32),
                 meta=np.zeros((batch, 16), np.int32),
                 gains=np.zeros((batch, 3), np.float32),
@@ -245,6 +255,34 @@ class NativeBatchFrontEnd:
         if rc != B:
             raise ValueError(f"native batch decode failed at stream {-rc - 1}")
         return x, ble, meta, gains
+
+    def decode_batch_q15(self, packets: list, frame_size: int, stream_channels=None):
+        """Serving-mode plane A: band shapes come back as Q14 int16
+        (half the host->device bytes; libopus-fixed precision class,
+        RFC 8251-conformant — see celt_fe_decode_batch_q15)."""
+        B = self.batch
+        blob = b"".join(packets)
+        lens = np.array([len(p) for p in packets], dtype=np.int32)
+        if stream_channels is None:
+            sch = np.array([self.channels] * B, dtype=np.int32)
+        else:
+            sch = np.ascontiguousarray(stream_channels, dtype=np.int32)
+        n48 = frame_size * self.downsample
+        slot = self._slots[self._slot]
+        self._slot = 1 - self._slot
+        xq, ble, meta, gains = slot["xq"], slot["ble"], slot["meta"], slot["gains"]
+        rc = self.lib.celt_fe_decode_batch_q15(
+            self.handles, blob,
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), B, n48,
+            sch.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            xq.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), xq.shape[1],
+            ble.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            gains.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        if rc != B:
+            raise ValueError(f"native batch decode failed at stream {-rc - 1}")
+        return xq, ble, meta, gains
 
 
 class NativeSilkFrontEnd:

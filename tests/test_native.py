@@ -137,3 +137,24 @@ def test_native_silk_bit_exact():
     payload = pkt[parse_packet(pkt).payload_offset :]
     xq, rngs = nb.decode_batch([payload] * 4)
     assert (xq[0] == xq[1]).all() and (rngs[0] == rngs[3])
+
+
+def test_q14_transfer_mode_conformance():
+    """Serving-mode Q14 int16 band-shape transfer: half the host->device
+    bytes; precision class of libopus's fixed-point build and still
+    RFC 8251-conformant (quality ~100 vs the float reference)."""
+    from opus_tpu.batch.pipeline import BatchedCeltDecoder
+    from opus_tpu.conformance import PASS_QUALITY, compare
+
+    payloads = _payloads(2, 960, 96, nframes=6)
+    q = BatchedCeltDecoder(4, 2, use_native=True, transfer="q14")
+    f = BatchedCeltDecoder(4, 2, use_native=True, transfer="f32")
+    if not q.use_native:
+        pytest.skip("native engine not built")
+    oq, of = [], []
+    for fr in range(6):
+        oq.append(q.decode_frames([payloads[fr]] * 4, 960)[0])
+        of.append(f.decode_frames([payloads[fr]] * 4, 960)[0])
+    a, b = np.concatenate(of), np.concatenate(oq)
+    assert float(np.abs(a - b).max()) < 2e-4
+    assert compare(a, b) >= PASS_QUALITY
