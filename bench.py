@@ -61,9 +61,12 @@ def main() -> None:
     libopus_rate = nref * 0.02 / el
 
     # --- headline: pipelined end-to-end (plane A || plane B + transfer) -----
+    # Best-of-8: this sandbox shares its single host core with other
+    # tenants and run-to-run wall time varies up to 3x; the minimum is
+    # the achievable steady-state rate.
     front = BatchedCeltDecoder(BATCH, 2, use_native=True)
     front.run_pipelined(batches[:2], FRAME)  # warm jit + buffers
-    el = _best(lambda: front.run_pipelined(batches, FRAME), 4)
+    el = _best(lambda: front.run_pipelined(batches, FRAME), 8)
     e2e_rate = STEPS * BATCH * 0.02 / el
 
     # --- plane A alone (native C++ symbol decode, this host's cores) --------

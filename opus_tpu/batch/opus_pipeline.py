@@ -183,10 +183,13 @@ class BatchedOpusDecoder:
         return jnp.where(msk[:, None, None], pcm_short, pcm_long)
 
     def run_pipelined(self, batches: list[list[bytes]]):
-        """Decode a sequence of steps with async host/device overlap."""
+        """Decode a sequence of steps (one device step in flight — see
+        BatchedCeltDecoder.run_pipelined on why deeper queues stall)."""
         pcm = None
         for packets in batches:
             frame48, slot = self._plane_a(packets)
+            if pcm is not None:
+                pcm.block_until_ready()
             if frame48 > 960:
                 silk = slot["silk"][:, : frame48 * self.channels]
                 pcm = jnp.asarray(silk)

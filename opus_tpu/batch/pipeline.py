@@ -128,14 +128,20 @@ class BatchedCeltDecoder:
         return jnp.where(msk[:, None, None], pcm_short, pcm_long)
 
     def run_pipelined(self, batches: list[list[bytes]], frame_size: int):
-        """Decode a sequence of per-step packet batches, overlapping plane A
-        (host symbol decode, step t+1) with plane B (device synthesis,
-        step t) via JAX async dispatch.  Returns the last step's PCM (all
-        device work is synced); decode state persists across steps.
+        """Decode a sequence of per-step packet batches; decode state
+        persists across steps and the last step's PCM is returned.
+
+        Each step syncs on the previous step's device result (one step in
+        flight): with the device step at ~0.1 ms there is nothing to
+        overlap, and letting JAX queue many async steps measurably STALLS
+        the next host->device transfer behind the queued RPCs on this
+        transport (~+20 ms/step at B=1024).
         """
         pcm = None
         for packets in batches:
             lm, short_mask, args = self._raw_args(frame_size, packets)
+            if pcm is not None:
+                pcm.block_until_ready()
             pcm = self._dispatch(lm, short_mask, args)
         if pcm is not None:
             pcm.block_until_ready()
