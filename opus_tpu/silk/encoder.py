@@ -321,6 +321,10 @@ class SilkEncoder:
         # 10 ms frame can never see its own pitch period and the voiced
         # gate would never pass).
         self.res_hist = np.zeros(18 * fs_khz + 3)
+        # Decoder-replayed previous dequantised NLSF (Q15) for the NLSF
+        # interpolation decision; first frame must code index 4 (the
+        # decoder forces it after reset).
+        self.prev_dec_nlsf = None
 
     def encode_frame_cbr(self, x: np.ndarray, budget_bytes: int) -> bytes:
         """Encode one 20 ms frame, iterating the gain headroom until the
@@ -390,7 +394,8 @@ class SilkEncoder:
     def snapshot(self):
         return (self.gain_state, self.x_hist.copy(), self.xq_hist.copy(), self.xq_buf.copy(),
                 self.ec_prev_signal_type, self.ec_prev_lag_index, self.res_hist.copy(),
-                (self.nsq_err_hist[0].copy(), self.nsq_err_hist[1].copy()))
+                (self.nsq_err_hist[0].copy(), self.nsq_err_hist[1].copy()),
+                None if self.prev_dec_nlsf is None else list(self.prev_dec_nlsf))
 
     def restore(self, s) -> None:
         (self.gain_state, self.x_hist, self.xq_hist, self.xq_buf,
@@ -398,6 +403,7 @@ class SilkEncoder:
             s[0], s[1].copy(), s[2].copy(), s[3].copy(), s[4], s[5])
         self.res_hist = s[6].copy()
         self.nsq_err_hist = (s[7][0].copy(), s[7][1].copy())
+        self.prev_dec_nlsf = None if s[8] is None else list(s[8])
 
     def encode_packet_cbr(self, x: np.ndarray, budget_bytes: int,
                           lbrr_x: np.ndarray | None = None,
@@ -499,6 +505,8 @@ class SilkEncoder:
         a_q12 = nlsf2a(dec_nlsf, order)
         af = np.array(a_q12, dtype=np.float64) / 4096.0
 
+        interp_q2 = 4
+        af0 = af
         ext = np.concatenate([self.x_hist, xf])
         res = np.empty(flen)
         for i in range(flen):
@@ -561,6 +569,38 @@ class SilkEncoder:
                     b_taps[k] = vq[ltp_idx[k]]
                 ltp_scale = int(T.LTP_SCALES_TABLE_Q14[0]) / 16384.0
 
+        # ---- NLSF interpolation (RFC 6716 4.2.7.5.5) ---------------------
+        # 20 ms UNVOICED frames only: the candidate a0 replays the
+        # decoder's INTEGER interpolation of the dequantised NLSFs, so the
+        # encoder's model stays coefficient-exact with the decoder.
+        # (Voiced frames keep index 4: the decoder's k==2 LTP re-whitening
+        # under interpolation is not modelled by the closed-loop search.)
+        if nsf == 4 and signal_type != 2 and self.prev_dec_nlsf is not None:
+            half = flen // 2
+            best = None
+            for idx in range(5):
+                if idx < 4:
+                    nl0 = [int(self.prev_dec_nlsf[j])
+                           + ((idx * (int(dec_nlsf[j]) - int(self.prev_dec_nlsf[j]))) >> 2)
+                           for j in range(order)]
+                    cand = np.array(nlsf2a(nl0, order), np.float64) / 4096.0
+                else:
+                    cand = af
+                e = 1e-9
+                for i in range(half):
+                    pred = float(np.dot(cand, ext[order + i - 1 :: -1][:order]))
+                    e += (xf[i] - pred) ** 2
+                score = e if idx < 4 else e * 0.98  # slight bias to 4
+                if best is None or score < best[0]:
+                    best = (score, idx, cand)
+            _, interp_q2, af0 = best
+            if interp_q2 < 4:
+                for i in range(half):
+                    pred = float(np.dot(af0, ext[order + i - 1 :: -1][:order]))
+                    res[i] = xf[i] - pred
+        self.prev_dec_nlsf = list(dec_nlsf)
+        self.last_interp_q2 = interp_q2  # observability / tests
+
         # ---- gains from the coding residual ------------------------------
         if signal_type == 2:
             gain_res = self._ltp_residual(res, sub_lags, b_taps)
@@ -588,7 +628,7 @@ class SilkEncoder:
             enc.encode_icdf(gains_idx[k], T.DELTA_GAIN_ICDF, 8)
         encode_nlsf_indices(enc, self.cb, nlsf_indices, signal_type)
         if nsf == 4:
-            enc.encode_icdf(4, T.NLSF_INTERP_FACTOR_ICDF, 8)
+            enc.encode_icdf(interp_q2, T.NLSF_INTERP_FACTOR_ICDF, 8)
         if signal_type == 2:
             min_lag = 2 * self.fs_khz
             lag_index = lag - min_lag
@@ -650,7 +690,8 @@ class SilkEncoder:
             flip = -1 if rand_seed < 0 else 1
             k = i // sub
             g = max(gains_q16[k], 1)
-            pred = float(np.dot(af, xq_ext[order + i - 1 :: -1][:order]))
+            a_i = af0 if (interp_q2 < 4 and k < nsf // 2) else af
+            pred = float(np.dot(a_i, xq_ext[order + i - 1 :: -1][:order]))
             ltp_pred = 0.0
             if signal_type == 2:
                 base = head_len + i - sub_lags[k] + 2
