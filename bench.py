@@ -60,37 +60,49 @@ def main() -> None:
     el = _best(lambda: [ref.decode_float(pkts[i % NSRC], FRAME) for i in range(nref)], 3)
     libopus_rate = nref * 0.02 / el
 
-    # --- headline: pipelined end-to-end (plane A || plane B + transfer) -----
-    # Best-of-8: this sandbox shares its single host core with other
-    # tenants and run-to-run wall time varies up to 3x; the minimum is
-    # the achievable steady-state rate.
-    front = BatchedCeltDecoder(BATCH, 2, use_native=True)
-    front.run_pipelined(batches[:2], FRAME)  # warm jit + buffers
-    el = _best(lambda: front.run_pipelined(batches, FRAME), 8)
+    # --- headline: packed serving loop end-to-end ---------------------------
+    # One upload + one execute per step (packed Q14 slot, donated state +
+    # PCM ring, plane A overlapped in a second thread), true-synced by
+    # fetching the step digest. Best-of-8: the host core AND the
+    # host<->device link are shared with other tenants and vary >3x
+    # run-to-run (including multi-second transport stalls); the minimum
+    # is the achievable steady-state rate.
+    front = BatchedCeltDecoder(BATCH, 2, use_native=True, transfer="q14")
+    front.serve(batches[:2], FRAME)  # warm jit + buffers
+    el = _best(lambda: front.serve(batches, FRAME), 8)
     e2e_rate = STEPS * BATCH * 0.02 / el
 
     # --- plane A alone (native C++ symbol decode, this host's cores) --------
-    host_elapsed = _best(lambda: front._raw_args(FRAME, batches[0]), 5)
+    slots = front.native.alloc_packed_slots(2)
+    host_elapsed = _best(
+        lambda: front.native.decode_batch_q15_into(batches[0], FRAME, slots[0]), 5
+    )
     host_rate = BATCH * 0.02 / host_elapsed
 
-    # --- plane B alone: batched synthesis step latency / throughput ---------
+    # --- plane B alone: batched synthesis step throughput -------------------
+    # Chained executes with args resident on device, ONE true sync at the
+    # end (a digest fetch): block_until_ready on this transport returns
+    # before the device work is done, so per-step blocking measures RPC
+    # round-trips, not the chip.
     import jax.numpy as jnp
+    from opus_tpu.dsp.synthesis import init_state
 
-    lm, short_mask, args = front._raw_args(FRAME, batches[0])
-    jargs = [jnp.asarray(a) for a in args]
-    step = front._pipe_step_fn(lm, bool(short_mask[0]))
-
-    def dev_step():
-        front.state, out = step(front.state, *jargs)
-        out.block_until_ready()
-
-    dev_step()
-    p50s = []
-    for _ in range(30):
+    lm = int(slots[0]["meta"][0, 2])
+    sstep = front._serving_step(lm)
+    jbuf = jnp.asarray(slots[0]["buf"])
+    dstate = init_state(BATCH, 2)
+    dring = jnp.zeros((BATCH, FRAME, 2), jnp.float32)
+    dstate, dring, dg = sstep(dstate, dring, jbuf)
+    _ = np.asarray(dg)
+    ITERS = 30
+    best = float("inf")
+    for _ in range(3):
         t1 = time.perf_counter()
-        dev_step()
-        p50s.append(time.perf_counter() - t1)
-    p50 = float(np.median(p50s))
+        for _ in range(ITERS):
+            dstate, dring, dg = sstep(dstate, dring, jbuf)
+        _ = np.asarray(dg)  # true sync
+        best = min(best, time.perf_counter() - t1)
+    p50 = best / ITERS
     device_rate = BATCH * 0.02 / p50
 
     # --- mixed traffic: CELT + SILK + hybrid in one batch (configs[1]/[2]) --
@@ -131,22 +143,31 @@ def main() -> None:
     # --- device-plane scaling (throughput-bound regime) ---------------------
     device_rate_8k = 0.0
     try:
+        from opus_tpu.dsp.synthesis import make_serving_step, packed_offsets
+
         B8 = 8192
         reps = B8 // BATCH
-        from opus_tpu.dsp.synthesis import init_state
-
-        args8 = [jnp.asarray(np.concatenate([np.asarray(a)] * reps, axis=0)) for a in args]
-        step8 = front._pipe_step_fn(lm, bool(short_mask[0]))
-        state8 = init_state(B8, 2)
-        state8, out8 = step8(state8, *args8)
-        out8.block_until_ready()
+        off1 = packed_offsets(BATCH)
+        off8 = packed_offsets(B8)
+        b1 = slots[0]["buf"]
+        buf8 = np.empty(off8["end"], np.int32)
+        for reg, nxt in (("xq", "ble"), ("ble", "meta"), ("meta", "gains"), ("gains", "end")):
+            w = off1[nxt] - off1[reg]
+            buf8[off8[reg] : off8[reg] + reps * w] = np.tile(b1[off1[reg] : off1[nxt]], reps)
+        step8 = make_serving_step(lm, B8, 2, 1)
+        jb8 = jnp.asarray(buf8)
+        st8 = init_state(B8, 2)
+        rg8 = jnp.zeros((B8, FRAME, 2), jnp.float32)
+        st8, rg8, d8 = step8(st8, rg8, jb8)
+        _ = np.asarray(d8)
         best = float("inf")
-        for _ in range(5):
+        for _ in range(3):
             t1 = time.perf_counter()
-            state8, out8 = step8(state8, *args8)
-            out8.block_until_ready()
+            for _ in range(10):
+                st8, rg8, d8 = step8(st8, rg8, jb8)
+            _ = np.asarray(d8)
             best = min(best, time.perf_counter() - t1)
-        device_rate_8k = B8 * 0.02 / best
+        device_rate_8k = 10 * B8 * 0.02 / best
     except Exception:
         pass
 
@@ -154,7 +175,7 @@ def main() -> None:
     result = {
         "metric": "audio_sec_decoded_per_sec_per_chip",
         "value": round(e2e_rate, 1),
-        "unit": "audio-sec/s end-to-end pipelined (48kHz stereo, 1024 streams, C++ plane A || TPU plane B)",
+        "unit": "audio-sec/s end-to-end served (48kHz stereo, 1024 streams, C++ plane A || packed upload || TPU plane B, true-synced)",
         "vs_baseline": round(e2e_rate / 5000.0, 3),
         "mixed_celt_silk_hybrid_audio_sec_per_sec": round(mixed_rate, 1),
         "device_plane_audio_sec_per_sec": round(device_rate, 1),

@@ -15,12 +15,21 @@ grouped and dispatched per variant with gather/scatter on the state.
 
 from __future__ import annotations
 
+import queue
+import threading
+
 import numpy as np
 import jax.numpy as jnp
 
 from ..celt import modes
 from ..celt.decoder import CeltDecoder
-from ..dsp.synthesis import SynthState, init_state, make_pipeline_step, make_synthesis_step
+from ..dsp.synthesis import (
+    SynthState,
+    init_state,
+    make_pipeline_step,
+    make_serving_step,
+    make_synthesis_step,
+)
 
 
 class BatchedCeltDecoder:
@@ -146,6 +155,88 @@ class BatchedCeltDecoder:
         if pcm is not None:
             pcm.block_until_ready()
         return pcm
+
+    def _serving_step(self, lm: int):
+        key = ("serve", lm)
+        if key not in self._steps:
+            self._steps[key] = make_serving_step(lm, self.batch, self.channels, self.downsample)
+        return self._steps[key]
+
+    def serve(self, batches: list[list[bytes]], frame_size: int, n_slots: int = 4):
+        """Serving loop tuned for a high-latency host<->device link.
+
+        Per step: ONE host->device upload (a packed plane-A slot the native
+        decode wrote into directly) and ONE execute (both transient
+        variants inside, state + PCM ring donated).  Plane A for step t+1
+        runs on the host (GIL released inside the C call) while the
+        uploader thread ships step t, so the two overlap even on one core.
+
+        Returns the final step's digest (np[2]) — fetching it is the true
+        completion barrier; `block_until_ready` on this transport returns
+        before the device work is actually done.  The last frame's PCM
+        stays on device in `self._serve_ring` (fetch with np.asarray).
+        """
+        assert self.use_native, "serving path requires the native plane A"
+        if not hasattr(self, "_slots") or len(self._slots) != n_slots:
+            self._slots = self.native.alloc_packed_slots(n_slots)
+        free: queue.Queue = queue.Queue()
+        for s in self._slots:
+            free.put(s)
+        work: queue.Queue = queue.Queue()
+        err: list = []
+        done: dict = {}
+
+        def uploader():
+            try:
+                state = getattr(self, "_serve_state", None)
+                if state is None:
+                    state = init_state(self.batch, self.channels)
+                ring = None
+                ring_lm = None
+                digest = None
+                held = None  # recycle slots one step late: if the transport
+                # serializes uploads lazily, the buffer must stay untouched
+                # until the NEXT dispatch has queued behind it.
+                while True:
+                    item = work.get()
+                    if item is None:
+                        if held is not None:
+                            free.put(held)
+                        break
+                    slot, lm = item
+                    buf = jnp.asarray(slot["buf"])
+                    if held is not None:
+                        free.put(held)
+                    held = slot
+                    if ring is None or ring_lm != lm:
+                        n = ((1 << lm) * modes.SHORT_MDCT_SIZE) // self.downsample
+                        ring = jnp.zeros((self.batch, n, self.channels), jnp.float32)
+                        ring_lm = lm
+                    step = self._serving_step(lm)
+                    state, ring, digest = step(state, ring, buf)
+                self._serve_state = state
+                self._serve_ring = ring
+                done["digest"] = digest
+            except Exception as e:  # pragma: no cover - propagated below
+                err.append(e)
+
+        th = threading.Thread(target=uploader, daemon=True)
+        th.start()
+        try:
+            for packets in batches:
+                slot = free.get()
+                self.native.decode_batch_q15_into(packets, frame_size, slot)
+                lm = int(slot["meta"][0, 2])
+                if not (slot["meta"][:, 2] == lm).all():
+                    raise ValueError("mixed frame sizes in one step not supported")
+                work.put((slot, lm))
+        finally:
+            work.put(None)
+            th.join()
+        if err:
+            raise err[0]
+        # True sync: fetch the tiny digest (device round-trip).
+        return np.asarray(done["digest"])
 
     def extract(self, packets: list[bytes], frame_size: int) -> list[dict]:
         """Plane A: run the entropy front end for every stream."""

@@ -272,6 +272,185 @@ def make_pipeline_step(lm: int, short_blocks: bool, channels: int = 2, downsampl
     return jax.jit(step)
 
 
+# --- packed serving step -----------------------------------------------
+#
+# The serving transport (a high-latency tunnel between the host and the
+# chip) charges ~10 ms per RPC round-trip and ~50-100 MB/s effective for
+# host->device bytes that interleave with executes.  The packed step is
+# designed for that cost model:
+#
+# * ONE upload per step: plane A writes its entire output (Q14 int16 band
+#   shapes + log-energies + meta + prefilter gains) straight into a single
+#   contiguous int32 buffer (no host-side packing copy), which is the only
+#   per-step transfer.
+# * ONE execute per step: transient and long-block variants are both
+#   computed inside the same program and selected per stream by the
+#   short-block flag from the meta plane, so a mixed batch never needs a
+#   second dispatch.  The postfilter + de-emphasis (the sequential tail)
+#   run once on the selected signal.
+# * Donated state AND PCM ring: no per-step device allocation churn, no
+#   deletion RPCs.
+# * A [2]-float digest output gives the host a cheap true-sync handle
+#   (block_until_ready on this transport is advisory only — it returns
+#   before the work is actually done; fetching the digest is the only
+#   honest completion barrier).
+
+def packed_words(batch: int) -> int:
+    """int32 words in one packed plane-A slot (layout below)."""
+    return batch * (960 + 42 + 16 + 3)
+
+
+def packed_offsets(batch: int) -> dict:
+    """Word offsets of each region in a packed slot.
+
+    Layout (all regions contiguous, per-region stream-major):
+      xq    [B, 1920] int16  — Q14 band shapes, 2 ch x 960 bins
+      ble   [B, 2, 21] f32   — band log-energies
+      meta  [B, 16]   int32  — silence/short/lm/ch/start/end/pf periods+tapsets
+      gains [B, 3]    f32    — prefilter gains
+    """
+    o0 = 0
+    o1 = o0 + batch * 960
+    o2 = o1 + batch * 42
+    o3 = o2 + batch * 16
+    return {"xq": o0, "ble": o1, "meta": o2, "gains": o3, "end": o3 + batch * 3}
+
+
+def make_serving_step(lm: int, batch: int, channels: int = 2, downsample: int = 1):
+    """Single-dispatch serving step over one packed plane-A buffer.
+
+    step(state, ring, buf) -> (state, ring, digest[2]); jitted with
+    state+ring donated.  `ring` is the PCM output buffer
+    [B, frame, C]; reusing it via donation avoids allocating (and later
+    remotely deleting) ~8 MB per step.
+    """
+    n = (1 << lm) * modes.SHORT_MDCT_SIZE
+    half = OVERLAP // 2
+    off = packed_offsets(batch)
+    e_bands = jnp.asarray(modes.E_BANDS, jnp.int32)
+
+    def unpack(buf):
+        xq_w = buf[off["xq"] : off["ble"]].reshape(batch, 960)
+        xq = jax.lax.bitcast_convert_type(xq_w, jnp.int16).reshape(batch, 1920)
+        ble = jax.lax.bitcast_convert_type(
+            buf[off["ble"] : off["meta"]], jnp.float32
+        ).reshape(batch, 2, 21)
+        meta = buf[off["meta"] : off["gains"]].reshape(batch, 16)
+        gains = jax.lax.bitcast_convert_type(
+            buf[off["gains"] : off["end"]], jnp.float32
+        ).reshape(batch, 3)
+        return xq, ble, meta, gains
+
+    def step(state: SynthState, ring, buf):
+        xq, ble, meta, gains = unpack(buf)
+        silence = meta[:, 0] != 0
+        short = meta[:, 1] != 0
+        mono = meta[:, 3] == 1
+        eff_end = meta[:, 5]
+        periods = meta[:, 6:9]
+        tapsets = meta[:, 9:12]
+
+        x2 = xq[:, : 2 * n].astype(jnp.float32) * jnp.float32(1.0 / 16384.0)
+        if channels == 2:
+            x = x2.reshape(batch, 2, n)
+            x = jnp.where(mono[:, None, None], x[:, :1], x)
+            le = jnp.where(mono[:, None, None], ble[:, :1], ble)
+        else:
+            x = x2[:, :n].reshape(batch, 1, n)
+            le = ble[:, :1]
+
+        m = 1 << lm
+        bound = m * jnp.take(e_bands, eff_end)
+        if downsample != 1:
+            bound = jnp.minimum(bound, n // downsample)
+        bound = jnp.where(silence, 0, bound).astype(jnp.int32)
+
+        freq = _denormalise(x, le, lm, bound)
+        prev_tail = state.mem[..., DECODE_BUFFER_SIZE : DECODE_BUFFER_SIZE + half]
+        mids_l = _imdct_blocks(freq, lm, False)
+        out, tail = _overlap_add(mids_l, prev_tail, lm, False)
+        if lm != 0:
+            mids_s = _imdct_blocks(freq, lm, True)
+            out_s, tail_s = _overlap_add(mids_s, prev_tail, lm, True)
+            sel = short[:, None, None]
+            out = jnp.where(sel, out_s, out)
+            tail = jnp.where(sel, tail_s, tail)
+
+        # --- postfilter + de-emphasis: same tail as make_synthesis_step ---
+        hist = DECODE_BUFFER_SIZE - n
+        y = jnp.concatenate([state.mem[..., n:DECODE_BUFFER_SIZE], out], axis=-1)
+        w2 = jnp.asarray((modes.WINDOW.astype(np.float64) ** 2).astype(np.float32))
+        gains_tbl = jnp.asarray(np.array(GAINS, np.float32))
+        w_ext = jnp.concatenate([w2, jnp.ones(n, jnp.float32)])
+
+        def seg(y, off_, ln, p_a, g_a, t_a, p_b, g_b, t_b):
+            assert ln % _CHUNK == 0
+            ga = gains_tbl[t_a] * g_a[..., None]
+            gb = gains_tbl[t_b] * g_b[..., None]
+            same = (g_a == g_b) & (p_a == p_b) & (t_a == t_b)
+            zero = (g_a == 0.0) & (g_b == 0.0)
+
+            def tap5(yy, pos, t, taps):
+                t = jnp.maximum(t, 15)
+                base = jnp.clip(pos - t[:, None, None], 2, yy.shape[-1] - 3)
+                s = jnp.take_along_axis(yy, base, axis=-1)
+                s1 = jnp.take_along_axis(yy, base + 1, axis=-1) + jnp.take_along_axis(yy, base - 1, axis=-1)
+                s2 = jnp.take_along_axis(yy, base + 2, axis=-1) + jnp.take_along_axis(yy, base - 2, axis=-1)
+                return (
+                    taps[:, 0][:, None, None] * s
+                    + taps[:, 1][:, None, None] * s1
+                    + taps[:, 2][:, None, None] * s2
+                )
+
+            def body(ci, y):
+                i0 = off_ + ci * _CHUNK
+                pos = i0 + jnp.arange(_CHUNK)[None, None, :]
+                rel = ci * _CHUNK + jnp.arange(_CHUNK)
+                w_here = jnp.take(w_ext, jnp.minimum(rel, w_ext.shape[0] - 1))[None, None, :]
+                w_here = jnp.where(same[:, None, None], 1.0, w_here)
+                contrib = (1.0 - w_here) * tap5(y, pos, p_a, ga) + w_here * tap5(y, pos, p_b, gb)
+                contrib = jnp.where(zero[:, None, None], 0.0, contrib)
+                cur = jax.lax.dynamic_slice_in_dim(y, i0, _CHUNK, axis=-1)
+                return jax.lax.dynamic_update_slice_in_dim(y, cur + contrib, i0, axis=-1)
+
+            return jax.lax.fori_loop(0, ln // _CHUNK, body, y)
+
+        p0, p1, p2 = periods[:, 0], periods[:, 1], periods[:, 2]
+        g0, g1, g2 = gains[:, 0], gains[:, 1], gains[:, 2]
+        t0, t1, t2 = tapsets[:, 0], tapsets[:, 1], tapsets[:, 2]
+        y = seg(y, hist, modes.SHORT_MDCT_SIZE, p0, g0, t0, p1, g1, t1)
+        if lm != 0:
+            y = seg(y, hist + modes.SHORT_MDCT_SIZE, n - modes.SHORT_MDCT_SIZE, p1, g1, t1, p2, g2, t2)
+        out_f = y[..., hist:]
+
+        xin = out_f + 1e-30
+        coef = jnp.float32(modes.PREEMPH)
+
+        def combine(a, b):
+            return (a[0] * b[0], b[1] + b[0] * a[1])
+
+        m_arr = jnp.full_like(xin, coef)
+        x0 = xin.at[..., 0].add(state.preemph)
+        _, ys = jax.lax.associative_scan(combine, (m_arr, x0), axis=-1)
+        new_preemph = coef * ys[..., -1]
+        pcm = ys[..., ::downsample] * (1.0 / 32768.0)
+
+        new_mem = jnp.concatenate(
+            [
+                state.mem[..., n:DECODE_BUFFER_SIZE],
+                out_f,
+                tail,
+                jnp.zeros_like(state.mem[..., : OVERLAP - half]),
+            ],
+            axis=-1,
+        )
+        pcm_out = jnp.transpose(pcm, (0, 2, 1)).astype(jnp.float32)
+        digest = jnp.stack([pcm_out[0, 0, 0], pcm_out[-1, -1, -1]])
+        return SynthState(mem=new_mem, preemph=new_preemph), pcm_out, digest
+
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
 def make_opus_step(lm: int, short_blocks: bool, channels: int = 2, downsample: int = 1):
     """Mode-mux serving step: CELT synthesis + SILK mix (decoder.rs:722-729).
 

@@ -256,6 +256,55 @@ class NativeBatchFrontEnd:
             raise ValueError(f"native batch decode failed at stream {-rc - 1}")
         return x, ble, meta, gains
 
+    def alloc_packed_slots(self, n_slots: int = 4) -> list:
+        """Packed serving slots: one contiguous int32 buffer per slot whose
+        regions (xq Q14 int16 / ble f32 / meta i32 / gains f32) are numpy
+        VIEWS the decode writes into directly — the whole slot is uploaded
+        to the device as a single transfer with zero host-side packing.
+        Layout must match opus_tpu.dsp.synthesis.packed_offsets."""
+        B = self.batch
+        slots = []
+        for _ in range(n_slots):
+            buf = np.zeros(B * (960 + 42 + 16 + 3), np.int32)
+            o1 = B * 960
+            o2 = o1 + B * 42
+            o3 = o2 + B * 16
+            slots.append(
+                dict(
+                    buf=buf,
+                    xq=buf[:o1].view(np.int16).reshape(B, 1920),
+                    ble=buf[o1:o2].view(np.float32).reshape(B, 2, self.NB),
+                    meta=buf[o2:o3].reshape(B, 16),
+                    gains=buf[o3:].view(np.float32).reshape(B, 3),
+                )
+            )
+        return slots
+
+    def decode_batch_q15_into(self, packets: list, frame_size: int, slot: dict,
+                              stream_channels=None):
+        """decode_batch_q15 writing into a packed slot (alloc_packed_slots)."""
+        B = self.batch
+        blob = b"".join(packets)
+        lens = np.array([len(p) for p in packets], dtype=np.int32)
+        if stream_channels is None:
+            sch = np.array([self.channels] * B, dtype=np.int32)
+        else:
+            sch = np.ascontiguousarray(stream_channels, dtype=np.int32)
+        n48 = frame_size * self.downsample
+        xq, ble, meta, gains = slot["xq"], slot["ble"], slot["meta"], slot["gains"]
+        rc = self.lib.celt_fe_decode_batch_q15(
+            self.handles, blob,
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), B, n48,
+            sch.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            xq.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), xq.shape[1],
+            ble.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            gains.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        if rc != B:
+            raise ValueError(f"native batch decode failed at stream {-rc - 1}")
+        return slot
+
     def decode_batch_q15(self, packets: list, frame_size: int, stream_channels=None):
         """Serving-mode plane A: band shapes come back as Q14 int16
         (half the host->device bytes; libopus-fixed precision class,

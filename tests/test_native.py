@@ -158,3 +158,40 @@ def test_q14_transfer_mode_conformance():
     a, b = np.concatenate(of), np.concatenate(oq)
     assert float(np.abs(a - b).max()) < 2e-4
     assert compare(a, b) >= PASS_QUALITY
+
+
+def test_serving_path_matches_decode_frames():
+    """Packed single-upload serve() == the per-array decode_frames path.
+
+    Exercises transient frames (castanet-like clicks force short blocks),
+    state carry across steps, and the in-step long/short variant select.
+    """
+    from opus_tpu.batch.pipeline import BatchedCeltDecoder
+
+    B, FRAME, NF = 8, 960, 6
+    enc = oracle.Encoder(48000, 2)
+    enc.ctl(oracle.SET_FORCE_MODE, oracle.MODE_CELT_ONLY)
+    enc.ctl(oracle.SET_BITRATE, 96000)
+    rng = np.random.default_rng(3)
+    t = np.arange(FRAME * NF) / 48000.0
+    sig = 0.4 * np.sin(2 * np.pi * 440 * t) + 0.05 * rng.standard_normal(t.size)
+    # Periodic clicks -> some frames code short blocks, others long.
+    sig[::4801] += 0.9
+    pcm = np.stack([sig, 0.8 * np.roll(sig, 7)], -1).astype(np.float32)
+    pkts = [enc.encode_float(pcm[f * FRAME : (f + 1) * FRAME].ravel(), FRAME) for f in range(NF)]
+    payloads = [p[parse_packet(p).payload_offset :] for p in pkts]
+    batches = [[payloads[(i + s) % NF] for i in range(B)] for s in range(NF)]
+
+    ref = BatchedCeltDecoder(B, 2, use_native=True, transfer="q14")
+    if not ref.use_native:
+        pytest.skip("native engine not built")
+    outs = [ref.decode_frames(b, FRAME) for b in batches]
+
+    srv = BatchedCeltDecoder(B, 2, use_native=True, transfer="q14")
+    srv.serve(batches, FRAME)
+    got = np.asarray(srv._serve_ring)
+    assert float(np.abs(got - outs[-1]).max()) < 1e-6
+    # serve() resumes: device state persists across calls
+    ref2 = [ref.decode_frames(b, FRAME) for b in batches[:2]]
+    srv.serve(batches[:2], FRAME)
+    assert float(np.abs(np.asarray(srv._serve_ring) - ref2[-1]).max()) < 1e-6
