@@ -29,6 +29,7 @@ from ..dsp.synthesis import (
     make_pipeline_step,
     make_serving_step,
     make_synthesis_step,
+    pf_chunk_for,
 )
 
 
@@ -156,10 +157,13 @@ class BatchedCeltDecoder:
             pcm.block_until_ready()
         return pcm
 
-    def _serving_step(self, lm: int):
-        key = ("serve", lm)
+    def _serving_step(self, lm: int, pf_chunk: int = 12, pf_active: bool = True):
+        key = ("serve", lm, pf_chunk, pf_active)
         if key not in self._steps:
-            self._steps[key] = make_serving_step(lm, self.batch, self.channels, self.downsample)
+            self._steps[key] = make_serving_step(
+                lm, self.batch, self.channels, self.downsample,
+                pf_chunk=pf_chunk, pf_active=pf_active,
+            )
         return self._steps[key]
 
     def serve(self, batches: list[list[bytes]], frame_size: int, n_slots: int = 4):
@@ -203,7 +207,7 @@ class BatchedCeltDecoder:
                         if held is not None:
                             free.put(held)
                         break
-                    slot, lm = item
+                    slot, lm, pf_chunk, pf_active = item
                     buf = jnp.asarray(slot["buf"])
                     if held is not None:
                         free.put(held)
@@ -212,7 +216,7 @@ class BatchedCeltDecoder:
                         n = ((1 << lm) * modes.SHORT_MDCT_SIZE) // self.downsample
                         ring = jnp.zeros((self.batch, n, self.channels), jnp.float32)
                         ring_lm = lm
-                    step = self._serving_step(lm)
+                    step = self._serving_step(lm, pf_chunk, pf_active)
                     state, ring, digest = step(state, ring, buf)
                 self._serve_state = state
                 self._serve_ring = ring
@@ -226,10 +230,16 @@ class BatchedCeltDecoder:
             for packets in batches:
                 slot = free.get()
                 self.native.decode_batch_q15_into(packets, frame_size, slot)
-                lm = int(slot["meta"][0, 2])
-                if not (slot["meta"][:, 2] == lm).all():
+                meta = slot["meta"]
+                lm = int(meta[0, 2])
+                if not (meta[:, 2] == lm).all():
                     raise ValueError("mixed frame sizes in one step not supported")
-                work.put((slot, lm))
+                # Specialise the postfilter to this step's actual lags:
+                # zero-gain/silent streams never constrain the chunk.
+                pf_chunk, pf_active = pf_chunk_for(
+                    meta[:, 6:9], slot["gains"], meta[:, 0] != 0
+                )
+                work.put((slot, lm, pf_chunk, pf_active))
         finally:
             work.put(None)
             th.join()

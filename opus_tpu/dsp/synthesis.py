@@ -74,12 +74,32 @@ def _band_of_bin(lm: int) -> np.ndarray:
     return np.concatenate([idx, np.full(n - idx.size, modes.NB_E_BANDS - 1, np.int32)])
 
 
+@functools.lru_cache(maxsize=None)
+def _band_onehot(lm: int) -> np.ndarray:
+    """[21, N] one-hot band->bin expansion matrix (MXU-friendly gather)."""
+    bob = _band_of_bin(lm)
+    oh = np.zeros((modes.NB_E_BANDS, bob.size), np.float32)
+    oh[bob, np.arange(bob.size)] = 1.0
+    return oh
+
+
 def _denormalise(x, band_log_e, lm, bound):
-    """freq = x * exp2(logE + eMeans), masked above `bound` bins."""
+    """freq = x * exp2(logE + eMeans), masked above `bound` bins.
+
+    The per-bin band-gain lookup runs as a one-hot [21, N] matmul on the
+    MXU (exact: one unit term per output) — a per-element gather of the
+    same values is ~20x slower on the VPU at serving batch sizes.
+    """
     n = (1 << lm) * modes.SHORT_MDCT_SIZE
     lg = band_log_e + jnp.asarray(E_MEANS[: modes.NB_E_BANDS], jnp.float32)
     g = jnp.exp2(jnp.minimum(32.0, lg))  # [B, C, 21]
-    gain_bins = jnp.take(g, jnp.asarray(_band_of_bin(lm)), axis=-1)  # [B, C, N]
+    gain_bins = jnp.einsum(
+        "bce,en->bcn",
+        g,
+        jnp.asarray(_band_onehot(lm)),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     bins = jnp.arange(n)[None, None, :]
     mask = bins < bound[:, None, None]
     return jnp.where(mask, x * gain_bins, 0.0)
@@ -133,6 +153,177 @@ def _overlap_add(mids, prev_tail, lm: int, short_blocks: bool):
     return out, tail
 
 
+# --- pitch post-filter (shared by all step variants) --------------------
+#
+# The recurrence y[i] += taps_0*y[i-T] + taps_1*(y[i-T±1]) + taps_2*(y[i-T±2])
+# runs in lag-safe chunks of _CHUNK (<= MIN_PERIOD-2) samples.  Per chunk
+# each filter needs ONE contiguous (_CHUNK+4)-sample window of y starting
+# at i0-T-2 — a single take_along_axis per filter; the five taps are then
+# static slices of that window.  After the first OVERLAP samples of a
+# segment the crossfade envelope is identically 1, so only filter B is
+# evaluated there (halves the sequential gather count again).
+
+#: Allowed compile-time chunk sizes.  `chunk` is safe iff every ACTIVE
+#: (nonzero-gain) filter lag in the batch is >= chunk+2; the host picks
+#: the largest safe variant per step (pf_chunk_for), falling back to 12
+#: (always safe: MIN_PERIOD=15).  Each must divide 120 or be a multiple
+#: of 120 dividing every tail length (n-240 for n in 480/960).
+PF_CHUNKS = (12, 60, 120, 240)
+
+
+def _pf_window(y, i0, t, chunk):
+    """One gather: y[i0-t-2 : i0-t+chunk+2] per stream.  [B, C, chunk+4]."""
+    w = chunk + 4
+    start = jnp.clip(i0 - 2 - t[:, None, None], 0, y.shape[-1] - w)
+    idx = start + jnp.arange(w)[None, None, :]
+    return jnp.take_along_axis(y, idx, axis=-1)
+
+
+def _pf_tap5(win, taps, chunk):
+    """5-tap symmetric comb from a gathered window (static slices)."""
+    s = win[..., 2 : 2 + chunk]
+    s1 = win[..., 1 : 1 + chunk] + win[..., 3 : 3 + chunk]
+    s2 = win[..., 0:chunk] + win[..., 4 : 4 + chunk]
+    return (
+        taps[:, 0][:, None, None] * s
+        + taps[:, 1][:, None, None] * s1
+        + taps[:, 2][:, None, None] * s2
+    )
+
+
+def pf_chunk_for(periods: np.ndarray, gains: np.ndarray, silence=None):
+    """Largest safe postfilter chunk for a step (host-side, numpy).
+
+    periods [B, 3] int, gains [B, 3] float.  Zero-gain filters never
+    contribute (their taps are zero), so only lags of active filters
+    constrain the chunk.  Returns (chunk, any_active).
+    """
+    active = gains != 0.0
+    if silence is not None:
+        active = active & ~silence[:, None]
+    if not active.any():
+        return PF_CHUNKS[0], False
+    min_lag = int(np.maximum(periods, 15)[active].min())
+    chunk = PF_CHUNKS[0]
+    for c in PF_CHUNKS:
+        if c + 2 <= min_lag:
+            chunk = c
+    return chunk, True
+
+
+def _postfilter(y, hist, n, lm, pf_periods, pf_gains, pf_tapsets, chunk=_CHUNK):
+    """Apply the CELT pitch post-filter in place over y[..., hist:hist+n].
+
+    Two segments like libopus' comb_filter calls (decoder side): the first
+    SHORT_MDCT_SIZE samples crossfade filter 0 -> 1, the remainder
+    crossfades 1 -> 2 over OVERLAP samples then runs filter 2 alone.
+    `chunk` must satisfy chunk+2 <= every active lag (see pf_chunk_for).
+    """
+    w2 = jnp.asarray((modes.WINDOW.astype(np.float64) ** 2).astype(np.float32))
+    gains_tbl = jnp.asarray(np.array(GAINS, np.float32))
+    chunk_cf = min(chunk, OVERLAP)
+
+    def seg(y, off, ln, p_a, g_a, t_a, p_b, g_b, t_b):
+        ga = gains_tbl[t_a] * g_a[..., None]
+        gb = gains_tbl[t_b] * g_b[..., None]
+        same = (g_a == g_b) & (p_a == p_b) & (t_a == t_b)
+        zero = (g_a == 0.0) & (g_b == 0.0)
+        zero_b = g_b == 0.0
+        # Lags clamped to >= MIN_PERIOD like libopus (zero-gain filters
+        # still evaluate); keeps the gathers in range for garbage lags.
+        pa = jnp.maximum(p_a, 15)
+        pb = jnp.maximum(p_b, 15)
+
+        ncf = min(ln, OVERLAP) // chunk_cf
+
+        def body_cf(ci, y):
+            i0 = off + ci * chunk_cf
+            wh = jax.lax.dynamic_slice(w2, (ci * chunk_cf,), (chunk_cf,))[None, None, :]
+            wh = jnp.where(same[:, None, None], 1.0, wh)
+            wa = _pf_window(y, i0, pa, chunk_cf)
+            wb = _pf_window(y, i0, pb, chunk_cf)
+            contrib = (1.0 - wh) * _pf_tap5(wa, ga, chunk_cf) + wh * _pf_tap5(wb, gb, chunk_cf)
+            contrib = jnp.where(zero[:, None, None], 0.0, contrib)
+            cur = jax.lax.dynamic_slice_in_dim(y, i0, chunk_cf, axis=-1)
+            return jax.lax.dynamic_update_slice_in_dim(y, cur + contrib, i0, axis=-1)
+
+        y = jax.lax.fori_loop(0, ncf, body_cf, y)
+
+        ntail = (ln - ncf * chunk_cf) // chunk
+        if ntail:
+
+            def body_b(ci, y):
+                i0 = off + ncf * chunk_cf + ci * chunk
+                contrib = _pf_tap5(_pf_window(y, i0, pb, chunk), gb, chunk)
+                contrib = jnp.where(zero_b[:, None, None], 0.0, contrib)
+                cur = jax.lax.dynamic_slice_in_dim(y, i0, chunk, axis=-1)
+                return jax.lax.dynamic_update_slice_in_dim(y, cur + contrib, i0, axis=-1)
+
+            y = jax.lax.fori_loop(0, ntail, body_b, y)
+        return y
+
+    p0, p1, p2 = pf_periods[:, 0], pf_periods[:, 1], pf_periods[:, 2]
+    g0, g1, g2 = pf_gains[:, 0], pf_gains[:, 1], pf_gains[:, 2]
+    t0, t1, t2 = pf_tapsets[:, 0], pf_tapsets[:, 1], pf_tapsets[:, 2]
+    y = seg(y, hist, modes.SHORT_MDCT_SIZE, p0, g0, t0, p1, g1, t1)
+    if lm != 0:
+        y = seg(y, hist + modes.SHORT_MDCT_SIZE, n - modes.SHORT_MDCT_SIZE, p1, g1, t1, p2, g2, t2)
+    return y
+
+
+# --- de-emphasis IIR (shared by all step variants) ----------------------
+#
+# y[t] = x[t] + PREEMPH*y[t-1] over the frame, expressed exactly as 120-
+# sample blocks: inside a block y_local = x @ T (T lower-triangular
+# Toeplitz of PREEMPH^k — one MXU matmul for the whole batch), and an
+# 8-long scalar carry chain stitches blocks.  Replaces a log-depth
+# associative scan whose ~10 full passes over [B, C, N] were the
+# second-largest device cost of the step.
+
+_DEEMPH_BLK = modes.SHORT_MDCT_SIZE
+
+
+@functools.lru_cache(maxsize=None)
+def _deemph_toeplitz() -> np.ndarray:
+    k = np.arange(_DEEMPH_BLK)
+    d = k[None, :] - k[:, None]  # output j, input k -> j - k
+    T = np.where(d >= 0, np.float64(modes.PREEMPH) ** np.maximum(d, 0), 0.0)
+    return T.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _deemph_powers() -> np.ndarray:
+    return (np.float64(modes.PREEMPH) ** np.arange(_DEEMPH_BLK)).astype(np.float32)
+
+
+def _deemphasis(out_f, preemph):
+    """De-emphasis IIR over the frame; returns (y [B,C,N], new_preemph)."""
+    coef = jnp.float32(modes.PREEMPH)
+    xin = out_f + 1e-30
+    b_, c_, n = xin.shape
+    g = n // _DEEMPH_BLK
+    xb = xin.reshape(b_, c_, g, _DEEMPH_BLK)
+    y_local = jnp.einsum(
+        "bcgk,kj->bcgj",
+        xb,
+        jnp.asarray(_deemph_toeplitz()),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    pow_vec = jnp.asarray(_deemph_powers())
+    # Carry chain: a_{g+1} = coef * y_last[g], y_last[g] = y_local_last[g]
+    # + coef^(BLK-1) * a_g.  g is tiny (<= 8) — unrolled scalar-vector ops.
+    last_pow = pow_vec[-1]
+    a = preemph  # [B, C]; equals coef * y[-1] of the previous frame
+    carries = []
+    for gi in range(g):
+        carries.append(a)
+        a = coef * (y_local[..., gi, -1] + last_pow * a)
+    carry = jnp.stack(carries, axis=-1)  # [B, C, g]
+    ys = y_local + pow_vec[None, None, None, :] * carry[..., None]
+    return ys.reshape(b_, c_, n), a
+
+
 def make_synthesis_step(lm: int, short_blocks: bool, channels: int = 2, downsample: int = 1):
     """Build the jitted batched synthesis step for one frame shape.
 
@@ -149,78 +340,14 @@ def make_synthesis_step(lm: int, short_blocks: bool, channels: int = 2, downsamp
         prev_tail = state.mem[..., DECODE_BUFFER_SIZE : DECODE_BUFFER_SIZE + half]
         out, tail = _overlap_add(mids, prev_tail, lm, short_blocks)
 
-        # --- post-filter (two segments like libopus comb_filter calls) ----
+        # --- post-filter + de-emphasis (shared tail) -----------------------
         hist = DECODE_BUFFER_SIZE - n  # history available before out
         y = jnp.concatenate([state.mem[..., n:DECODE_BUFFER_SIZE], out], axis=-1)
-        w2 = jnp.asarray((modes.WINDOW.astype(np.float64) ** 2).astype(np.float32))
-        gains_tbl = jnp.asarray(np.array(GAINS, np.float32))
-
-        # Crossfade envelope: w^2 over the first OVERLAP samples, then 1
-        # (pure new filter). Extended with ones so any chunk can index it.
-        w_ext = jnp.concatenate([w2, jnp.ones(n, jnp.float32)])
-
-        def seg(y, off, ln, p_a, g_a, t_a, p_b, g_b, t_b):
-            """In-place 5-tap comb over y[off:off+ln], crossfading filter A
-            (lag p_a, gains from tapset t_a) into filter B.  Sequential in
-            lag-safe chunks via fori_loop; each chunk is batch-parallel."""
-            assert ln % _CHUNK == 0
-            ga = gains_tbl[t_a] * g_a[..., None]
-            gb = gains_tbl[t_b] * g_b[..., None]
-            same = (g_a == g_b) & (p_a == p_b) & (t_a == t_b)
-            zero = (g_a == 0.0) & (g_b == 0.0)
-
-            def tap5(yy, pos, t, taps):
-                # Lags are clamped to >= MIN_PERIOD like libopus comb_filter
-                # (zero-gain filters still evaluate); the clip keeps the
-                # +-2-tap gathers in range even for a lag-0 feed — XLA CPU
-                # clamps out-of-bounds gathers but TPU returns garbage.
-                t = jnp.maximum(t, 15)
-                base = jnp.clip(pos - t[:, None, None], 2, yy.shape[-1] - 3)
-                s = jnp.take_along_axis(yy, base, axis=-1)
-                s1 = jnp.take_along_axis(yy, base + 1, axis=-1) + jnp.take_along_axis(yy, base - 1, axis=-1)
-                s2 = jnp.take_along_axis(yy, base + 2, axis=-1) + jnp.take_along_axis(yy, base - 2, axis=-1)
-                return (
-                    taps[:, 0][:, None, None] * s
-                    + taps[:, 1][:, None, None] * s1
-                    + taps[:, 2][:, None, None] * s2
-                )
-
-            def body(ci, y):
-                i0 = off + ci * _CHUNK
-                pos = i0 + jnp.arange(_CHUNK)[None, None, :]
-                rel = ci * _CHUNK + jnp.arange(_CHUNK)
-                w_here = jnp.take(w_ext, jnp.minimum(rel, w_ext.shape[0] - 1))[None, None, :]
-                w_here = jnp.where(same[:, None, None], 1.0, w_here)
-                contrib = (1.0 - w_here) * tap5(y, pos, p_a, ga) + w_here * tap5(y, pos, p_b, gb)
-                contrib = jnp.where(zero[:, None, None], 0.0, contrib)
-                cur = jax.lax.dynamic_slice_in_dim(y, i0, _CHUNK, axis=-1)
-                return jax.lax.dynamic_update_slice_in_dim(y, cur + contrib, i0, axis=-1)
-
-            return jax.lax.fori_loop(0, ln // _CHUNK, body, y)
-
-        p0, p1, p2 = pf_periods[:, 0], pf_periods[:, 1], pf_periods[:, 2]
-        g0, g1, g2 = pf_gains[:, 0], pf_gains[:, 1], pf_gains[:, 2]
-        t0, t1, t2 = pf_tapsets[:, 0], pf_tapsets[:, 1], pf_tapsets[:, 2]
-        y = seg(y, hist, modes.SHORT_MDCT_SIZE, p0, g0, t0, p1, g1, t1)
-        if lm != 0:
-            y = seg(y, hist + modes.SHORT_MDCT_SIZE, n - modes.SHORT_MDCT_SIZE, p1, g1, t1, p2, g2, t2)
+        y = _postfilter(y, hist, n, lm, pf_periods, pf_gains, pf_tapsets)
         out_f = y[..., hist:]
 
-        # --- de-emphasis IIR via associative scan --------------------------
-        xin = out_f + 1e-30
-        coef = jnp.float32(modes.PREEMPH)
-
-        def combine(a, b):
-            # (m1, s1) o (m2, s2): y = s2 + m2*s1 composition of y=m*yprev+s
-            return (a[0] * b[0], b[1] + b[0] * a[1])
-
-        m_arr = jnp.full_like(xin, coef)
-        # y[t] = x[t] + coef*y[t-1]; incorporate carried preemph state.
-        x0 = xin.at[..., 0].add(state.preemph)
-        _, ys = jax.lax.associative_scan(combine, (m_arr, x0), axis=-1)
-        scratch = ys
-        new_preemph = coef * scratch[..., -1]
-        pcm = scratch[..., ::downsample] * (1.0 / 32768.0)
+        ys, new_preemph = _deemphasis(out_f, state.preemph)
+        pcm = ys[..., ::downsample] * (1.0 / 32768.0)
 
         new_mem = jnp.concatenate(
             [
@@ -316,13 +443,18 @@ def packed_offsets(batch: int) -> dict:
     return {"xq": o0, "ble": o1, "meta": o2, "gains": o3, "end": o3 + batch * 3}
 
 
-def make_serving_step(lm: int, batch: int, channels: int = 2, downsample: int = 1):
+def make_serving_step(lm: int, batch: int, channels: int = 2, downsample: int = 1,
+                      pf_chunk: int = _CHUNK, pf_active: bool = True):
     """Single-dispatch serving step over one packed plane-A buffer.
 
     step(state, ring, buf) -> (state, ring, digest[2]); jitted with
     state+ring donated.  `ring` is the PCM output buffer
     [B, frame, C]; reusing it via donation avoids allocating (and later
     remotely deleting) ~8 MB per step.
+
+    pf_chunk/pf_active specialise the postfilter (the sequential device
+    tail, >80% of step time at chunk 12): the host picks them per step
+    from the batch's actual lags/gains via pf_chunk_for().
     """
     n = (1 << lm) * modes.SHORT_MDCT_SIZE
     half = OVERLAP // 2
@@ -379,60 +511,11 @@ def make_serving_step(lm: int, batch: int, channels: int = 2, downsample: int = 
         # --- postfilter + de-emphasis: same tail as make_synthesis_step ---
         hist = DECODE_BUFFER_SIZE - n
         y = jnp.concatenate([state.mem[..., n:DECODE_BUFFER_SIZE], out], axis=-1)
-        w2 = jnp.asarray((modes.WINDOW.astype(np.float64) ** 2).astype(np.float32))
-        gains_tbl = jnp.asarray(np.array(GAINS, np.float32))
-        w_ext = jnp.concatenate([w2, jnp.ones(n, jnp.float32)])
-
-        def seg(y, off_, ln, p_a, g_a, t_a, p_b, g_b, t_b):
-            assert ln % _CHUNK == 0
-            ga = gains_tbl[t_a] * g_a[..., None]
-            gb = gains_tbl[t_b] * g_b[..., None]
-            same = (g_a == g_b) & (p_a == p_b) & (t_a == t_b)
-            zero = (g_a == 0.0) & (g_b == 0.0)
-
-            def tap5(yy, pos, t, taps):
-                t = jnp.maximum(t, 15)
-                base = jnp.clip(pos - t[:, None, None], 2, yy.shape[-1] - 3)
-                s = jnp.take_along_axis(yy, base, axis=-1)
-                s1 = jnp.take_along_axis(yy, base + 1, axis=-1) + jnp.take_along_axis(yy, base - 1, axis=-1)
-                s2 = jnp.take_along_axis(yy, base + 2, axis=-1) + jnp.take_along_axis(yy, base - 2, axis=-1)
-                return (
-                    taps[:, 0][:, None, None] * s
-                    + taps[:, 1][:, None, None] * s1
-                    + taps[:, 2][:, None, None] * s2
-                )
-
-            def body(ci, y):
-                i0 = off_ + ci * _CHUNK
-                pos = i0 + jnp.arange(_CHUNK)[None, None, :]
-                rel = ci * _CHUNK + jnp.arange(_CHUNK)
-                w_here = jnp.take(w_ext, jnp.minimum(rel, w_ext.shape[0] - 1))[None, None, :]
-                w_here = jnp.where(same[:, None, None], 1.0, w_here)
-                contrib = (1.0 - w_here) * tap5(y, pos, p_a, ga) + w_here * tap5(y, pos, p_b, gb)
-                contrib = jnp.where(zero[:, None, None], 0.0, contrib)
-                cur = jax.lax.dynamic_slice_in_dim(y, i0, _CHUNK, axis=-1)
-                return jax.lax.dynamic_update_slice_in_dim(y, cur + contrib, i0, axis=-1)
-
-            return jax.lax.fori_loop(0, ln // _CHUNK, body, y)
-
-        p0, p1, p2 = periods[:, 0], periods[:, 1], periods[:, 2]
-        g0, g1, g2 = gains[:, 0], gains[:, 1], gains[:, 2]
-        t0, t1, t2 = tapsets[:, 0], tapsets[:, 1], tapsets[:, 2]
-        y = seg(y, hist, modes.SHORT_MDCT_SIZE, p0, g0, t0, p1, g1, t1)
-        if lm != 0:
-            y = seg(y, hist + modes.SHORT_MDCT_SIZE, n - modes.SHORT_MDCT_SIZE, p1, g1, t1, p2, g2, t2)
+        if pf_active:
+            y = _postfilter(y, hist, n, lm, periods, gains, tapsets, pf_chunk)
         out_f = y[..., hist:]
 
-        xin = out_f + 1e-30
-        coef = jnp.float32(modes.PREEMPH)
-
-        def combine(a, b):
-            return (a[0] * b[0], b[1] + b[0] * a[1])
-
-        m_arr = jnp.full_like(xin, coef)
-        x0 = xin.at[..., 0].add(state.preemph)
-        _, ys = jax.lax.associative_scan(combine, (m_arr, x0), axis=-1)
-        new_preemph = coef * ys[..., -1]
+        ys, new_preemph = _deemphasis(out_f, state.preemph)
         pcm = ys[..., ::downsample] * (1.0 / 32768.0)
 
         new_mem = jnp.concatenate(
