@@ -67,13 +67,13 @@ def main() -> None:
     # host<->device link are shared with other tenants and vary >3x
     # run-to-run (including multi-second transport stalls); the minimum
     # is the achievable steady-state rate.
-    front = BatchedCeltDecoder(BATCH, 2, use_native=True, transfer="q14")
+    front = BatchedCeltDecoder(BATCH, 2, use_native=True, transfer="p10")
     front.serve(batches[:2], FRAME)  # warm jit + buffers
     el = _best(lambda: front.serve(batches, FRAME), 8)
     e2e_rate = STEPS * BATCH * 0.02 / el
 
     # --- plane A alone (native C++ symbol decode, this host's cores) --------
-    slots = front.native.alloc_packed_slots(2)
+    slots = front.native.alloc_packed_slots(2, "p10")
     host_elapsed = _best(
         lambda: front.native.decode_batch_q15_into(batches[0], FRAME, slots[0]), 5
     )
@@ -85,10 +85,13 @@ def main() -> None:
     # before the device work is done, so per-step blocking measures RPC
     # round-trips, not the chip.
     import jax.numpy as jnp
-    from opus_tpu.dsp.synthesis import init_state
+    from opus_tpu.dsp.synthesis import init_state, pf_chunk_for
 
     lm = int(slots[0]["meta"][0, 2])
-    sstep = front._serving_step(lm)
+    pf_chunk, pf_active = pf_chunk_for(
+        slots[0]["meta"][:, 6:9], slots[0]["gains"], slots[0]["meta"][:, 0] != 0
+    )
+    sstep = front._serving_step(lm, pf_chunk, pf_active)
     jbuf = jnp.asarray(slots[0]["buf"])
     dstate = init_state(BATCH, 2)
     dring = jnp.zeros((BATCH, FRAME, 2), jnp.float32)
@@ -147,14 +150,15 @@ def main() -> None:
 
         B8 = 8192
         reps = B8 // BATCH
-        off1 = packed_offsets(BATCH)
-        off8 = packed_offsets(B8)
+        off1 = packed_offsets(BATCH, "p10")
+        off8 = packed_offsets(B8, "p10")
         b1 = slots[0]["buf"]
         buf8 = np.empty(off8["end"], np.int32)
         for reg, nxt in (("xq", "ble"), ("ble", "meta"), ("meta", "gains"), ("gains", "end")):
             w = off1[nxt] - off1[reg]
             buf8[off8[reg] : off8[reg] + reps * w] = np.tile(b1[off1[reg] : off1[nxt]], reps)
-        step8 = make_serving_step(lm, B8, 2, 1)
+        step8 = make_serving_step(lm, B8, 2, 1, pf_chunk=pf_chunk, pf_active=pf_active,
+                                  transfer="p10")
         jb8 = jnp.asarray(buf8)
         st8 = init_state(B8, 2)
         rg8 = jnp.zeros((B8, FRAME, 2), jnp.float32)

@@ -44,9 +44,12 @@ class BatchedCeltDecoder:
     def __init__(self, batch: int, channels: int = 2, downsample: int = 1, use_native: bool | None = None,
                  transfer: str = "f32"):
         #: "f32" = exact float band shapes; "q14" = int16 Q14 shapes (half
-        #: the host->device bytes, libopus-fixed precision class; gated by
-        #: the RFC 8251 conformance metric in tests/test_conformance.py).
-        assert transfer in ("f32", "q14")
+        #: the host->device bytes, libopus-fixed precision class); "p12" =
+        #: bit-packed 12-bit mantissas with per-band exponents folded into
+        #: the energy plane (25% fewer bytes again, serve() path only —
+        #: the per-array paths use q14 precision).  Quantised modes are
+        #: gated by the RFC 8251 conformance metric (tests/test_native.py).
+        assert transfer in ("f32", "q14", "p12", "p10", "p8")
         self.transfer = transfer
         self.batch = batch
         self.channels = channels
@@ -87,7 +90,7 @@ class BatchedCeltDecoder:
         if key not in self._steps:
             self._steps[key] = make_pipeline_step(
                 lm, short_blocks, self.channels, self.downsample,
-                quantized=self.transfer == "q14",
+                quantized=self.transfer != "f32",
             )
         return self._steps[key]
 
@@ -97,7 +100,7 @@ class BatchedCeltDecoder:
         Returns (lm, short_mask, args) with args = (xraw, mono, ble, bound,
         periods, gains, tapsets); only [B]-sized numpy work on the host.
         """
-        if self.transfer == "q14":
+        if self.transfer != "f32":
             x, ble, meta, gains = self.native.decode_batch_q15(
                 packets, frame_size, stream_channels
             )
@@ -158,11 +161,12 @@ class BatchedCeltDecoder:
         return pcm
 
     def _serving_step(self, lm: int, pf_chunk: int = 12, pf_active: bool = True):
-        key = ("serve", lm, pf_chunk, pf_active)
+        mode = self.transfer if self.transfer in ("p12", "p10", "p8") else "q14"
+        key = ("serve", lm, pf_chunk, pf_active, mode)
         if key not in self._steps:
             self._steps[key] = make_serving_step(
                 lm, self.batch, self.channels, self.downsample,
-                pf_chunk=pf_chunk, pf_active=pf_active,
+                pf_chunk=pf_chunk, pf_active=pf_active, transfer=mode,
             )
         return self._steps[key]
 
@@ -181,8 +185,10 @@ class BatchedCeltDecoder:
         stays on device in `self._serve_ring` (fetch with np.asarray).
         """
         assert self.use_native, "serving path requires the native plane A"
-        if not hasattr(self, "_slots") or len(self._slots) != n_slots:
-            self._slots = self.native.alloc_packed_slots(n_slots)
+        mode = self.transfer if self.transfer in ("p12", "p10", "p8") else "q14"
+        if (not hasattr(self, "_slots") or len(self._slots) != n_slots
+                or self._slots[0].get("mode", "q14") != mode):
+            self._slots = self.native.alloc_packed_slots(n_slots, mode)
         free: queue.Queue = queue.Queue()
         for s in self._slots:
             free.put(s)

@@ -422,29 +422,60 @@ def make_pipeline_step(lm: int, short_blocks: bool, channels: int = 2, downsampl
 #   before the work is actually done; fetching the digest is the only
 #   honest completion barrier).
 
-def packed_words(batch: int) -> int:
+#: int32 words of band-shape data per stream for each transfer mode:
+#: "q14" = 1920 Q14 int16 (two per word); "pW" (W = 12/10/8) = W-bit
+#: offset-binary mantissas in a little-endian bit stream, with the
+#: per-band exponent folded into the uploaded band log-energies by the
+#: native packer — every coefficient keeps >= W significant bits
+#: relative to its band's peak.  Each width is gated by the RFC 8251
+#: conformance metric (tests/test_native.py).
+PACK_BITS = {"p12": 12, "p10": 10, "p8": 8}
+XQ_WORDS = {"q14": 960, "p12": 720, "p10": 600, "p8": 480}
+
+
+def packed_words(batch: int, mode: str = "q14") -> int:
     """int32 words in one packed plane-A slot (layout below)."""
-    return batch * (960 + 42 + 16 + 3)
+    return batch * (XQ_WORDS[mode] + 42 + 16 + 3)
 
 
-def packed_offsets(batch: int) -> dict:
+def packed_offsets(batch: int, mode: str = "q14") -> dict:
     """Word offsets of each region in a packed slot.
 
     Layout (all regions contiguous, per-region stream-major):
-      xq    [B, 1920] int16  — Q14 band shapes, 2 ch x 960 bins
+      xq    [B, XQ_WORDS] i32 — band shapes (mode-dependent packing)
       ble   [B, 2, 21] f32   — band log-energies
       meta  [B, 16]   int32  — silence/short/lm/ch/start/end/pf periods+tapsets
       gains [B, 3]    f32    — prefilter gains
     """
     o0 = 0
-    o1 = o0 + batch * 960
+    o1 = o0 + batch * XQ_WORDS[mode]
     o2 = o1 + batch * 42
     o3 = o2 + batch * 16
     return {"xq": o0, "ble": o1, "meta": o2, "gains": o3, "end": o3 + batch * 3}
 
 
+def _unpack_pw(words_u32, batch: int, n: int, w_bits: int):
+    """[B, 2, 30*W] uint32 -> [B, 2, n] f32 mantissas/16384 (see XQ_WORDS).
+
+    Static per-coefficient (word, shift) patterns: two takes with
+    constant index vectors + vector shifts — pure VPU work.
+    """
+    nw = 30 * w_bits
+    bit = w_bits * np.arange(960)
+    widx = (bit >> 5).astype(np.int32)
+    sh = (bit & 31).astype(np.uint32)
+    w = jnp.take(words_u32, jnp.asarray(widx), axis=-1)  # [B, 2, 960]
+    wn = jnp.take(words_u32, jnp.asarray(np.minimum(widx + 1, nw - 1)), axis=-1)
+    sh_a = jnp.asarray(sh)[None, None, :]
+    lo = w >> sh_a
+    hi = jnp.where(sh_a == 0, jnp.uint32(0), wn << (32 - jnp.maximum(sh_a, 1)))
+    m = ((lo | hi) & ((1 << w_bits) - 1)).astype(jnp.int32) - (1 << (w_bits - 1))
+    return m[..., :n].astype(jnp.float32) * jnp.float32(1.0 / 16384.0)
+
+
 def make_serving_step(lm: int, batch: int, channels: int = 2, downsample: int = 1,
-                      pf_chunk: int = _CHUNK, pf_active: bool = True):
+                      pf_chunk: int = _CHUNK, pf_active: bool = True,
+                      transfer: str = "q14"):
     """Single-dispatch serving step over one packed plane-A buffer.
 
     step(state, ring, buf) -> (state, ring, digest[2]); jitted with
@@ -458,12 +489,26 @@ def make_serving_step(lm: int, batch: int, channels: int = 2, downsample: int = 
     """
     n = (1 << lm) * modes.SHORT_MDCT_SIZE
     half = OVERLAP // 2
-    off = packed_offsets(batch)
+    off = packed_offsets(batch, transfer)
     e_bands = jnp.asarray(modes.E_BANDS, jnp.int32)
 
     def unpack(buf):
-        xq_w = buf[off["xq"] : off["ble"]].reshape(batch, 960)
-        xq = jax.lax.bitcast_convert_type(xq_w, jnp.int16).reshape(batch, 1920)
+        xq_w = buf[off["xq"] : off["ble"]]
+        if transfer in PACK_BITS:
+            w_bits = PACK_BITS[transfer]
+            xs = _unpack_pw(
+                jax.lax.bitcast_convert_type(xq_w, jnp.uint32).reshape(
+                    batch, 2, 30 * w_bits
+                ),
+                batch, n, w_bits,
+            )
+        else:
+            xq = jax.lax.bitcast_convert_type(
+                xq_w.reshape(batch, 960), jnp.int16
+            ).reshape(batch, 1920)
+            xs = (xq[:, : 2 * n].astype(jnp.float32) * jnp.float32(1.0 / 16384.0)).reshape(
+                batch, 2, n
+            )
         ble = jax.lax.bitcast_convert_type(
             buf[off["ble"] : off["meta"]], jnp.float32
         ).reshape(batch, 2, 21)
@@ -471,10 +516,10 @@ def make_serving_step(lm: int, batch: int, channels: int = 2, downsample: int = 
         gains = jax.lax.bitcast_convert_type(
             buf[off["gains"] : off["end"]], jnp.float32
         ).reshape(batch, 3)
-        return xq, ble, meta, gains
+        return xs, ble, meta, gains
 
     def step(state: SynthState, ring, buf):
-        xq, ble, meta, gains = unpack(buf)
+        xs, ble, meta, gains = unpack(buf)
         silence = meta[:, 0] != 0
         short = meta[:, 1] != 0
         mono = meta[:, 3] == 1
@@ -482,13 +527,11 @@ def make_serving_step(lm: int, batch: int, channels: int = 2, downsample: int = 
         periods = meta[:, 6:9]
         tapsets = meta[:, 9:12]
 
-        x2 = xq[:, : 2 * n].astype(jnp.float32) * jnp.float32(1.0 / 16384.0)
         if channels == 2:
-            x = x2.reshape(batch, 2, n)
-            x = jnp.where(mono[:, None, None], x[:, :1], x)
+            x = jnp.where(mono[:, None, None], xs[:, :1], xs)
             le = jnp.where(mono[:, None, None], ble[:, :1], ble)
         else:
-            x = x2[:, :n].reshape(batch, 1, n)
+            x = xs[:, :1]
             le = ble[:, :1]
 
         m = 1 << lm

@@ -1662,6 +1662,95 @@ int celt_fe_decode_batch_f32(void** handles, const uint8_t* data, const int32_t*
 
 extern "C" {
 
+// Bit-packed variant: W-bit mantissas (W = 12/10/8) with a per-band
+// exponent folded into the uploaded band log-energies.
+// x ~= mant * 2^s / 16384 and the emitted ble row gets +s, so the
+// device's denormalise (mant/16384 * exp2(ble'+eMeans)) reproduces
+// x * exp2(ble+eMeans) exactly — no extra scale plane, no device-side
+// changes beyond the bit unpack.  Every coefficient keeps >= W
+// significant bits relative to its band's peak (the Q14 int16 mode
+// keeps 14 absolute); each width is gated by the RFC 8251-style
+// conformance metric in tests/test_native.py.
+//
+// Word layout per channel: a little-endian bit stream of W-bit
+// offset-binary (m + 2^(W-1)) fields, 30*W uint32 words per 960
+// coefficients.  x_stride is in int32 words (2*30*W for stereo rows).
+static void pack_pw_channel(const float* x, int n, int lm, int W, int32_t* dst,
+                            float* ble_row) {
+    int m = 1 << lm;
+    int lim = (1 << (W - 1)) - 1;
+    // Per-band shift so round(|x|*16384 / 2^s) <= lim.
+    int shift_of_bin[960];
+    for (int b = 0; b < NB_E_BANDS; b++) {
+        int lo = m * E_BANDS[b];
+        int hi = std::min(n, m * E_BANDS[b + 1]);
+        float bandmax = 0.0f;
+        for (int j = lo; j < hi; j++) bandmax = std::max(bandmax, std::fabs(x[j]) * 16384.0f);
+        int s = 0;
+        while (std::floor(bandmax / (float)(1 << s) + 0.5f) > (float)lim) s++;
+        for (int j = lo; j < hi; j++) shift_of_bin[j] = s;
+        ble_row[b] += (float)s;
+    }
+    for (int j = std::min(n, m * E_BANDS[NB_E_BANDS]); j < n; j++) shift_of_bin[j] = 0;
+    uint64_t cur = 0;
+    int nbits = 0, wi = 0;
+    for (int j = 0; j < n; j++) {
+        float v = x[j] * 16384.0f / (float)(1 << shift_of_bin[j]);
+        int mq = (int)std::floor(v + 0.5f);
+        mq = std::max(-lim - 1, std::min(lim, mq));
+        cur |= (uint64_t)((uint32_t)(mq + lim + 1) & ((1u << W) - 1)) << nbits;
+        nbits += W;
+        if (nbits >= 32) {
+            dst[wi++] = (int32_t)(uint32_t)cur;
+            cur >>= 32;
+            nbits -= 32;
+        }
+    }
+    if (nbits) dst[wi++] = (int32_t)(uint32_t)cur;
+}
+
+int celt_fe_decode_batch_packed(void** handles, const uint8_t* data, const int32_t* lens,
+                                int n_packets, int frame_size48, const int32_t* stream_channels,
+                                int mant_bits,
+                                int32_t* x_out, int64_t x_stride,
+                                float* ble_out, int32_t* meta_out, float* gains_out) {
+    std::vector<int64_t> offs(n_packets + 1, 0);
+    for (int i = 0; i < n_packets; i++) offs[i + 1] = offs[i] + lens[i];
+    int bad = 0;
+#pragma omp parallel
+    {
+        std::vector<float> scratch(2 * 960);
+        double g[3];
+#pragma omp for schedule(dynamic, 8)
+        for (int i = 0; i < n_packets; i++) {
+            FrontEnd* st = (FrontEnd*)handles[i];
+            float* ble = ble_out + i * 2 * NB_E_BANDS;
+            int rc = decode_frame(*st, data + offs[i], lens[i], frame_size48,
+                                  stream_channels[i], scratch.data(),
+                                  ble, meta_out + i * 16, g);
+            if (rc != 0) {
+#pragma omp critical
+                bad = i + 1;
+            } else {
+                int lm = meta_out[i * 16 + 2];
+                int c_ = meta_out[i * 16 + 3];
+                int n = 120 << lm;
+                int32_t* dst = x_out + (int64_t)i * x_stride;
+                for (int c = 0; c < c_; c++)
+                    pack_pw_channel(scratch.data() + c * n, n, lm, mant_bits,
+                                    dst + c * (x_stride / 2), ble + c * NB_E_BANDS);
+                for (int j = 0; j < 3; j++) gains_out[i * 3 + j] = (float)g[j];
+            }
+        }
+    }
+    if (bad) return -bad;
+    return n_packets;
+}
+
+}  // extern "C"
+
+extern "C" {
+
 // Q14 int16 output variant: halves the host->device transfer for the
 // serving pipeline.  Band-shape values are unit-norm (|x| <= ~1.4 after
 // stereo merge), so Q14 keeps 1 LSB = 6.1e-5 in the shape domain --

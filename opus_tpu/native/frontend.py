@@ -163,6 +163,15 @@ class NativeBatchFrontEnd:
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_float),
         ]
+        self.lib.celt_fe_decode_batch_packed.restype = ctypes.c_int
+        self.lib.celt_fe_decode_batch_packed.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p), ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float),
+        ]
         self.batch = batch
         self.channels = channels
         self.downsample = downsample
@@ -256,7 +265,7 @@ class NativeBatchFrontEnd:
             raise ValueError(f"native batch decode failed at stream {-rc - 1}")
         return x, ble, meta, gains
 
-    def alloc_packed_slots(self, n_slots: int = 4) -> list:
+    def alloc_packed_slots(self, n_slots: int = 4, mode: str = "q14") -> list:
         """Packed serving slots: one contiguous int32 buffer per slot whose
         regions (xq Q14 int16 / ble f32 / meta i32 / gains f32) are numpy
         VIEWS the decode writes into directly — the whole slot is uploaded
@@ -264,15 +273,22 @@ class NativeBatchFrontEnd:
         Layout must match opus_tpu.dsp.synthesis.packed_offsets."""
         B = self.batch
         slots = []
+        xq_words = {"q14": 960, "p12": 720, "p10": 600, "p8": 480}[mode]
         for _ in range(n_slots):
-            buf = np.zeros(B * (960 + 42 + 16 + 3), np.int32)
-            o1 = B * 960
+            buf = np.zeros(B * (xq_words + 42 + 16 + 3), np.int32)
+            o1 = B * xq_words
             o2 = o1 + B * 42
             o3 = o2 + B * 16
+            xq = (
+                buf[:o1].view(np.int16).reshape(B, 1920)
+                if mode == "q14"
+                else buf[:o1].reshape(B, xq_words)
+            )
             slots.append(
                 dict(
                     buf=buf,
-                    xq=buf[:o1].view(np.int16).reshape(B, 1920),
+                    mode=mode,
+                    xq=xq,
                     ble=buf[o1:o2].view(np.float32).reshape(B, 2, self.NB),
                     meta=buf[o2:o3].reshape(B, 16),
                     gains=buf[o3:].view(np.float32).reshape(B, 3),
@@ -282,7 +298,8 @@ class NativeBatchFrontEnd:
 
     def decode_batch_q15_into(self, packets: list, frame_size: int, slot: dict,
                               stream_channels=None):
-        """decode_batch_q15 writing into a packed slot (alloc_packed_slots)."""
+        """Packed-slot decode (alloc_packed_slots); dispatches on the
+        slot's transfer mode (q14 int16 / p12 bit-packed)."""
         B = self.batch
         blob = b"".join(packets)
         lens = np.array([len(p) for p in packets], dtype=np.int32)
@@ -292,15 +309,28 @@ class NativeBatchFrontEnd:
             sch = np.ascontiguousarray(stream_channels, dtype=np.int32)
         n48 = frame_size * self.downsample
         xq, ble, meta, gains = slot["xq"], slot["ble"], slot["meta"], slot["gains"]
-        rc = self.lib.celt_fe_decode_batch_q15(
-            self.handles, blob,
-            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), B, n48,
-            sch.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            xq.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), xq.shape[1],
-            ble.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            gains.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        )
+        mode = slot.get("mode", "q14")
+        if mode in ("p12", "p10", "p8"):
+            rc = self.lib.celt_fe_decode_batch_packed(
+                self.handles, blob,
+                lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), B, n48,
+                sch.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                int(mode[1:]),
+                xq.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), xq.shape[1],
+                ble.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                gains.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            )
+        else:
+            rc = self.lib.celt_fe_decode_batch_q15(
+                self.handles, blob,
+                lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), B, n48,
+                sch.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                xq.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), xq.shape[1],
+                ble.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                gains.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            )
         if rc != B:
             raise ValueError(f"native batch decode failed at stream {-rc - 1}")
         return slot

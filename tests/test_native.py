@@ -160,6 +160,31 @@ def test_q14_transfer_mode_conformance():
     assert compare(a, b) >= PASS_QUALITY
 
 
+@pytest.mark.parametrize("mode,tol", [("p12", 2e-3), ("p10", 4e-3), ("p8", 2e-2)])
+def test_packed_transfer_mode_conformance(mode, tol):
+    """Bit-packed serving transfers (12/10/8-bit mantissa + per-band
+    exponent folded into the energy plane): each width must clear the
+    RFC 8251 conformance metric vs the float reference path through the
+    full serve() loop (state carry, postfilter, transients included)."""
+    from opus_tpu.batch.pipeline import BatchedCeltDecoder
+    from opus_tpu.conformance import PASS_QUALITY, compare
+
+    B, FRAME, NF = 4, 960, 6
+    payloads = _payloads(2, 960, 96, nframes=NF)
+    f = BatchedCeltDecoder(B, 2, use_native=True, transfer="f32")
+    if not f.use_native:
+        pytest.skip("native engine not built")
+    refs, ours = [], []
+    p = BatchedCeltDecoder(B, 2, use_native=True, transfer=mode)
+    for fr in range(NF):
+        refs.append(f.decode_frames([payloads[fr]] * B, FRAME)[0])
+        p.serve([[payloads[fr]] * B], FRAME)
+        ours.append(np.asarray(p._serve_ring)[0])
+    a, b = np.concatenate(refs), np.concatenate(ours)
+    assert float(np.abs(a - b).max()) < tol
+    assert compare(a, b) >= PASS_QUALITY
+
+
 def test_serving_path_matches_decode_frames():
     """Packed single-upload serve() == the per-array decode_frames path.
 
