@@ -104,6 +104,9 @@ constexpr int U_NMAX = 256;
 constexpr int U_KMAX = 193;
 constexpr int U_STRIDE = U_KMAX + 1;
 static std::vector<uint32_t> g_uflat;
+// Flat u64 V(n,k) = U(n,k) + U(n,k+1) (saturating) for the decode_uint
+// codebook sizes — avoids the vector-of-vectors walk in the hot path.
+static std::vector<uint64_t> g_vflat;
 
 static inline uint32_t u32sat(uint64_t v) {
     return v > 0xFFFFFFFFull ? 0xFFFFFFFFu : (uint32_t)v;
@@ -121,6 +124,9 @@ static void warm_urows() {
         const auto& r = g_urows.rows[n];
         for (int k = 0; k <= U_KMAX; k++) g_uflat[n * U_STRIDE + k] = u32sat(r[k]);
     }
+    g_vflat.assign((U_NMAX + 1) * U_STRIDE, 0);
+    for (int n = 0; n <= U_NMAX; n++)
+        for (int k = 0; k + 1 <= U_KMAX; k++) g_vflat[n * U_STRIDE + k] = g_urows.v(n, k);
     warmed = true;
 }
 
@@ -191,7 +197,9 @@ static void cwrsi(int n, int k, uint32_t i, int32_t* y) {
 }
 
 static uint32_t decode_pulses(RangeDec& dec, int n, int k, int32_t* y, uint64_t* ryy_out) {
-    uint32_t idx = dec.decode_uint((uint32_t)g_urows.v(n, k));
+    uint64_t vnk = (n <= U_NMAX && k + 1 <= U_KMAX) ? g_vflat[n * U_STRIDE + k]
+                                                    : g_urows.v(n, k);
+    uint32_t idx = dec.decode_uint((uint32_t)vnk);
     cwrsi(n, k, idx, y);
     uint64_t ryy = 0;
     for (int j = 0; j < n; j++) ryy += (int64_t)y[j] * y[j];
@@ -1679,26 +1687,32 @@ static void pack_pw_channel(const float* x, int n, int lm, int W, int32_t* dst,
                             float* ble_row) {
     int m = 1 << lm;
     int lim = (1 << (W - 1)) - 1;
-    // Per-band shift so round(|x|*16384 / 2^s) <= lim.
-    int shift_of_bin[960];
+    // Quantise per band with one hoisted scale (no per-element divide);
+    // the tails of each loop auto-vectorise.
+    int16_t mant[960];
+    int coded = std::min(n, m * (int)E_BANDS[NB_E_BANDS]);
     for (int b = 0; b < NB_E_BANDS; b++) {
         int lo = m * E_BANDS[b];
         int hi = std::min(n, m * E_BANDS[b + 1]);
         float bandmax = 0.0f;
-        for (int j = lo; j < hi; j++) bandmax = std::max(bandmax, std::fabs(x[j]) * 16384.0f);
+        for (int j = lo; j < hi; j++) bandmax = std::max(bandmax, std::fabs(x[j]));
+        bandmax *= 16384.0f;
         int s = 0;
         while (std::floor(bandmax / (float)(1 << s) + 0.5f) > (float)lim) s++;
-        for (int j = lo; j < hi; j++) shift_of_bin[j] = s;
         ble_row[b] += (float)s;
+        float scale = 16384.0f / (float)(1 << s);
+        for (int j = lo; j < hi; j++) {
+            int mq = (int)std::lrintf(x[j] * scale);
+            mant[j] = (int16_t)std::max(-lim - 1, std::min(lim, mq));
+        }
     }
-    for (int j = std::min(n, m * E_BANDS[NB_E_BANDS]); j < n; j++) shift_of_bin[j] = 0;
+    for (int j = coded; j < n; j++) mant[j] = 0;
     uint64_t cur = 0;
     int nbits = 0, wi = 0;
+    uint32_t mask = (1u << W) - 1;
+    int bias = lim + 1;
     for (int j = 0; j < n; j++) {
-        float v = x[j] * 16384.0f / (float)(1 << shift_of_bin[j]);
-        int mq = (int)std::floor(v + 0.5f);
-        mq = std::max(-lim - 1, std::min(lim, mq));
-        cur |= (uint64_t)((uint32_t)(mq + lim + 1) & ((1u << W) - 1)) << nbits;
+        cur |= (uint64_t)(((uint32_t)(mant[j] + bias)) & mask) << nbits;
         nbits += W;
         if (nbits >= 32) {
             dst[wi++] = (int32_t)(uint32_t)cur;
