@@ -137,8 +137,8 @@ def main() -> None:
             keys = ["celt", "silk", "hybrid"]
             mixed_steps.append([per_mode[keys[i % 3]] for i in range(BATCH)])
         odec = BatchedOpusDecoder(BATCH, 2)
-        odec.run_pipelined(mixed_steps[:2])
-        el = _best(lambda: odec.run_pipelined(mixed_steps), 3)
+        odec.serve(mixed_steps[:2])  # warm jit + slots
+        el = _best(lambda: odec.serve(mixed_steps), 3)
         mixed_rate = STEPS * BATCH * 0.02 / el
     except Exception:
         pass

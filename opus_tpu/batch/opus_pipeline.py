@@ -17,13 +17,22 @@ so the caller can route them to the scalar opus_tpu.Decoder.
 from __future__ import annotations
 
 import ctypes
+import queue
+import threading
 
 import numpy as np
 import jax.numpy as jnp
 
 from .. import packet as pkt_mod
 from ..celt import modes
-from ..dsp.synthesis import SynthState, init_state, make_opus_step
+from ..dsp.synthesis import (
+    SynthState,
+    init_state,
+    make_opus_step,
+    make_serving_step,
+    packed_offsets,
+    pf_chunk_for,
+)
 from ..native.frontend import _load
 from ..types import Bandwidth, CodecMode
 
@@ -58,9 +67,23 @@ class BatchedOpusDecoder:
             ctypes.POINTER(ctypes.c_int16), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32),
         ]
+        lib.opus_fe_decode_batch_packed.restype = ctypes.c_int
+        lib.opus_fe_decode_batch_packed.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p), ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int16), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32),
+        ]
         self.lib = lib
         self.batch = batch
         self.channels = channels
+        #: serving transfer mode for the packed serve() loop.
+        self.transfer = "p10"
         self.handles = (ctypes.c_void_p * batch)(
             *[lib.opus_fe_create(channels) for _ in range(batch)]
         )
@@ -181,6 +204,162 @@ class BatchedOpusDecoder:
             jnp.where(msk[:, None], state_short.preemph, state_long.preemph),
         )
         return jnp.where(msk[:, None, None], pcm_short, pcm_long)
+
+    # --- packed single-upload serving loop --------------------------------
+
+    def _toc_arrays(self, packets: list[bytes]):
+        B = self.batch
+        modes_np = np.zeros(B, np.int32)
+        bws = np.zeros(B, np.int32)
+        schs = np.zeros(B, np.int32)
+        payloads = []
+        frame48 = None
+        for i, pkt in enumerate(packets):
+            parsed = pkt_mod.parse_packet(pkt)
+            if parsed.frame_count != 1:
+                raise ValueError(f"stream {i}: multi-frame packets use the scalar path")
+            f48 = pkt_mod.query_packet_samples_per_frame(pkt, 48000)
+            if frame48 is None:
+                frame48 = f48
+            elif frame48 != f48:
+                raise ValueError("mixed frame durations in one step not supported")
+            modes_np[i] = _MODE_CODE[pkt_mod.query_packet_codec_mode(pkt)]
+            bws[i] = int(pkt_mod.query_packet_bandwidth(pkt)) - int(Bandwidth.NARROWBAND)
+            schs[i] = 2 if (pkt[0] & 0x4) else 1
+            payloads.append(pkt[parsed.payload_offset :])
+        return frame48, modes_np, bws, schs, payloads
+
+    def _alloc_mixed_slots(self, frame48: int, n_slots: int = 4) -> list:
+        B = self.batch
+        w = int(self.transfer[1:])
+        xq_words = 2 * 30 * w  # two channels
+        silk_words = (frame48 * self.channels + 1) // 2
+        off = packed_offsets(B, self.transfer, silk_words)
+        slots = []
+        for _ in range(n_slots):
+            buf = np.zeros(off["end"], np.int32)
+            slots.append(
+                dict(
+                    buf=buf,
+                    frame48=frame48,
+                    xq=buf[off["xq"] : off["silk"]].reshape(B, xq_words),
+                    silk=buf[off["silk"] : off["ble"]].view(np.int16).reshape(
+                        B, 2 * silk_words
+                    ),
+                    ble=buf[off["ble"] : off["meta"]].view(np.float32).reshape(B, 2, self.NB),
+                    meta=buf[off["meta"] : off["gains"]].reshape(B, 16),
+                    gains=buf[off["gains"] : off["end"]].view(np.float32).reshape(B, 3),
+                )
+            )
+        return slots
+
+    def _plane_a_packed(self, packets: list[bytes], slot: dict):
+        B = self.batch
+        frame48, modes_np, bws, schs, payloads = self._toc_arrays(packets)
+        if frame48 != slot["frame48"]:
+            raise ValueError("frame duration changed mid-serve")
+        blob = b"".join(payloads)
+        lens = np.array([len(p) for p in payloads], np.int32)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        rcs = np.zeros(B, np.int32)
+        rc = self.lib.opus_fe_decode_batch_packed(
+            self.handles, blob, lens.ctypes.data_as(i32p), B,
+            modes_np.ctypes.data_as(i32p), bws.ctypes.data_as(i32p),
+            frame48, schs.ctypes.data_as(i32p), int(self.transfer[1:]),
+            slot["xq"].ctypes.data_as(i32p), slot["xq"].shape[1],
+            slot["silk"].ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            slot["silk"].shape[1],
+            slot["ble"].ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            slot["meta"].ctypes.data_as(i32p),
+            slot["gains"].ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self._ranges.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            rcs.ctypes.data_as(i32p),
+        )
+        if rc != B:
+            i = -rc - 1
+            code = int(rcs[i])
+            reason = _FALLBACK_REASON.get(code, f"codec error {code}")
+            raise ValueError(f"stream {i}: {reason}")
+
+    def _mixed_serving_step(self, lm: int, pf_chunk: int, pf_active: bool):
+        key = ("serve", lm, pf_chunk, pf_active)
+        if key not in self._steps:
+            self._steps[key] = make_serving_step(
+                lm, self.batch, self.channels, 1,
+                pf_chunk=pf_chunk, pf_active=pf_active,
+                transfer=self.transfer, silk_mix=True,
+            )
+        return self._steps[key]
+
+    def serve(self, batches: list[list[bytes]], n_slots: int = 4):
+        """Packed single-upload mixed-mode serving loop (CELT+SILK+hybrid
+        in one batch): one host->device transfer and one execute per
+        step, plane A for step t+1 overlapping the upload of step t.
+        Same contract as decode_frames; 20 ms frames or shorter (longer
+        SILK-only frames never touch the device — use decode_frames).
+        Returns the final step's digest; the last PCM stays on device in
+        self._serve_ring."""
+        frame48 = pkt_mod.query_packet_samples_per_frame(batches[0][0], 48000)
+        if frame48 > 960:
+            raise ValueError("serve() handles <=20 ms frames; use decode_frames")
+        if (not hasattr(self, "_mixed_slots")
+                or self._mixed_slots[0]["frame48"] != frame48
+                or len(self._mixed_slots) != n_slots):
+            self._mixed_slots = self._alloc_mixed_slots(frame48, n_slots)
+        lm = int(np.log2(frame48 // 120))
+        free: queue.Queue = queue.Queue()
+        for s in self._mixed_slots:
+            free.put(s)
+        work: queue.Queue = queue.Queue()
+        err: list = []
+        done: dict = {}
+
+        def uploader():
+            try:
+                state = getattr(self, "_serve_state", None)
+                if state is None:
+                    state = init_state(self.batch, self.channels)
+                ring = getattr(self, "_serve_ring", None)
+                if ring is None or ring.shape[1] != frame48:
+                    ring = jnp.zeros((self.batch, frame48, self.channels), jnp.float32)
+                digest = None
+                held = None
+                while True:
+                    item = work.get()
+                    if item is None:
+                        if held is not None:
+                            free.put(held)
+                        break
+                    slot, pf_chunk, pf_active = item
+                    buf = jnp.asarray(slot["buf"])
+                    if held is not None:
+                        free.put(held)
+                    held = slot
+                    step = self._mixed_serving_step(lm, pf_chunk, pf_active)
+                    state, ring, digest = step(state, ring, buf)
+                self._serve_state = state
+                self._serve_ring = ring
+                done["digest"] = digest
+            except Exception as e:  # pragma: no cover - propagated below
+                err.append(e)
+
+        th = threading.Thread(target=uploader, daemon=True)
+        th.start()
+        try:
+            for packets in batches:
+                slot = free.get()
+                self._plane_a_packed(packets, slot)
+                meta = slot["meta"]
+                pf_chunk, pf_active = pf_chunk_for(
+                    meta[:, 6:9], slot["gains"], meta[:, 0] != 0
+                )
+                work.put((slot, pf_chunk, pf_active))
+        finally:
+            work.put(None)
+            th.join()
+        if err:
+            raise err[0]
+        return np.asarray(done["digest"])
 
     def run_pipelined(self, batches: list[list[bytes]]):
         """Decode a sequence of steps (one device step in flight — see

@@ -433,25 +433,29 @@ PACK_BITS = {"p12": 12, "p10": 10, "p8": 8}
 XQ_WORDS = {"q14": 960, "p12": 720, "p10": 600, "p8": 480}
 
 
-def packed_words(batch: int, mode: str = "q14") -> int:
+def packed_words(batch: int, mode: str = "q14", silk_words: int = 0) -> int:
     """int32 words in one packed plane-A slot (layout below)."""
-    return batch * (XQ_WORDS[mode] + 42 + 16 + 3)
+    return batch * (XQ_WORDS[mode] + silk_words + 42 + 16 + 3)
 
 
-def packed_offsets(batch: int, mode: str = "q14") -> dict:
+def packed_offsets(batch: int, mode: str = "q14", silk_words: int = 0) -> dict:
     """Word offsets of each region in a packed slot.
 
     Layout (all regions contiguous, per-region stream-major):
       xq    [B, XQ_WORDS] i32 — band shapes (mode-dependent packing)
+      silk  [B, silk_words] i32 — SILK PCM, int16 pairs at 48 kHz
+                                  (mixed-mode slots only; 0 words otherwise)
       ble   [B, 2, 21] f32   — band log-energies
       meta  [B, 16]   int32  — silence/short/lm/ch/start/end/pf periods+tapsets
       gains [B, 3]    f32    — prefilter gains
     """
     o0 = 0
-    o1 = o0 + batch * XQ_WORDS[mode]
+    os_ = o0 + batch * XQ_WORDS[mode]
+    o1 = os_ + batch * silk_words
     o2 = o1 + batch * 42
     o3 = o2 + batch * 16
-    return {"xq": o0, "ble": o1, "meta": o2, "gains": o3, "end": o3 + batch * 3}
+    return {"xq": o0, "silk": os_, "ble": o1, "meta": o2, "gains": o3,
+            "end": o3 + batch * 3}
 
 
 def _unpack_pw(words_u32, batch: int, n: int, w_bits: int):
@@ -475,7 +479,7 @@ def _unpack_pw(words_u32, batch: int, n: int, w_bits: int):
 
 def make_serving_step(lm: int, batch: int, channels: int = 2, downsample: int = 1,
                       pf_chunk: int = _CHUNK, pf_active: bool = True,
-                      transfer: str = "q14"):
+                      transfer: str = "q14", silk_mix: bool = False):
     """Single-dispatch serving step over one packed plane-A buffer.
 
     step(state, ring, buf) -> (state, ring, digest[2]); jitted with
@@ -489,11 +493,13 @@ def make_serving_step(lm: int, batch: int, channels: int = 2, downsample: int = 
     """
     n = (1 << lm) * modes.SHORT_MDCT_SIZE
     half = OVERLAP // 2
-    off = packed_offsets(batch, transfer)
+    assert not (silk_mix and downsample != 1), "mixed serving mixes at 48 kHz"
+    silk_words = (n * channels + 1) // 2 if silk_mix else 0
+    off = packed_offsets(batch, transfer, silk_words)
     e_bands = jnp.asarray(modes.E_BANDS, jnp.int32)
 
     def unpack(buf):
-        xq_w = buf[off["xq"] : off["ble"]]
+        xq_w = buf[off["xq"] : off["silk"]]
         if transfer in PACK_BITS:
             w_bits = PACK_BITS[transfer]
             xs = _unpack_pw(
@@ -516,10 +522,17 @@ def make_serving_step(lm: int, batch: int, channels: int = 2, downsample: int = 
         gains = jax.lax.bitcast_convert_type(
             buf[off["gains"] : off["end"]], jnp.float32
         ).reshape(batch, 3)
-        return xs, ble, meta, gains
+        silk = None
+        if silk_mix:
+            silk = jax.lax.bitcast_convert_type(
+                buf[off["silk"] : off["ble"]].reshape(batch, silk_words), jnp.int16
+            ).reshape(batch, 2 * silk_words)[:, : n * channels].reshape(
+                batch, n, channels
+            )
+        return xs, ble, meta, gains, silk
 
     def step(state: SynthState, ring, buf):
-        xs, ble, meta, gains = unpack(buf)
+        xs, ble, meta, gains, silk = unpack(buf)
         silence = meta[:, 0] != 0
         short = meta[:, 1] != 0
         mono = meta[:, 3] == 1
@@ -571,6 +584,9 @@ def make_serving_step(lm: int, batch: int, channels: int = 2, downsample: int = 
             axis=-1,
         )
         pcm_out = jnp.transpose(pcm, (0, 2, 1)).astype(jnp.float32)
+        if silk_mix:
+            # decoder.rs:722-729: out = celt + silk/32768 in the time domain.
+            pcm_out = pcm_out + silk.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
         digest = jnp.stack([pcm_out[0, 0, 0], pcm_out[-1, -1, -1]])
         return SynthState(mem=new_mem, preemph=new_preemph), pcm_out, digest
 

@@ -1723,6 +1723,12 @@ static void pack_pw_channel(const float* x, int n, int lm, int W, int32_t* dst,
     if (nbits) dst[wi++] = (int32_t)(uint32_t)cur;
 }
 
+// Exported for the mixed-mode (opus_frontend.cpp) packed batch path.
+void celt_fe_pack_pw(const float* x, int n, int lm, int W, int32_t* dst,
+                     float* ble_row) {
+    pack_pw_channel(x, n, lm, W, dst, ble_row);
+}
+
 int celt_fe_decode_batch_packed(void** handles, const uint8_t* data, const int32_t* lens,
                                 int n_packets, int frame_size48, const int32_t* stream_channels,
                                 int mant_bits,

@@ -21,6 +21,7 @@
 
 extern "C" {
 // celt_frontend.cpp
+void celt_fe_pack_pw(const float* x, int n, int lm, int W, int32_t* dst, float* ble_row);
 void* celt_fe_create(int channels, int downsample);
 void celt_fe_destroy(void* h);
 void celt_fe_config(void* h, int start_band, int end_band, int disable_inv);
@@ -140,6 +141,56 @@ int opus_fe_decode(void* h, const uint8_t* payload, int len, int mode, int bw,
     }
     *final_range = dec.rng;
     return 0;
+}
+
+// Packed batch entry for the single-upload mixed serving loop: CELT
+// band shapes bit-packed to `mant_bits` (see celt_fe_pack_pw; per-band
+// exponents folded into ble), SILK PCM as int16 at 48 kHz.  Only valid
+// for frame48 <= 960 (longer SILK-only frames skip the device step).
+// xq_stride/silk_stride in their element types; rows for modes that do
+// not use a plane are zeroed so recycled slots stay deterministic.
+int opus_fe_decode_batch_packed(void** handles, const uint8_t* data, const int32_t* lens,
+                                int n, const int32_t* modes, const int32_t* bws,
+                                int frame48, const int32_t* schs, int mant_bits,
+                                int32_t* xq_out, int64_t xq_stride,
+                                int16_t* silk48_out, int64_t silk_stride,
+                                float* ble_out, int32_t* meta_out, float* gains_out,
+                                uint32_t* ranges, int32_t* rcs) {
+    std::vector<int64_t> offs(n + 1, 0);
+    for (int i = 0; i < n; i++) offs[i + 1] = offs[i] + lens[i];
+    int bad = 0;
+#pragma omp parallel
+    {
+        std::vector<float> xbuf(2 * 960);
+#pragma omp for schedule(dynamic, 8)
+        for (int i = 0; i < n; i++) {
+            float* ble = ble_out + i * 2 * 21;
+            int32_t* meta = meta_out + i * 16;
+            int rc = opus_fe_decode(handles[i], data + offs[i], lens[i], modes[i], bws[i],
+                                    frame48, schs[i], xbuf.data(), ble, meta,
+                                    gains_out + i * 3,
+                                    silk48_out + (int64_t)i * silk_stride, &ranges[i]);
+            rcs[i] = rc;
+            if (rc != 0) {
+#pragma omp critical
+                bad = i + 1;
+            } else {
+                int32_t* dst = xq_out + (int64_t)i * xq_stride;
+                if (modes[i] == MODE_SILK) {
+                    std::memset(dst, 0, (size_t)xq_stride * sizeof(int32_t));
+                    std::memset(ble, 0, 2 * 21 * sizeof(float));
+                } else {
+                    int lm = meta[2];
+                    int c_ = meta[3];
+                    int nn = 120 << lm;
+                    for (int c = 0; c < c_; c++)
+                        celt_fe_pack_pw(xbuf.data() + c * nn, nn, lm, mant_bits,
+                                        dst + c * (xq_stride / 2), ble + c * 21);
+                }
+            }
+        }
+    }
+    return bad ? -bad : n;
 }
 
 // Batch entry: one call decodes every stream (OpenMP across streams).

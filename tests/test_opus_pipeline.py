@@ -104,3 +104,40 @@ def test_pipelined_mixed_runs():
         r = [np.asarray(refs[b].decode_float(all_pkts[f][b], FRAME)).reshape(FRAME, 2) for b in range(2)]
     for b in range(2):
         assert float(np.abs(last[b] - r[b]).max()) < 2e-5, b
+
+
+def test_mixed_serve_matches_run_pipelined():
+    """Packed single-upload mixed serve() == run_pipelined (p10 precision
+    class), including SILK-only / hybrid / CELT rows, state carry across
+    steps, final_range parity, and the RFC 8251 quality gate."""
+    from opus_tpu.batch.opus_pipeline import BatchedOpusDecoder
+    from opus_tpu.conformance import PASS_QUALITY, compare
+
+    FRAME, NF = 960, 5
+    voice, music = _signals(FRAME * NF)
+    voice2 = np.stack([voice, np.roll(voice, 13) * 0.7], -1)
+    music2 = np.stack([music, np.roll(music, 7) * 0.8], -1)
+    cases = [
+        ("celt stereo", _enc(oracle.MODE_CELT_ONLY, 96000, 2), music2),
+        ("silk wb mono", _enc(oracle.MODE_SILK_ONLY, 24000, 1, 1103), voice[:, None]),
+        ("hybrid stereo", _enc(oracle.MODE_HYBRID, 64000, 2), voice2),
+        ("silk wb stereo", _enc(oracle.MODE_SILK_ONLY, 40000, 2, 1103), voice2),
+    ]
+    B = len(cases)
+    batches = []
+    for f in range(NF):
+        batches.append([
+            enc.encode_float(
+                np.ascontiguousarray(sig[f * FRAME : (f + 1) * FRAME]).ravel(), FRAME
+            )
+            for (_, enc, sig) in cases
+        ])
+    ref = BatchedOpusDecoder(B, 2)
+    outs = [np.asarray(ref.run_pipelined([b])) for b in batches]
+    srv = BatchedOpusDecoder(B, 2)
+    srv.serve(batches)
+    got = np.asarray(srv._serve_ring)
+    assert srv.final_ranges() == ref.final_ranges()
+    assert float(np.abs(got - outs[-1]).max()) < 2e-3
+    for b in range(B):
+        assert compare(outs[-1][b], got[b]) >= PASS_QUALITY, b
