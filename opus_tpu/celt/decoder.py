@@ -109,6 +109,11 @@ class CeltDecoder:
         self.loss_count = 0
         self.skip_plc = False
         self.last_pitch_index = 0
+        # The noise/fold LCG seed is part of the reset region in libopus
+        # (celt_decoder.c DECODER_RESET_START begins at `rng`): after a
+        # mode-switch reset the first frame's folded bands must draw from
+        # seed 0, not the carried range state.
+        self.rng = 0
 
     # -- helpers -----------------------------------------------------------
 

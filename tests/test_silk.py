@@ -143,7 +143,11 @@ def test_mode_transitions():
         err = float(np.abs(m - r).max())
         if err >= 2e-5:
             n_loose += 1
-            assert err < 5e-3, f"frame {f}: transition err {err}"
+            # Was 5e-3 before the mode-switch noise-seed fix (CeltDecoder
+            # .reset now zeroes rng like libopus DECODER_RESET_START, so
+            # folded bands in the first post-switch frame draw identical
+            # noise); remaining slack covers PLC-based transition fades.
+            assert err < 1e-3, f"frame {f}: transition err {err}"
     assert n_loose <= 6  # only the frames at mode switches may deviate
 
 
