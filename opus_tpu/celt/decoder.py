@@ -99,14 +99,19 @@ class CeltDecoder:
         self.old_band_e = np.zeros((2, modes.NB_E_BANDS), dtype=np.float32)
         self.old_log_e = np.full((2, modes.NB_E_BANDS), -28.0, dtype=np.float32)
         self.old_log_e2 = np.full((2, modes.NB_E_BANDS), -28.0, dtype=np.float32)
-        self.background_log_e = np.full((2, modes.NB_E_BANDS), -28.0, dtype=np.float32)
+        # libopus inits backgroundLogE to 0 (cleared memory), NOT -28: the
+        # tracker falls instantly (MIN with oldBandE) but rises at only
+        # 2.4 dB/s, so this init is the concealment noise floor for bands
+        # that stayed loud since reset.  With -28 the deep-loss regime
+        # decayed ~0.5 log2/frame below libopus's floored trajectory.
+        self.background_log_e = np.zeros((2, modes.NB_E_BANDS), dtype=np.float32)
         self.postfilter_period = 0
         self.postfilter_period_old = 0
         self.postfilter_gain = 0.0
         self.postfilter_gain_old = 0.0
         self.postfilter_tapset = 0
         self.postfilter_tapset_old = 0
-        self.loss_count = 0
+        self.loss_duration = 0  # lost time in 2.5 ms units (libopus 1.3)
         self.skip_plc = False
         self.last_pitch_index = 0
         # The noise/fold LCG seed is part of the reset region in libopus
@@ -174,7 +179,7 @@ class CeltDecoder:
         if len(data) > 1275:
             raise BadArguments("frame too large")
 
-        self.skip_plc = self.loss_count != 0
+        self.skip_plc = self.loss_duration != 0
         if dec is None:
             dec = RangeDecoder(data)
         frame_bytes = dec.storage
@@ -325,7 +330,7 @@ class CeltDecoder:
             self._rotate_postfilter(lm, postfilter_pitch, postfilter_gain, postfilter_tapset)
             self._update_energy_history(is_transient, old_band_e, m, start, end, c_)
             self.rng = dec.rng
-            self.loss_count = 0
+            self.loss_duration = 0
             if dec.tell() > 8 * frame_bytes:
                 raise InternalError("bit budget overrun")
             if dec.error:
@@ -379,7 +384,7 @@ class CeltDecoder:
         self.rng = dec.rng
 
         self._deemphasis(out_syn, pcm, n)
-        self.loss_count = 0
+        self.loss_duration = 0
         if dec.tell() > 8 * frame_bytes:
             raise InternalError("bit budget overrun")
         if dec.error:
@@ -405,7 +410,10 @@ class CeltDecoder:
         if not is_transient:
             self.old_log_e2[:, :] = self.old_log_e
             self.old_log_e[:, :] = old_band_e
-            max_inc = m * 0.001 if self.loss_count < 10 else 1.0
+            # Noise floor rises <= 2.4 dB/s normally; after a loss burst the
+            # first update may jump by the whole missed span (libopus 1.3:
+            # IMIN(160, loss_duration + M) * 0.001 in log2 units).
+            max_inc = min(160, self.loss_duration + m) * 0.001
             np.minimum(self.background_log_e + max_inc, self.old_log_e, out=self.background_log_e)
         else:
             np.minimum(self.old_log_e, old_band_e, out=self.old_log_e)

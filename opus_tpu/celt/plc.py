@@ -194,12 +194,15 @@ def decode_lost(dec, n: int, lm: int) -> None:
     cc = dec.channels
     ov = modes.OVERLAP
     start, end = dec.start_band, dec.end_band
-    loss_count = dec.loss_count
-    noise_based = loss_count >= 5 or start != 0 or dec.skip_plc
+    # libopus 1.3 tracks losses in 2.5 ms units (loss_duration += 1<<LM
+    # per concealed frame, celt_decoder.c celt_decode_lost); the noise
+    # regime starts at 100 ms regardless of frame size.
+    loss_duration = dec.loss_duration
+    noise_based = loss_duration >= 40 or start != 0 or dec.skip_plc
 
     if noise_based:
         eff_end = max(start, min(end, modes.EFF_E_BANDS))
-        decay = 1.5 if loss_count == 0 else 0.5
+        decay = 1.5 if loss_duration == 0 else 0.5
         for c in range(cc):
             dec.old_band_e[c, start:end] = np.maximum(
                 dec.background_log_e[c, start:end], dec.old_band_e[c, start:end] - decay
@@ -229,7 +232,7 @@ def decode_lost(dec, n: int, lm: int) -> None:
     else:
         window = modes.WINDOW.astype(np.float64)
         fade = 1.0
-        if loss_count == 0:
+        if loss_duration == 0:
             dec.last_pitch_index = plc_pitch_search(dec.decode_mem[:, :DECODE_BUFFER_SIZE])
             pitch_index = dec.last_pitch_index
         else:
@@ -244,7 +247,7 @@ def decode_lost(dec, n: int, lm: int) -> None:
             ].copy()
             exc = full_exc[LPC_ORDER:]  # MAX_PERIOD samples
 
-            if loss_count == 0:
+            if loss_duration == 0:
                 ac = celt_autocorr(exc, LPC_ORDER, window, modes.OVERLAP)
                 ac[0] *= 1.0001  # -40 dB noise floor
                 for i in range(1, LPC_ORDER + 1):
@@ -317,7 +320,7 @@ def decode_lost(dec, n: int, lm: int) -> None:
                     window[i] * etmp[ov - 1 - i] + window[ov - 1 - i] * etmp[i]
                 )
 
-    dec.loss_count = loss_count + 1
+    dec.loss_duration = min(10000, loss_duration + (1 << lm))
 
 
 # ---------------------------------------------------------------------------

@@ -1318,7 +1318,12 @@ struct FrontEnd {
             for (int j = 0; j < NB_E_BANDS; j++) {
                 old_log_e[c][j] = -28.0f;
                 old_log_e2[c][j] = -28.0f;
-                background_log_e[c][j] = -28.0f;
+                // libopus clears backgroundLogE to 0 (not -28): the noise
+                // floor tracker falls instantly but rises at 2.4 dB/s, so
+                // the init value is the FIRST frames' concealment floor.
+                // Verified sample-exact against libopus 1.3.1 deep-loss
+                // concealment (tests/test_celt_decoder.py PLC suite).
+                background_log_e[c][j] = 0.0f;
             }
         postfilter_period = postfilter_period_old = 0;
         postfilter_gain = postfilter_gain_old = 0.0;

@@ -131,3 +131,30 @@ def test_replay_reencodes_real_frames():
         # Raw-bit tail and final range byte may legitimately differ in the
         # last byte only.
         assert out[:-1] == body[:-1], f
+
+
+def test_celt_plc_deep_loss_matches_libopus():
+    """CELT concealment through a 10-frame loss burst: the pitch-LPC
+    regime (losses 1-5) and the deep-loss noise regime (>= 100 ms,
+    energies decaying to the backgroundLogE floor) must both track
+    libopus 1.3.1 sample-accurately, including recovery frames.
+    Regression for two round-2 fixes: loss accounting in 2.5 ms units
+    and backgroundLogE initialised to 0 (cleared memory), not -28."""
+    import opus_tpu
+    from opus_tpu import Channels, DecoderConfiguration, SamplingRate
+
+    frame, nf = 960, 24
+    t = np.arange(frame * nf) / 48000
+    sig = (0.5 * np.sin(2 * np.pi * 440 * t) + 0.2 * np.sin(2 * np.pi * 880 * t)).astype(np.float32)
+    enc = oracle.Encoder(48000, 1)
+    enc.ctl(oracle.SET_FORCE_MODE, oracle.MODE_CELT_ONLY)
+    enc.ctl(oracle.SET_BITRATE, 64000)
+    ref = oracle.Decoder(48000, 1)
+    mine = opus_tpu.Decoder(DecoderConfiguration(SamplingRate.HZ_48000, Channels.MONO))
+    lose = set(range(8, 18))
+    for f in range(nf):
+        pkt = enc.encode_float(sig[f * frame : (f + 1) * frame], frame)
+        args = (None, frame) if f in lose else (pkt, frame)
+        r = np.asarray(ref.decode_float(*args)).reshape(-1)
+        m = mine.decode_float(*args).reshape(-1)
+        assert float(np.abs(m - r).max()) < 2e-4, f"frame {f} (lost={f in lose})"
