@@ -297,6 +297,13 @@ class SilkEncoder:
     pulses) to a RangeEncoder.
     """
 
+    #: NLSF-interpolation selection bias: index 4 (no interpolation) wins
+    #: unless the interpolated first-half residual beats it by this
+    #: factor.  Voiced frames are more conservative because the LTP taps
+    #: were searched against the end-of-frame LPC residual.
+    UNVOICED_INTERP_BIAS = 0.98
+    VOICED_INTERP_BIAS = 0.97
+
     def __init__(self, fs_khz: int):
         self.fs_khz = fs_khz
         self.nb_subfr = 4
@@ -570,14 +577,25 @@ class SilkEncoder:
                 ltp_scale = int(T.LTP_SCALES_TABLE_Q14[0]) / 16384.0
 
         # ---- NLSF interpolation (RFC 6716 4.2.7.5.5) ---------------------
-        # 20 ms UNVOICED frames only: the candidate a0 replays the
-        # decoder's INTEGER interpolation of the dequantised NLSFs, so the
-        # encoder's model stays coefficient-exact with the decoder.
-        # (Voiced frames keep index 4: the decoder's k==2 LTP re-whitening
-        # under interpolation is not modelled by the closed-loop search.)
-        if nsf == 4 and signal_type != 2 and self.prev_dec_nlsf is not None:
+        # 20 ms frames: the candidate a0 replays the decoder's INTEGER
+        # interpolation of the dequantised NLSFs, so the encoder's model
+        # stays coefficient-exact with the decoder.  Voiced frames model
+        # the decoder's k==0/k==2 LTP re-whitening in the closed-loop
+        # quantiser below (silk/decoder.py:321-341), so they may
+        # interpolate too; the stronger bias keeps index 4 unless the
+        # first-half envelope clearly moved (the LTP taps were searched
+        # against the end-of-frame LPC residual).
+        if nsf == 4 and self.prev_dec_nlsf is not None:
             half = flen // 2
             best = None
+            # Voiced interpolation is disabled on CBR retries (shrunken
+            # headroom): a worse first-half LPC there can tip the frame
+            # into the budget-degradation ladder, costing far more than
+            # interpolation saves.
+            if signal_type != 2:
+                bias = self.UNVOICED_INTERP_BIAS
+            else:
+                bias = self.VOICED_INTERP_BIAS if headroom >= 1.5 else -1e30
             for idx in range(5):
                 if idx < 4:
                     nl0 = [int(self.prev_dec_nlsf[j])
@@ -590,7 +608,7 @@ class SilkEncoder:
                 for i in range(half):
                     pred = float(np.dot(cand, ext[order + i - 1 :: -1][:order]))
                     e += (xf[i] - pred) ** 2
-                score = e if idx < 4 else e * 0.98  # slight bias to 4
+                score = e if idx < 4 else e * bias  # bias toward 4
                 if best is None or score < best[0]:
                     best = (score, idx, cand)
             _, interp_q2, af0 = best
@@ -667,10 +685,15 @@ class SilkEncoder:
         head_len = 18 * self.fs_khz + 2
         P = np.zeros(head_len + flen)
         if signal_type == 2:
+            # Decoder k==0 re-whitening (silk/decoder.py:321-341): the LTP
+            # state is the output history filtered by the FIRST subframe's
+            # LPC — the interpolated a0 when interp_q2 < 4 — and scaled by
+            # ltp_scale.
+            a_head = af0 if interp_q2 < 4 else af
             hist = np.concatenate([np.zeros(order), self.xq_buf])
             white = np.empty(len(self.xq_buf))
             for i in range(len(self.xq_buf)):
-                white[i] = hist[order + i] - float(np.dot(af, hist[order + i - 1 :: -1][:order]))
+                white[i] = hist[order + i] - float(np.dot(a_head, hist[order + i - 1 :: -1][:order]))
             P[:head_len] = white[-head_len:] * ltp_scale
         # Noise shaping (the role of libopus's NSQ shaping filter): the
         # coding-noise spectrum becomes E(z)*A(z/g1)/A(z/g2) with g2 > g1,
@@ -689,6 +712,20 @@ class SilkEncoder:
             rand_seed = silk_rand(rand_seed)
             flip = -1 if rand_seed < 0 else 1
             k = i // sub
+            if (signal_type == 2 and interp_q2 < 4 and nsf == 4
+                    and i == 2 * sub):
+                # Decoder k==2 re-whitening under NLSF interpolation
+                # (silk/decoder.py:326-331): the LTP state window is
+                # replaced by the decoded OUTPUT (history + this frame's
+                # first half) filtered with the second-half LPC, no
+                # ltp_scale.
+                w_len = min(head_len + i, int(sub_lags[2]) + 2 + 4 + order)
+                full = np.concatenate([self.xq_buf, xq_ext[order : order + i]])
+                for t in range(w_len - order):
+                    gpos = len(full) - (w_len - order) + t
+                    P[head_len + i - (w_len - order) + t] = full[gpos] - float(
+                        np.dot(af, full[gpos - order : gpos][::-1])
+                    )
             g = max(gains_q16[k], 1)
             a_i = af0 if (interp_q2 < 4 and k < nsf // 2) else af
             pred = float(np.dot(a_i, xq_ext[order + i - 1 :: -1][:order]))
