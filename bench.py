@@ -17,21 +17,71 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 
 import numpy as np
 
+#: Results accumulated so far — the watchdog emits these if a transport
+#: stall wedges a measurement past the hard deadline, so the driver
+#: always gets its one JSON line.
+_PARTIAL: dict = {}
+
+
+_T0 = time.perf_counter()
+#: Soft wall-clock budget: the transport can stall for tens of seconds,
+#: so optional sections are skipped once the budget is spent and rep
+#: counts shrink as the deadline nears.  The headline always runs.
+_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "420"))
+
+
+def _left() -> float:
+    return _BUDGET_S - (time.perf_counter() - _T0)
+
 
 def _best(fn, n=3):
     best = float("inf")
-    for _ in range(n):
+    for i in range(n):
         t0 = time.perf_counter()
         fn()
         best = min(best, time.perf_counter() - t0)
+        if i >= 1 and _left() < 60:
+            break
     return best
 
 
+def _watchdog() -> None:
+    """Hard deadline: if a transport call stalls past the budget +
+    grace, print whatever was measured and exit 0.  While no headline
+    exists yet (e.g. the jit warm-up itself is wedged), keep extending
+    in 60 s steps so a late-arriving first measurement still lands."""
+
+    def fire():
+        deadline = _BUDGET_S + 90.0
+        extensions = 8
+        while True:
+            time.sleep(max(1.0, deadline - (time.perf_counter() - _T0)))
+            if _PARTIAL.get("done"):
+                return
+            if "value" in _PARTIAL or extensions == 0:
+                break
+            deadline += 60.0
+            extensions -= 1
+        out = {
+            "metric": "audio_sec_decoded_per_sec_per_chip",
+            "value": _PARTIAL.get("value", 0.0),
+            "unit": "audio-sec/s end-to-end served (PARTIAL: transport stalled past budget)",
+            "vs_baseline": round(_PARTIAL.get("value", 0.0) / 5000.0, 3),
+        }
+        out.update(_PARTIAL.get("extras", {}))
+        print(json.dumps(out), flush=True)
+        os._exit(0)
+
+    threading.Thread(target=fire, daemon=True).start()
+
+
 def main() -> None:
+    _watchdog()
     from opus_tpu import oracle, parse_packet
     from opus_tpu.batch.pipeline import BatchedCeltDecoder
 
@@ -61,16 +111,24 @@ def main() -> None:
     libopus_rate = nref * 0.02 / el
 
     # --- headline: packed serving loop end-to-end ---------------------------
-    # One upload + one execute per step (packed Q14 slot, donated state +
-    # PCM ring, plane A overlapped in a second thread), true-synced by
-    # fetching the step digest. Best-of-8: the host core AND the
+    # One upload + one execute per step (packed 10-bit slot, donated state
+    # + PCM ring, plane A overlapped in a second thread), true-synced by
+    # fetching the step digest. Best-of-N: the host core AND the
     # host<->device link are shared with other tenants and vary >3x
-    # run-to-run (including multi-second transport stalls); the minimum
-    # is the achievable steady-state rate.
+    # run-to-run (including multi-second transport stalls); the minimum is
+    # the achievable steady-state rate, so the headline gets the largest
+    # share of the wall-clock budget.
     front = BatchedCeltDecoder(BATCH, 2, use_native=True, transfer="p10")
     front.serve(batches[:2], FRAME)  # warm jit + buffers
-    el = _best(lambda: front.serve(batches, FRAME), 8)
-    e2e_rate = STEPS * BATCH * 0.02 / el
+    best = float("inf")
+    for _ in range(12):
+        t0 = time.perf_counter()
+        front.serve(batches, FRAME)
+        best = min(best, time.perf_counter() - t0)
+        _PARTIAL["value"] = round(STEPS * BATCH * 0.02 / best, 1)
+        if _left() < max(150.0, _BUDGET_S * 0.4):
+            break
+    e2e_rate = STEPS * BATCH * 0.02 / best
 
     # --- plane A alone (native C++ symbol decode, this host's cores) --------
     slots = front.native.alloc_packed_slots(2, "p10")
@@ -78,6 +136,10 @@ def main() -> None:
         lambda: front.native.decode_batch_q15_into(batches[0], FRAME, slots[0]), 5
     )
     host_rate = BATCH * 0.02 / host_elapsed
+    _PARTIAL["extras"] = {
+        "host_plane_native_audio_sec_per_sec_per_core": round(host_rate, 1),
+        "libopus_full_decode_audio_sec_per_sec_per_core_same_host": round(libopus_rate, 1),
+    }
 
     # --- plane B alone: batched synthesis step throughput -------------------
     # Chained executes with args resident on device, ONE true sync at the
@@ -111,6 +173,8 @@ def main() -> None:
     # --- mixed traffic: CELT + SILK + hybrid in one batch (configs[1]/[2]) --
     mixed_rate = 0.0
     try:
+        if _left() < 120:
+            raise TimeoutError("budget spent; skipping mixed section")
         from opus_tpu.batch.opus_pipeline import BatchedOpusDecoder
 
         ph = np.cumsum(2 * np.pi * (130 + 25 * np.sin(2 * np.pi * 2.5 * t)) / 48000.0)
@@ -146,6 +210,8 @@ def main() -> None:
     # --- device-plane scaling (throughput-bound regime) ---------------------
     device_rate_8k = 0.0
     try:
+        if _left() < 90:
+            raise TimeoutError("budget spent; skipping 8192-stream section")
         from opus_tpu.dsp.synthesis import make_serving_step, packed_offsets
 
         B8 = 8192
@@ -191,6 +257,7 @@ def main() -> None:
         "speedup_vs_libopus_same_host": round(e2e_rate / libopus_rate, 2),
         "realtime_factor_per_chip": round(e2e_rate, 1),
     }
+    _PARTIAL["done"] = True
     print(json.dumps(result))
 
 
