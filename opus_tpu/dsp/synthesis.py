@@ -39,6 +39,29 @@ OVERLAP = modes.OVERLAP
 _CHUNK = 12
 
 
+def _maybe_checkify(fn, donate=()):
+    """Opt-in device-kernel sanitizer (SURVEY.md §5 'race detection /
+    sanitizers' row): with OPUS_TPU_CHECKIFY=1, every jitted step is
+    wrapped in jax.experimental.checkify float checks, so a NaN/Inf
+    produced anywhere inside the synthesis kernels raises at the call
+    site instead of flowing into PCM.  Off by default — the checks add
+    device work and disable buffer donation."""
+    import os
+
+    if os.environ.get("OPUS_TPU_CHECKIFY", "0") != "1":
+        return jax.jit(fn, donate_argnums=donate)
+    from jax.experimental import checkify
+
+    checked = jax.jit(checkify.checkify(fn, errors=checkify.float_checks))
+
+    def wrapper(*args):
+        err, out = checked(*args)
+        checkify.check_error(err)
+        return out
+
+    return wrapper
+
+
 class SynthState(NamedTuple):
     """Per-stream synthesis state (a pytree; leading axes [B, C])."""
 
@@ -363,7 +386,7 @@ def make_synthesis_step(lm: int, short_blocks: bool, channels: int = 2, downsamp
 
     # No buffer donation: a mixed transient/long batch runs two variants
     # against the same input state.
-    return jax.jit(step)
+    return _maybe_checkify(step)
 
 
 def make_pipeline_step(lm: int, short_blocks: bool, channels: int = 2, downsample: int = 1,
@@ -396,7 +419,7 @@ def make_pipeline_step(lm: int, short_blocks: bool, channels: int = 2, downsampl
             le = band_log_e2[:, :1]
         return inner(state, x, le, bound, pf_periods, pf_gains, pf_tapsets)
 
-    return jax.jit(step)
+    return _maybe_checkify(step)
 
 
 # --- packed serving step -----------------------------------------------
@@ -590,7 +613,7 @@ def make_serving_step(lm: int, batch: int, channels: int = 2, downsample: int = 
         digest = jnp.stack([pcm_out[0, 0, 0], pcm_out[-1, -1, -1]])
         return SynthState(mem=new_mem, preemph=new_preemph), pcm_out, digest
 
-    return jax.jit(step, donate_argnums=(0, 1))
+    return _maybe_checkify(step, donate=(0, 1))
 
 
 def make_opus_step(lm: int, short_blocks: bool, channels: int = 2, downsample: int = 1):
@@ -609,4 +632,4 @@ def make_opus_step(lm: int, short_blocks: bool, channels: int = 2, downsample: i
         silk = silk48[:, : (n // downsample) * channels].reshape(-1, n // downsample, channels)
         return state, pcm + silk.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
 
-    return jax.jit(step)
+    return _maybe_checkify(step)

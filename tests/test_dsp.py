@@ -93,3 +93,44 @@ def test_dryrun_multichip_cpu_mesh():
     if len(jax.devices("cpu")) < 2:
         pytest.skip("needs >= 2 virtual CPU devices (xla_force_host_platform_device_count)")
     dryrun_multichip(2)
+
+
+@pytest.mark.skipif("OPUS_TPU_CHECKIFY_TEST" not in __import__("os").environ,
+                    reason="checkify-transforming the full step compiles ~6 min; "
+                           "set OPUS_TPU_CHECKIFY_TEST=1 to run")
+def test_checkify_sanitizer_catches_nan(monkeypatch):
+    """OPUS_TPU_CHECKIFY=1 wraps the jitted steps in checkify float
+    checks: a NaN injected into the device kernels raises instead of
+    flowing into PCM (SURVEY.md §5 sanitizer row).  Verified in CI tier
+    2 / manually (passes in ~6.5 min; the transform plumbs error state
+    through every fori_loop iteration, which is the compile cost)."""
+    monkeypatch.setenv("OPUS_TPU_CHECKIFY", "1")
+    step = S.make_synthesis_step(0, False, 1, 1)
+    state = S.init_state(1, 1)
+    x = jnp.full((1, 1, 120), jnp.nan, jnp.float32)
+    loge = jnp.zeros((1, 1, 21), jnp.float32)
+    with pytest.raises(Exception):
+        step(
+            state, x, loge, jnp.asarray([100], jnp.int32),
+            jnp.asarray([[15, 15, 15]], jnp.int32),
+            jnp.zeros((1, 3), jnp.float32), jnp.zeros((1, 3), jnp.int32),
+        )
+    # clean inputs pass through the checked path
+    step(
+        state, jnp.zeros((1, 1, 120), jnp.float32), loge,
+        jnp.asarray([100], jnp.int32), jnp.asarray([[15, 15, 15]], jnp.int32),
+        jnp.zeros((1, 3), jnp.float32), jnp.zeros((1, 3), jnp.int32),
+    )
+
+
+def test_checkify_wrapper_mechanics(monkeypatch):
+    """The _maybe_checkify gate itself: off -> plain jit (donation
+    honoured); on -> float checks raise on NaN for a small kernel."""
+    monkeypatch.setenv("OPUS_TPU_CHECKIFY", "1")
+    f = S._maybe_checkify(lambda x: jnp.log(x) * 2.0)
+    with pytest.raises(Exception):
+        f(jnp.asarray([-1.0], jnp.float32))  # log(-1) = NaN -> raises
+    assert float(f(jnp.asarray([1.0], jnp.float32))[0]) == 0.0
+    monkeypatch.setenv("OPUS_TPU_CHECKIFY", "0")
+    g = S._maybe_checkify(lambda x: x + 1.0)
+    assert float(g(jnp.asarray([1.0], jnp.float32))[0]) == 2.0
