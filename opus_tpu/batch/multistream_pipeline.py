@@ -92,6 +92,36 @@ class BatchedMultistreamDecoder:
         out = np.where(self.silent[None, :, None], 0.0, out)
         return np.swapaxes(out, 1, 2).copy()
 
+    def serve(self, batches: list[list[bytes]], frame_size: int) -> np.ndarray:
+        """Packed single-upload serving loop over multistream sessions:
+        each step splits every session's packet into its elementary
+        payloads and runs the (B*S)-stream batch through the CELT
+        serve() loop (one transfer + one execute).  Returns the final
+        step's un-mapped pcm [batch, frame_size, channels]."""
+        schs = None
+        elem_steps = []
+        for packets in batches:
+            payloads = []
+            sch = []
+            for pkt in packets:
+                subs = split_multistream_packet(pkt, self.streams)
+                for s, sub in enumerate(subs):
+                    payloads.append(sub)
+                    sch.append(2 if s < self.coupled else 1)
+            elem_steps.append(payloads)
+            if schs is None:
+                schs = np.array(sch, np.int32)
+        self.core.serve(elem_steps, frame_size, stream_channels=schs)
+        pcm = np.asarray(self.core._serve_ring)  # [B*S, n, 2]
+        B, S = self.batch, self.streams
+        pcm = pcm.reshape(B, S, frame_size, 2)
+        out = pcm[:, self.idx_stream, :, :]
+        out = np.take_along_axis(
+            out, self.idx_lr[None, :, None, None].repeat(B, 0).repeat(frame_size, 2), axis=3
+        )[..., 0]
+        out = np.where(self.silent[None, :, None], 0.0, out)
+        return np.swapaxes(out, 1, 2).copy()
+
     def _decode_elementary(self, payloads, schs, frame_size):
         core = self.core
         if core.use_native:

@@ -170,7 +170,8 @@ class BatchedCeltDecoder:
             )
         return self._steps[key]
 
-    def serve(self, batches: list[list[bytes]], frame_size: int, n_slots: int = 4):
+    def serve(self, batches: list[list[bytes]], frame_size: int, n_slots: int = 4,
+              stream_channels=None):
         """Serving loop tuned for a high-latency host<->device link.
 
         Per step: ONE host->device upload (a packed plane-A slot the native
@@ -235,7 +236,8 @@ class BatchedCeltDecoder:
         try:
             for packets in batches:
                 slot = free.get()
-                self.native.decode_batch_q15_into(packets, frame_size, slot)
+                self.native.decode_batch_q15_into(packets, frame_size, slot,
+                                                  stream_channels)
                 meta = slot["meta"]
                 lm = int(meta[0, 2])
                 if not (meta[:, 2] == lm).all():

@@ -90,6 +90,7 @@ def test_batched_multistream_vs_libopus():
     t = np.arange(frame * nf) / 48000
     rng = np.random.default_rng(5)
     bmd = BatchedMultistreamDecoder(B, ch, streams, coupled, mapping)
+    all_steps, all_refs = [], []
     for f in range(nf):
         pkts = []
         for b in range(B):
@@ -103,6 +104,15 @@ def test_batched_multistream_vs_libopus():
             r = np.asarray(refs[b].decode_float(pkts[b], frame)).reshape(frame, ch)
             assert frs[b] == refs[b].final_range
             assert float(np.abs(out[b] - r).max()) < 1e-5
+        all_steps.append(pkts)
+        all_refs.append(out)
+    # Packed single-upload multistream serve(): parity with decode_frames
+    # at the serving transfer precision over the same step sequence.
+    bmd2 = BatchedMultistreamDecoder(B, ch, streams, coupled, mapping)
+    bmd2.core.transfer = "p10"
+    got = bmd2.serve(all_steps, frame)
+    assert bmd2.final_ranges() == frs
+    assert float(np.abs(got - all_refs[-1]).max()) < 2e-3
 
 
 def test_native_silk_bit_exact():
