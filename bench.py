@@ -241,6 +241,26 @@ def main() -> None:
     except Exception:
         pass
 
+    # --- encoder (BASELINE configs[3]: CELT stereo music encode) ------------
+    encode_rate = 0.0
+    try:
+        if _left() < 45:
+            raise TimeoutError("budget spent; skipping encode section")
+        import opus_tpu.encoder as topenc
+        from opus_tpu.types import Channels as Ch, SamplingRate as SR
+
+        e = topenc.Encoder(topenc.EncoderConfiguration(SR(48000), Ch.STEREO, 96000,
+                                                       application="music"))
+        for f in range(2):
+            e.encode(pcm[f * FRAME : (f + 1) * FRAME])
+        n_enc = 8
+        t1 = time.perf_counter()
+        for f in range(n_enc):
+            e.encode(pcm[(f % NSRC) * FRAME : ((f % NSRC) + 1) * FRAME])
+        encode_rate = n_enc * 0.02 / (time.perf_counter() - t1)
+    except Exception:
+        pass
+
     cores = os.cpu_count() or 1
     result = {
         "metric": "audio_sec_decoded_per_sec_per_chip",
@@ -252,6 +272,7 @@ def main() -> None:
         "device_plane_8192_streams_audio_sec_per_sec": round(device_rate_8k, 1),
         "p50_step_ms": round(p50 * 1e3, 3),
         "host_plane_native_audio_sec_per_sec_per_core": round(host_rate, 1),
+        "celt_encode_audio_sec_per_sec_per_core": round(encode_rate, 2),
         "host_cores": cores,
         "libopus_full_decode_audio_sec_per_sec_per_core_same_host": round(libopus_rate, 1),
         "speedup_vs_libopus_same_host": round(e2e_rate / libopus_rate, 2),
