@@ -22,6 +22,10 @@ def build(verbose: bool = True) -> pathlib.Path:
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
         "-march=native", "-ffp-contract=fast", "-fno-fast-math", "-fopenmp",
         "-funroll-loops",
+        # errno-free libm calls: keeps IEEE semantics (ordering/rounding
+        # unchanged, unlike -ffast-math) but lets gcc vectorise lrintf in
+        # the bit-packers (measured 27% of plane A without it).
+        "-fno-math-errno",
         "-o", str(out), *map(str, srcs),
     ]
     if verbose:
