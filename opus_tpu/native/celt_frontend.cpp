@@ -1309,7 +1309,7 @@ struct FrontEnd {
     int postfilter_period, postfilter_period_old;
     double postfilter_gain, postfilter_gain_old;
     int postfilter_tapset, postfilter_tapset_old;
-    int loss_count;
+    int loss_duration;  // lost time in 2.5 ms units (libopus 1.3 semantics)
     bool error;
 
     void reset() {
@@ -1328,7 +1328,7 @@ struct FrontEnd {
         postfilter_period = postfilter_period_old = 0;
         postfilter_gain = postfilter_gain_old = 0.0;
         postfilter_tapset = postfilter_tapset_old = 0;
-        loss_count = 0;
+        loss_duration = 0;
         rng = 0;
         error = false;
     }
@@ -1509,7 +1509,10 @@ static int decode_frame_ec(FrontEnd& st, RangeDec& dec, int frame_bytes, int fra
     if (!is_transient) {
         std::memcpy(st.old_log_e2, st.old_log_e, sizeof(st.old_log_e2));
         std::memcpy(st.old_log_e, old_band_e, sizeof(st.old_log_e));
-        float max_inc = st.loss_count < 10 ? (float)m * 0.001f : 1.0f;
+        // libopus 1.3: IMIN(160, loss_duration + M) * 0.001 in log2 units
+        // (2.4 dB/s steady state; after a burst the first update may jump
+        // by the whole missed span).
+        float max_inc = (float)std::min(160, st.loss_duration + m) * 0.001f;
         for (int c = 0; c < 2; c++)
             for (int j = 0; j < NB_E_BANDS; j++)
                 st.background_log_e[c][j] =
@@ -1532,7 +1535,7 @@ static int decode_frame_ec(FrontEnd& st, RangeDec& dec, int frame_bytes, int fra
         }
     }
     st.rng = dec.rng;
-    st.loss_count = 0;
+    st.loss_duration = 0;
     if (dec.tell() > 8 * frame_bytes) return -2;
     st.error = dec.error;
     meta[12] = dec.error ? 1 : 0;
@@ -1547,6 +1550,65 @@ static int decode_frame(FrontEnd& st, const uint8_t* data, int len, int frame_si
     dec.init(data, len);
     return decode_frame_ec(st, dec, len, frame_size48, stream_channels, x_out,
                            band_log_e_out, meta, pf_gains);
+}
+
+// Serving-path loss concealment: the noise-based CELT PLC regime
+// (celt_decoder.c celt_decode_lost noise branch) as normal-looking
+// symbol planes — decayed band energies + per-band renormalised LCG
+// noise shapes — so the device synthesis step conceals with zero extra
+// code.  This is the regime libopus itself uses for hybrid streams
+// (start != 0) and for loss bursts >= 100 ms; the batched loop does not
+// run the pitch-LPC regime (it needs the decode memory, which lives on
+// device) — the scalar decoder remains the fully-conformant path.
+// Replays opus_tpu/celt/plc.py::decode_lost (noise branch) exactly.
+static int decode_lost_noise(FrontEnd& st, int frame_size48, float* x_out,
+                             float* band_log_e_out, int32_t* meta, double* pf_gains) {
+    int lm = -1;
+    for (int l = 0; l <= MAX_LM; l++)
+        if (SHORT_MDCT_SIZE << l == frame_size48) { lm = l; break; }
+    if (lm < 0) return -1;
+    int m = 1 << lm;
+    int n = m * SHORT_MDCT_SIZE;
+    int cc = st.channels;
+    int start = st.start_band, end = st.end_band;
+    int eff_end = std::max(start, std::min(end, (int)EFF_E_BANDS));
+
+    float decay = st.loss_duration == 0 ? 1.5f : 0.5f;
+    for (int c = 0; c < cc; c++)
+        for (int i = start; i < end; i++)
+            st.old_band_e[c][i] =
+                std::max(st.background_log_e[c][i], st.old_band_e[c][i] - decay);
+
+    uint32_t seed = st.rng;
+    std::memset(x_out, 0, (size_t)cc * n * sizeof(float));
+    for (int c = 0; c < cc; c++) {
+        for (int i = start; i < eff_end; i++) {
+            int boffs = n * c + (E_BANDS[i] << lm);
+            int blen = (E_BANDS[i + 1] - E_BANDS[i]) << lm;
+            for (int j = 0; j < blen; j++) {
+                seed = lcg_rand(seed);
+                x_out[boffs + j] = (float)((int32_t)seed >> 20);
+            }
+            renormalise_vector(x_out + boffs, blen, 1.0f);
+        }
+    }
+    st.rng = seed;
+
+    for (int c = 0; c < cc; c++)
+        for (int j = 0; j < NB_E_BANDS; j++)
+            band_log_e_out[c * NB_E_BANDS + j] = st.old_band_e[c][j];
+    meta[0] = 0;
+    meta[1] = 0;  // long blocks
+    meta[2] = lm;
+    meta[3] = cc;  // per-channel independent noise, like the scalar PLC
+    meta[4] = start;
+    meta[5] = eff_end;
+    meta[6] = meta[7] = meta[8] = MIN_PERIOD;
+    meta[9] = meta[10] = meta[11] = 0;
+    meta[12] = 0;
+    pf_gains[0] = pf_gains[1] = pf_gains[2] = 0.0;  // lost frames skip the comb
+    st.loss_duration = std::min(10000, st.loss_duration + m);
+    return 0;
 }
 
 }  // namespace
@@ -1656,9 +1718,14 @@ int celt_fe_decode_batch_f32(void** handles, const uint8_t* data, const int32_t*
 #pragma omp for schedule(dynamic, 8)
         for (int i = 0; i < n_packets; i++) {
             FrontEnd* st = (FrontEnd*)handles[i];
-            int rc = decode_frame(*st, data + offs[i], lens[i], frame_size48,
-                                  stream_channels[i], x_out + (int64_t)i * x_stride,
-                                  ble_out + i * 2 * NB_E_BANDS, meta_out + i * 16, g);
+            int rc = lens[i] > 0
+                         ? decode_frame(*st, data + offs[i], lens[i], frame_size48,
+                                        stream_channels[i], x_out + (int64_t)i * x_stride,
+                                        ble_out + i * 2 * NB_E_BANDS, meta_out + i * 16, g)
+                         : decode_lost_noise(*st, frame_size48,
+                                             x_out + (int64_t)i * x_stride,
+                                             ble_out + i * 2 * NB_E_BANDS,
+                                             meta_out + i * 16, g);
             if (rc != 0) {
 #pragma omp critical
                 bad = i + 1;
@@ -1750,9 +1817,12 @@ int celt_fe_decode_batch_packed(void** handles, const uint8_t* data, const int32
         for (int i = 0; i < n_packets; i++) {
             FrontEnd* st = (FrontEnd*)handles[i];
             float* ble = ble_out + i * 2 * NB_E_BANDS;
-            int rc = decode_frame(*st, data + offs[i], lens[i], frame_size48,
-                                  stream_channels[i], scratch.data(),
-                                  ble, meta_out + i * 16, g);
+            int rc = lens[i] > 0
+                         ? decode_frame(*st, data + offs[i], lens[i], frame_size48,
+                                        stream_channels[i], scratch.data(),
+                                        ble, meta_out + i * 16, g)
+                         : decode_lost_noise(*st, frame_size48, scratch.data(),
+                                             ble, meta_out + i * 16, g);
             if (rc != 0) {
 #pragma omp critical
                 bad = i + 1;
@@ -1795,9 +1865,13 @@ int celt_fe_decode_batch_q15(void** handles, const uint8_t* data, const int32_t*
 #pragma omp for schedule(dynamic, 8)
         for (int i = 0; i < n_packets; i++) {
             FrontEnd* st = (FrontEnd*)handles[i];
-            int rc = decode_frame(*st, data + offs[i], lens[i], frame_size48,
-                                  stream_channels[i], scratch.data(),
-                                  ble_out + i * 2 * NB_E_BANDS, meta_out + i * 16, g);
+            int rc = lens[i] > 0
+                         ? decode_frame(*st, data + offs[i], lens[i], frame_size48,
+                                        stream_channels[i], scratch.data(),
+                                        ble_out + i * 2 * NB_E_BANDS, meta_out + i * 16, g)
+                         : decode_lost_noise(*st, frame_size48, scratch.data(),
+                                             ble_out + i * 2 * NB_E_BANDS,
+                                             meta_out + i * 16, g);
             if (rc != 0) {
 #pragma omp critical
                 bad = i + 1;

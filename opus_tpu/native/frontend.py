@@ -212,8 +212,11 @@ class NativeBatchFrontEnd:
         """Returns (x[B, 2*960] f64 view sized per lm, ble[B,2,21] f32,
         meta[B,16] i32, gains[B,3] f64)."""
         B = self.batch
-        blob = b"".join(packets)
-        lens = np.array([len(p) for p in packets], dtype=np.int32)
+        # None entries are lost packets: the native engine conceals them
+        # with the noise-regime CELT PLC (see celt_frontend.cpp
+        # decode_lost_noise).
+        blob = b"".join(p or b"" for p in packets)
+        lens = np.array([0 if p is None else len(p) for p in packets], dtype=np.int32)
         sch = np.array([self.channels] * B, dtype=np.int32)
         n48 = frame_size * self.downsample
         x = np.zeros((B, 2 * 960), dtype=np.float64)
@@ -242,8 +245,11 @@ class NativeBatchFrontEnd:
         per-stream coded channel counts (multistream: coupled=2, mono=1).
         """
         B = self.batch
-        blob = b"".join(packets)
-        lens = np.array([len(p) for p in packets], dtype=np.int32)
+        # None entries are lost packets: the native engine conceals them
+        # with the noise-regime CELT PLC (see celt_frontend.cpp
+        # decode_lost_noise).
+        blob = b"".join(p or b"" for p in packets)
+        lens = np.array([0 if p is None else len(p) for p in packets], dtype=np.int32)
         if stream_channels is None:
             sch = np.array([self.channels] * B, dtype=np.int32)
         else:
@@ -301,8 +307,11 @@ class NativeBatchFrontEnd:
         """Packed-slot decode (alloc_packed_slots); dispatches on the
         slot's transfer mode (q14 int16 / p12 bit-packed)."""
         B = self.batch
-        blob = b"".join(packets)
-        lens = np.array([len(p) for p in packets], dtype=np.int32)
+        # None entries are lost packets: the native engine conceals them
+        # with the noise-regime CELT PLC (see celt_frontend.cpp
+        # decode_lost_noise).
+        blob = b"".join(p or b"" for p in packets)
+        lens = np.array([0 if p is None else len(p) for p in packets], dtype=np.int32)
         if stream_channels is None:
             sch = np.array([self.channels] * B, dtype=np.int32)
         else:
@@ -340,8 +349,11 @@ class NativeBatchFrontEnd:
         (half the host->device bytes; libopus-fixed precision class,
         RFC 8251-conformant — see celt_fe_decode_batch_q15)."""
         B = self.batch
-        blob = b"".join(packets)
-        lens = np.array([len(p) for p in packets], dtype=np.int32)
+        # None entries are lost packets: the native engine conceals them
+        # with the noise-regime CELT PLC (see celt_frontend.cpp
+        # decode_lost_noise).
+        blob = b"".join(p or b"" for p in packets)
+        lens = np.array([0 if p is None else len(p) for p in packets], dtype=np.int32)
         if stream_channels is None:
             sch = np.array([self.channels] * B, dtype=np.int32)
         else:

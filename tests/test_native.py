@@ -230,3 +230,45 @@ def test_serving_path_matches_decode_frames():
     ref2 = [ref.decode_frames(b, FRAME) for b in batches[:2]]
     srv.serve(batches[:2], FRAME)
     assert float(np.abs(np.asarray(srv._serve_ring) - ref2[-1]).max()) < 1e-6
+
+
+def test_serving_path_loss_concealment():
+    """Lost packets (None) in the packed serve loop conceal with the
+    noise-regime CELT PLC (celt_frontend.cpp decode_lost_noise): decayed
+    band energies + renormalised LCG shapes synthesised by the normal
+    device step.  Oracle: the scalar decoder with skip_plc forced (the
+    same regime libopus uses for hybrid streams and >=100 ms bursts);
+    the LCG evolution must match bit-exactly through the burst."""
+    import opus_tpu
+    from opus_tpu import Channels, DecoderConfiguration, SamplingRate
+    from opus_tpu.batch.pipeline import BatchedCeltDecoder
+
+    B, FRAME, NF = 4, 960, 10
+    enc = oracle.Encoder(48000, 2)
+    enc.ctl(oracle.SET_FORCE_MODE, oracle.MODE_CELT_ONLY)
+    enc.ctl(oracle.SET_BITRATE, 96000)
+    rng = np.random.default_rng(3)
+    t = np.arange(FRAME * NF) / 48000
+    sig = 0.4 * np.sin(2 * np.pi * 440 * t) + 0.1 * rng.standard_normal(t.size)
+    pcm = np.stack([sig, 0.8 * np.roll(sig, 7)], -1).astype(np.float32)
+    pkts = [enc.encode_float(pcm[f * FRAME : (f + 1) * FRAME].ravel(), FRAME) for f in range(NF)]
+    pls = [p[parse_packet(p).payload_offset :] for p in pkts]
+    lose = {3, 4, 5, 6}
+
+    mine = opus_tpu.Decoder(DecoderConfiguration(SamplingRate.HZ_48000, Channels.STEREO))
+    outs = []
+    for f in range(NF):
+        if f in lose:
+            mine.celt.skip_plc = True  # force the serving policy's regime
+            outs.append(mine.decode_float(None, FRAME))
+        else:
+            outs.append(mine.decode_float(pkts[f], FRAME))
+
+    srv = BatchedCeltDecoder(B, 2, use_native=True, transfer="p10")
+    if not srv.use_native:
+        pytest.skip("native engine not built")
+    for f in range(NF):
+        srv.serve([[None] * B if f in lose else [pls[f]] * B], FRAME)
+        got = np.asarray(srv._serve_ring)[0]
+        assert float(np.abs(got - outs[f]).max()) < 4e-3, f
+    assert srv.final_ranges()[0] == mine.celt.rng  # bit-exact LCG evolution
