@@ -272,3 +272,32 @@ def test_serving_path_loss_concealment():
         got = np.asarray(srv._serve_ring)[0]
         assert float(np.abs(got - outs[f]).max()) < 4e-3, f
     assert srv.final_ranges()[0] == mine.celt.rng  # bit-exact LCG evolution
+
+
+def test_native_batch_fuzz_robustness():
+    """Random-byte payloads through the native batch decode and the
+    packed serve loop (with interleaved losses) must either decode (the
+    range coder saturates on corrupt data, like libopus) or raise
+    ValueError with the stream index — never crash or hang."""
+    from opus_tpu.batch.pipeline import BatchedCeltDecoder
+
+    rng = np.random.default_rng(0)
+    B = 4
+    d = BatchedCeltDecoder(B, 2, use_native=True, transfer="p10")
+    if not d.use_native:
+        pytest.skip("native engine not built")
+    for _ in range(40):
+        n = int(rng.integers(2, 200))
+        payloads = [bytes(rng.integers(0, 256, n, dtype=np.uint8)) for _ in range(B)]
+        try:
+            d.decode_frames(payloads, 960)
+        except ValueError:
+            pass
+    for _ in range(8):
+        n = int(rng.integers(2, 100))
+        payloads = [None if rng.random() < 0.3
+                    else bytes(rng.integers(0, 256, n, dtype=np.uint8)) for _ in range(B)]
+        try:
+            d.serve([payloads], 960)
+        except ValueError:
+            pass
