@@ -150,9 +150,7 @@ def main() -> None:
     from opus_tpu.dsp.synthesis import init_state, pf_chunk_for
 
     lm = int(slots[0]["meta"][0, 2])
-    pf_chunk, pf_active = pf_chunk_for(
-        slots[0]["meta"][:, 6:9], slots[0]["gains"], slots[0]["meta"][:, 0] != 0
-    )
+    pf_chunk, pf_active = pf_chunk_for(slots[0]["meta"][:, 6:9], slots[0]["gains"])
     sstep = front._serving_step(lm, pf_chunk, pf_active)
     jbuf = jnp.asarray(slots[0]["buf"])
     dstate = init_state(BATCH, 2)

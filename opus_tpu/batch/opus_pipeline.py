@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from .. import packet as pkt_mod
 from ..celt import modes
+from .pipeline import get_slot
 from ..dsp.synthesis import (
     SynthState,
     init_state,
@@ -347,12 +348,10 @@ class BatchedOpusDecoder:
         th.start()
         try:
             for packets in batches:
-                slot = free.get()
+                slot = get_slot(free, err)
                 self._plane_a_packed(packets, slot)
                 meta = slot["meta"]
-                pf_chunk, pf_active = pf_chunk_for(
-                    meta[:, 6:9], slot["gains"], meta[:, 0] != 0
-                )
+                pf_chunk, pf_active = pf_chunk_for(meta[:, 6:9], slot["gains"])
                 work.put((slot, pf_chunk, pf_active))
         finally:
             work.put(None)

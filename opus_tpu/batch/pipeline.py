@@ -18,6 +18,21 @@ from __future__ import annotations
 import queue
 import threading
 
+
+def get_slot(free: queue.Queue, err: list):
+    """free.get() that fails fast if the uploader thread died.
+
+    A dead uploader stops recycling slots; once the pool drains, a plain
+    free.get() would block the producer forever instead of surfacing the
+    uploader's exception."""
+    while True:
+        if err:
+            raise err[0]
+        try:
+            return free.get(timeout=0.25)
+        except queue.Empty:
+            continue
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -235,7 +250,7 @@ class BatchedCeltDecoder:
         th.start()
         try:
             for packets in batches:
-                slot = free.get()
+                slot = get_slot(free, err)
                 self.native.decode_batch_q15_into(packets, frame_size, slot,
                                                   stream_channels)
                 meta = slot["meta"]
@@ -243,10 +258,9 @@ class BatchedCeltDecoder:
                 if not (meta[:, 2] == lm).all():
                     raise ValueError("mixed frame sizes in one step not supported")
                 # Specialise the postfilter to this step's actual lags:
-                # zero-gain/silent streams never constrain the chunk.
-                pf_chunk, pf_active = pf_chunk_for(
-                    meta[:, 6:9], slot["gains"], meta[:, 0] != 0
-                )
+                # zero-gain streams never constrain the chunk (silent ones
+                # do — they carry prior frames' gains, see pf_chunk_for).
+                pf_chunk, pf_active = pf_chunk_for(meta[:, 6:9], slot["gains"])
                 work.put((slot, lm, pf_chunk, pf_active))
         finally:
             work.put(None)

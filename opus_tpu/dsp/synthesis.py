@@ -214,16 +214,20 @@ def _pf_tap5(win, taps, chunk):
     )
 
 
-def pf_chunk_for(periods: np.ndarray, gains: np.ndarray, silence=None):
+def pf_chunk_for(periods: np.ndarray, gains: np.ndarray):
     """Largest safe postfilter chunk for a step (host-side, numpy).
 
     periods [B, 3] int, gains [B, 3] float.  Zero-gain filters never
     contribute (their taps are zero), so only lags of active filters
     constrain the chunk.  Returns (chunk, any_active).
+
+    Silent frames are NOT special: a silent CELT frame still carries the
+    previous frames' nonzero comb gains (the native front end emits
+    postfilter_gain_old/gain unchanged) and the device step filters every
+    stream, so silent streams' active lags must constrain the chunk and
+    keep pf_active true like any other stream's.
     """
     active = gains != 0.0
-    if silence is not None:
-        active = active & ~silence[:, None]
     if not active.any():
         return PF_CHUNKS[0], False
     min_lag = int(np.maximum(periods, 15)[active].min())

@@ -1687,9 +1687,14 @@ int celt_fe_decode_batch(void** handles, const uint8_t* data, const int32_t* len
 #pragma omp for schedule(dynamic, 8)
         for (int i = 0; i < n_packets; i++) {
             FrontEnd* st = (FrontEnd*)handles[i];
-            int rc = decode_frame(*st, data + offs[i], lens[i], frame_size48, stream_channels[i],
-                                  scratch.data(), ble_out + i * 2 * NB_E_BANDS,
-                                  meta_out + i * 16, gains_out + i * 3);
+            int rc = lens[i] > 0
+                         ? decode_frame(*st, data + offs[i], lens[i], frame_size48,
+                                        stream_channels[i], scratch.data(),
+                                        ble_out + i * 2 * NB_E_BANDS,
+                                        meta_out + i * 16, gains_out + i * 3)
+                         : decode_lost_noise(*st, frame_size48, scratch.data(),
+                                             ble_out + i * 2 * NB_E_BANDS,
+                                             meta_out + i * 16, gains_out + i * 3);
             if (rc != 0) {
 #pragma omp critical
                 bad = i + 1;
