@@ -784,6 +784,238 @@ static uint32_t isqrt32(uint32_t v) {
     return r;
 }
 
+// ---------------------------------------------------------------------------
+// Plan emission (the "plan executor" transfer mode).
+//
+// Instead of uploading the decoded spectrum, plane A can emit the integer
+// PVQ pulse vectors plus a compact execution plan; the device then replays
+// normalise -> spreading rotation -> fold/noise fill -> interleave/haar undo
+// -> stereo merge -> anti-collapse inside the jitted serving step
+// (opus_tpu/dsp/plan_exec.py).  Cuts upload bytes ~1.7x vs the p10 packed
+// spectrum and removes the spectral packer from the host's critical path.
+// Reference anchor: the PVQ decode contract /root/reference/src/celt/pvc.rs
+// :156-284 (cwrsi stays on host; everything after it moves on device).
+//
+// Record formats (contract shared with opus_tpu/dsp/plan_exec.py):
+//   leaf (2 words, sorted by (plane, dst)):
+//     w0: dst[0:11] | plane[11] | (n-1)[12:20] | type[20:22] | w[22:26]
+//         | (Bq-1)[26:30] | norm2[30]          (type: 0 pvq, 1 fold, 2 noise)
+//     w1: pvq:  (K-1)[0:8] | gain_f16[16:32]
+//         fold: srcrel[0:11] | gain_f16[16:32]
+//         noise:                gain_f16[16:32]
+//   band (2 words x 21):
+//     w0: recombine[0:2] | time_divide[2:4] | longblocks[4] | dual[5]
+//         | int_switch[6] | inv[7] | imid[8:23] | stereo[23]
+//     w1: cmask0[0:8] | cmask1[8:16] | eff_lowband[16:27] (0x7FF = none)
+//   acent (2 words): w0: band[0:5] | ch[5] | mask[8:16] | r_f16[16:32]
+//                    w1: lcg seed at this record's first draw
+//   seeds: one u32 per fold/noise leaf, in sorted leaf order (the seed
+//     value *before* the leaf's first lcg_rand call).
+// Per-stream arena layout: [leaves 2w][seeds 1w][acents 2w][iy words].
+// iy: little-endian bit stream of per-leaf w-bit offset-binary pulses.
+
+static uint32_t f32_to_f16_bits(float f) {
+    uint32_t x;
+    std::memcpy(&x, &f, 4);
+    uint32_t sign = (x >> 16) & 0x8000u;
+    int32_t e = (int32_t)((x >> 23) & 0xFF) - 127 + 15;
+    uint32_t m = x & 0x7FFFFFu;
+    if (e <= 0) {
+        if (e < -10) return sign;
+        m |= 0x800000u;
+        uint32_t shift = (uint32_t)(14 - e);
+        uint32_t half = (m >> shift) + ((m >> (shift - 1)) & 1u);
+        return sign | half;
+    }
+    if (e >= 31) return sign | 0x7C00u;
+    uint32_t half = ((uint32_t)e << 10) | (m >> 13);
+    half += (m >> 12) & 1u;  // round-to-nearest
+    return sign | half;
+}
+
+struct PlanSink {
+    struct Leaf {
+        uint32_t w0, w1;
+        uint32_t seed;
+        bool has_seed;
+        int iy_off;  // offset into iy_store (pvq) or -1
+        int n, w;
+        int key;  // (plane << 11) | dst for sorting
+    };
+    std::vector<Leaf> leaves;
+    std::vector<int32_t> iy_store;
+    uint32_t bands_w0[NB_E_BANDS];
+    uint32_t bands_w1[NB_E_BANDS];
+    std::vector<uint32_t> acents;
+    const float* x0 = nullptr;  // X plane base
+    const float* y0 = nullptr;  // Y plane base
+    const float* lb0 = nullptr;  // current quant_band lowband base
+    bool lb_norm2 = false;
+    bool overflow = false;
+
+    void reset(const float* x, const float* y) {
+        leaves.clear();
+        iy_store.clear();
+        acents.clear();
+        std::memset(bands_w0, 0, sizeof(bands_w0));
+        for (int i = 0; i < NB_E_BANDS; i++) bands_w1[i] = 0x7FFu << 16;
+        x0 = x;
+        y0 = y;
+        lb0 = nullptr;
+        lb_norm2 = false;
+        overflow = false;
+    }
+
+    // (plane, dst) of a leaf written at pointer p.
+    bool locate(const float* p, int* plane, int* dst) {
+        if (y0 && p >= y0) {
+            *plane = 1;
+            *dst = (int)(p - y0);
+        } else {
+            *plane = 0;
+            *dst = (int)(p - x0);
+        }
+        return *dst >= 0 && *dst < 2048;
+    }
+
+    void emit_pvq(const float* x, int n, int k, int bq, float gain, const int32_t* iy) {
+        int plane, dst;
+        if (!locate(x, &plane, &dst) || n > 256 || k > 256 || bq > 16 || bq < 1) {
+            overflow = true;
+            return;
+        }
+        int maxa = 0;
+        for (int j = 0; j < n; j++) maxa = std::max(maxa, std::abs((int)iy[j]));
+        int w = 1;
+        while ((1 << (w - 1)) - 1 < maxa) w++;  // offset-binary [-2^(w-1), 2^(w-1)-1]
+        if (w > 15) {
+            overflow = true;
+            return;
+        }
+        Leaf lf;
+        lf.w0 = (uint32_t)dst | ((uint32_t)plane << 11) | ((uint32_t)(n - 1) << 12) |
+                (0u << 20) | ((uint32_t)w << 22) | ((uint32_t)(bq - 1) << 26);
+        lf.w1 = (uint32_t)(k - 1) | (f32_to_f16_bits(gain) << 16);
+        lf.has_seed = false;
+        lf.seed = 0;
+        lf.iy_off = (int)iy_store.size();
+        lf.n = n;
+        lf.w = w;
+        lf.key = (plane << 11) | dst;
+        iy_store.insert(iy_store.end(), iy, iy + n);
+        leaves.push_back(lf);
+    }
+
+    void emit_fill(const float* x, int n, float gain, const float* lowband,
+                   uint32_t seed_before) {
+        int plane, dst;
+        if (!locate(x, &plane, &dst) || n > 256) {
+            overflow = true;
+            return;
+        }
+        Leaf lf;
+        int type;
+        uint32_t w1 = f32_to_f16_bits(gain) << 16;
+        if (lowband) {
+            type = 1;
+            int srcrel = (int)(lowband - lb0);
+            if (srcrel < 0 || srcrel >= 2048 || !lb0) {
+                overflow = true;
+                return;
+            }
+            w1 |= (uint32_t)srcrel;
+        } else {
+            type = 2;
+        }
+        lf.w0 = (uint32_t)dst | ((uint32_t)plane << 11) | ((uint32_t)(n - 1) << 12) |
+                ((uint32_t)type << 20) | (lb_norm2 ? (1u << 30) : 0u);
+        lf.w1 = w1;
+        lf.has_seed = true;
+        lf.seed = seed_before;
+        lf.iy_off = -1;
+        lf.n = n;
+        lf.w = 0;
+        lf.key = (plane << 11) | dst;
+        leaves.push_back(lf);
+    }
+
+    void band_cfg(int band, int recombine, int time_divide, bool longblocks) {
+        bands_w0[band] = (bands_w0[band] & ~0x1Fu) | (uint32_t)(recombine & 3) |
+                         ((uint32_t)(time_divide & 3) << 2) | (longblocks ? 0x10u : 0u);
+    }
+    void band_stereo(int band, int imid, bool inv) {
+        bands_w0[band] = (bands_w0[band] & ~(0xFFFFFFu << 7)) |
+                         (inv ? (1u << 7) : 0u) | ((uint32_t)(imid & 0x7FFF) << 8) |
+                         (1u << 23);
+    }
+    void band_flags(int band, bool dual, bool int_switch, int eff_lowband) {
+        bands_w0[band] |= (dual ? (1u << 5) : 0u) | (int_switch ? (1u << 6) : 0u);
+        uint32_t eff = eff_lowband < 0 ? 0x7FFu : (uint32_t)(eff_lowband & 0x7FF);
+        bands_w1[band] = (bands_w1[band] & ~(0x7FFu << 16)) | (eff << 16);
+    }
+    void band_masks(int band, uint32_t cm0, uint32_t cm1) {
+        bands_w1[band] = (bands_w1[band] & ~0xFFFFu) | (cm0 & 0xFF) | ((cm1 & 0xFF) << 8);
+    }
+    void emit_acent(int band, int ch, uint32_t mask, float r, uint32_t seed) {
+        acents.push_back(((uint32_t)band & 0x1F) | ((uint32_t)ch << 5) |
+                         ((mask & 0xFF) << 8) | (f32_to_f16_bits(r) << 16));
+        acents.push_back(seed);
+    }
+
+    int n_seeds() const {
+        int c = 0;
+        for (auto& l : leaves) c += l.has_seed ? 1 : 0;
+        return c;
+    }
+    int iy_bits() const {
+        int64_t bits = 0;
+        for (auto& l : leaves) bits += (int64_t)l.n * l.w;
+        return (int)bits;
+    }
+    int arena_words() const {
+        return 2 * (int)leaves.size() + n_seeds() + (int)acents.size() +
+               (iy_bits() + 31) / 32;
+    }
+
+    // Pack into dst (arena_words() int32s).  Sorted by (plane, dst).
+    void pack(int32_t* dst) {
+        std::vector<int> order(leaves.size());
+        for (size_t i = 0; i < order.size(); i++) order[i] = (int)i;
+        std::sort(order.begin(), order.end(),
+                  [&](int a, int b) { return leaves[a].key < leaves[b].key; });
+        int nl = (int)leaves.size();
+        int32_t* pw = dst;
+        for (int i = 0; i < nl; i++) {
+            pw[2 * i] = (int32_t)leaves[order[i]].w0;
+            pw[2 * i + 1] = (int32_t)leaves[order[i]].w1;
+        }
+        pw += 2 * nl;
+        for (int i = 0; i < nl; i++)
+            if (leaves[order[i]].has_seed) *pw++ = (int32_t)leaves[order[i]].seed;
+        for (uint32_t a : acents) *pw++ = (int32_t)a;
+        // iy bit stream in sorted leaf order.
+        uint64_t cur = 0;
+        int nbits = 0;
+        for (int i = 0; i < nl; i++) {
+            const Leaf& lf = leaves[order[i]];
+            if (lf.iy_off < 0) continue;
+            uint32_t bias = 1u << (lf.w - 1);
+            uint32_t msk = (1u << lf.w) - 1;
+            for (int j = 0; j < lf.n; j++) {
+                cur |= (uint64_t)(((uint32_t)(iy_store[lf.iy_off + j] + (int32_t)bias)) & msk)
+                       << nbits;
+                nbits += lf.w;
+                if (nbits >= 32) {
+                    *pw++ = (int32_t)(uint32_t)cur;
+                    cur >>= 32;
+                    nbits -= 32;
+                }
+            }
+        }
+        if (nbits) *pw++ = (int32_t)(uint32_t)cur;
+    }
+};
+
 struct BandCtx {
     int band;
     int intensity;
@@ -793,6 +1025,7 @@ struct BandCtx {
     int64_t remaining_bits;
     uint32_t seed;
     bool disable_inv;
+    PlanSink* plan = nullptr;
 };
 
 struct SplitCtx {
@@ -877,6 +1110,7 @@ static void compute_theta_dec(BandCtx& ctx, SplitCtx& sctx, int n, int64_t& b, i
 }
 
 static uint32_t quant_band_n1(BandCtx& ctx, float* x, float* y, float* lowband_out) {
+    if (ctx.plan) ctx.plan->overflow = true;  // n==1 bands never occur at 48 kHz
     float* vec = x;
     int count = y ? 2 : 1;
     for (int c = 0; c < count; c++) {
@@ -956,6 +1190,19 @@ static uint32_t quant_partition(BandCtx& ctx, float* x, int n, int64_t b, int B,
     }
     if (q != 0) {
         int k = get_pulses(q);
+        if (ctx.plan) {
+            // Plan mode: record the integer pulse vector + leaf params and
+            // still produce the float content (norm/fold sources need it;
+            // the device executor independently replays the same math).
+            int32_t iy[256];
+            uint64_t ryy;
+            decode_pulses(*ctx.ec, n, k, iy, &ryy);
+            ctx.plan->emit_pvq(x, n, k, B, gain, iy);
+            float g = gain / std::sqrt((float)ryy);
+            for (int j = 0; j < n; j++) x[j] = g * iy[j];
+            exp_rotation(x, n, -1, B, k, ctx.spread);
+            return extract_collapse_mask(iy, n, B);
+        }
         return alg_unquant(x, n, k, ctx.spread, B, *ctx.ec, gain);
     }
     uint32_t cm_mask = (1u << B) - 1;
@@ -964,6 +1211,7 @@ static uint32_t quant_partition(BandCtx& ctx, float* x, int n, int64_t b, int B,
     if (!fill) {
         std::memset(x, 0, n * sizeof(float));
     } else {
+        if (ctx.plan) ctx.plan->emit_fill(x, n, gain, lowband, ctx.seed);
         if (lowband == nullptr) {
             for (int j = 0; j < n; j++) {
                 ctx.seed = lcg_rand(ctx.seed);
@@ -1004,6 +1252,7 @@ static uint32_t quant_band(BandCtx& ctx, float* x, int n, int64_t b, int B,
         std::memcpy(lowband_scratch, lowband, n * sizeof(float));
         lowband = lowband_scratch;
     }
+    if (ctx.plan) ctx.plan->lb0 = lowband;  // srcrel base for this band's folds
 
     for (int k = 0; k < recombine; k++) {
         if (lowband) haar1(lowband, n >> k, 1 << k);
@@ -1026,6 +1275,7 @@ static uint32_t quant_band(BandCtx& ctx, float* x, int n, int64_t b, int B,
     if (B0 > 1 && lowband)
         deinterleave_hadamard(lowband, n_b >> recombine, B0 << recombine, long_blocks, tmpbuf);
 
+    if (ctx.plan) ctx.plan->band_cfg(ctx.band, recombine, time_divide, long_blocks);
     uint32_t cm = quant_partition(ctx, x, n, b, B, lowband, lm, gain, fill);
 
     // Resynthesis reshaping (decode side always resynthesises).
@@ -1069,6 +1319,10 @@ static uint32_t quant_band_stereo(BandCtx& ctx, float* x, float* y, int n, int64
     float mid = imid / 32768.0;
     float side = iside / 32768.0;
     uint32_t cm;
+    if (ctx.plan) {
+        ctx.plan->band_stereo(ctx.band, imid, inv);
+        if (n == 2) ctx.plan->overflow = true;  // whole bands of n==2: not at 48 kHz
+    }
 
     if (n == 2) {
         int64_t mbits = b;
@@ -1133,7 +1387,8 @@ static uint32_t quant_all_bands_dec(int start, int end, float* x_, float* y_,
                                     const int* pulses, bool short_blocks, int spread,
                                     bool dual_stereo, int intensity, const int* tf_res,
                                     int64_t total_bits, int64_t balance, RangeDec& ec,
-                                    int lm, int coded_bands, uint32_t seed, bool disable_inv) {
+                                    int lm, int coded_bands, uint32_t seed, bool disable_inv,
+                                    PlanSink* plan = nullptr) {
     int M = 1 << lm;
     int B = short_blocks ? M : 1;
     int C = y_ ? 2 : 1;
@@ -1158,6 +1413,8 @@ static uint32_t quant_all_bands_dec(int start, int end, float* x_, float* y_,
     ctx.remaining_bits = 0;
     ctx.seed = seed;
     ctx.disable_inv = disable_inv;
+    ctx.plan = plan;
+    if (plan) plan->reset(x_, y_);
 
     int lowband_offset = 0;
     bool update_lowband = true;
@@ -1219,11 +1476,13 @@ static uint32_t quant_all_bands_dec(int start, int end, float* x_, float* y_,
             x_cm = y_cm = (1u << B) - 1;
         }
 
-        if (dual_stereo && i == intensity) {
+        bool int_switch = dual_stereo && i == intensity;
+        if (int_switch) {
             dual_stereo = false;
             int upto = M * E_BANDS[i] - norm_offset;
             for (int j = 0; j < upto; j++) norm[j] = 0.5 * (norm[j] + norm2[j]);
         }
+        if (plan) plan->band_flags(i, dual_stereo, int_switch, effective_lowband);
 
         float* lowband = effective_lowband != -1 ? norm + effective_lowband : nullptr;
         float* lowband2 = effective_lowband != -1 ? norm2 + effective_lowband : nullptr;
@@ -1232,7 +1491,9 @@ static uint32_t quant_all_bands_dec(int start, int end, float* x_, float* y_,
 
         if (dual_stereo) {
             x_cm = quant_band(ctx, X, n, b / 2, B, lowband, lm, lowband_out, 1.0, scratch, x_cm, tmpbuf);
+            if (plan) plan->lb_norm2 = true;
             y_cm = quant_band(ctx, Y, n, b / 2, B, lowband2, lm, lowband_out2, 1.0, scratch, y_cm, tmpbuf);
+            if (plan) plan->lb_norm2 = false;
         } else {
             if (Y) {
                 x_cm = quant_band_stereo(ctx, X, Y, n, b, B, lowband, lm, lowband_out, scratch, x_cm | y_cm, tmpbuf);
@@ -1243,6 +1504,7 @@ static uint32_t quant_all_bands_dec(int start, int end, float* x_, float* y_,
         }
         collapse_masks[i][0] = (int32_t)(x_cm & 0xFF);
         collapse_masks[i][C - 1] = (int32_t)(y_cm & 0xFF);
+        if (plan) plan->band_masks(i, x_cm & 0xFF, y_cm & 0xFF);
         balance += pulses[i] + tell;
         update_lowband = b > ((int64_t)n << BITRES);
     }
@@ -1254,7 +1516,8 @@ static uint32_t anti_collapse_c(float* x_, const int32_t collapse_masks[NB_E_BAN
                                 const float log_e[2][NB_E_BANDS],
                                 const float prev1_log_e[2][NB_E_BANDS],
                                 const float prev2_log_e[2][NB_E_BANDS],
-                                const int* pulses, uint32_t seed) {
+                                const int* pulses, uint32_t seed,
+                                PlanSink* plan = nullptr) {
     for (int i = start; i < end; i++) {
         int n0 = E_BANDS[i + 1] - E_BANDS[i];
         int depth = ((1 + pulses[i]) / n0) >> lm;
@@ -1273,6 +1536,13 @@ static uint32_t anti_collapse_c(float* x_, const int32_t collapse_masks[NB_E_BAN
             r = std::min(thresh, r) * sqrt_1;
             int base = c * size + (E_BANDS[i] << lm);
             bool renorm = false;
+            if (plan) {
+                uint32_t m = 0;
+                for (int k = 0; k < (1 << lm); k++)
+                    if (collapse_masks[i][c] & (1 << k)) m |= 1u << k;
+                if (m != ((1u << (1 << lm)) - 1))
+                    plan->emit_acent(i, c, m, r, seed);
+            }
             for (int k = 0; k < (1 << lm); k++) {
                 if (!(collapse_masks[i][c] & (1 << k))) {
                     for (int j = 0; j < n0; j++) {
@@ -1341,7 +1611,7 @@ struct FrontEnd {
 
 static int decode_frame_ec(FrontEnd& st, RangeDec& dec, int frame_bytes, int frame_size48,
                            int stream_channels, float* x_out, float* band_log_e_out,
-                           int32_t* meta, double* pf_gains) {
+                           int32_t* meta, double* pf_gains, PlanSink* plan = nullptr) {
     // dec is already initialised (and, for hybrid frames, advanced past the
     // SILK symbols — the shared-range-coder contract, decoder.rs:603/:711).
     int frame_size = frame_size48;  // caller passes samples at 48 kHz
@@ -1448,12 +1718,13 @@ static int decode_frame_ec(FrontEnd& st, RangeDec& dec, int frame_bytes, int fra
     std::memset(x_out, 0, (size_t)c_ * n * sizeof(float));
     float* y_ = c_ == 2 ? x_out + n : nullptr;
 
+    if (plan && (start != 0 || end != NB_E_BANDS)) return -3;  // plan: full-band only
     st.rng = quant_all_bands_dec(start, end, x_out, y_, collapse_masks, alloc.pulses,
                                  short_blocks, spread_decision, alloc.dual_stereo,
                                  alloc.intensity, tf_res,
                                  (int64_t)frame_bytes * (8 << BITRES) - anti_collapse_rsv,
                                  alloc.balance, dec, lm, alloc.coded_bands, st.rng,
-                                 st.disable_inv);
+                                 st.disable_inv, plan);
 
     bool anti_collapse_on = false;
     if (anti_collapse_rsv > 0) anti_collapse_on = dec.decode_bits(1) != 0;
@@ -1464,7 +1735,7 @@ static int decode_frame_ec(FrontEnd& st, RangeDec& dec, int frame_bytes, int fra
     if (anti_collapse_on)
         st.rng = anti_collapse_c(x_out, collapse_masks, lm, c_, n, start, end,
                                  (const float(*)[NB_E_BANDS])old_band_e, st.old_log_e,
-                                 st.old_log_e2, alloc.pulses, st.rng);
+                                 st.old_log_e2, alloc.pulses, st.rng, plan);
 
     if (silence)
         for (int c = 0; c < 2; c++)
@@ -1486,6 +1757,7 @@ static int decode_frame_ec(FrontEnd& st, RangeDec& dec, int frame_bytes, int fra
     meta[9] = st.postfilter_tapset_old;
     meta[10] = st.postfilter_tapset;
     meta[11] = postfilter_tapset;
+    meta[13] = spread_decision;
     pf_gains[0] = st.postfilter_gain_old;
     pf_gains[1] = st.postfilter_gain;
     pf_gains[2] = postfilter_gain;
@@ -1562,7 +1834,8 @@ static int decode_frame(FrontEnd& st, const uint8_t* data, int len, int frame_si
 // device) — the scalar decoder remains the fully-conformant path.
 // Replays opus_tpu/celt/plc.py::decode_lost (noise branch) exactly.
 static int decode_lost_noise(FrontEnd& st, int frame_size48, float* x_out,
-                             float* band_log_e_out, int32_t* meta, double* pf_gains) {
+                             float* band_log_e_out, int32_t* meta, double* pf_gains,
+                             PlanSink* plan = nullptr) {
     int lm = -1;
     for (int l = 0; l <= MAX_LM; l++)
         if (SHORT_MDCT_SIZE << l == frame_size48) { lm = l; break; }
@@ -1581,10 +1854,12 @@ static int decode_lost_noise(FrontEnd& st, int frame_size48, float* x_out,
 
     uint32_t seed = st.rng;
     std::memset(x_out, 0, (size_t)cc * n * sizeof(float));
+    if (plan) plan->reset(x_out, cc == 2 ? x_out + n : nullptr);
     for (int c = 0; c < cc; c++) {
         for (int i = start; i < eff_end; i++) {
             int boffs = n * c + (E_BANDS[i] << lm);
             int blen = (E_BANDS[i + 1] - E_BANDS[i]) << lm;
+            if (plan) plan->emit_fill(x_out + boffs, blen, 1.0f, nullptr, seed);
             for (int j = 0; j < blen; j++) {
                 seed = lcg_rand(seed);
                 x_out[boffs + j] = (float)((int32_t)seed >> 20);
@@ -1606,6 +1881,7 @@ static int decode_lost_noise(FrontEnd& st, int frame_size48, float* x_out,
     meta[6] = meta[7] = meta[8] = MIN_PERIOD;
     meta[9] = meta[10] = meta[11] = 0;
     meta[12] = 0;
+    meta[13] = 0;
     pf_gains[0] = pf_gains[1] = pf_gains[2] = 0.0;  // lost frames skip the comb
     st.loss_duration = std::min(10000, st.loss_duration + m);
     return 0;
@@ -1850,6 +2126,93 @@ int celt_fe_decode_batch_packed(void** handles, const uint8_t* data, const int32
 }  // extern "C"
 
 extern "C" {
+
+// Plan-mode batch decode: emits the plan-executor slot regions instead of
+// a packed spectrum.  header [B,4] = {arena_word_off, n_leaves, n_acents,
+// iy_word_off_rel}; per-stream arena layout [leaves][seeds][acents][iy].
+// Returns n_packets, -(i+1) on a stream error, or -(n_packets+1) when the
+// arena capacity is exceeded (caller falls back to a spectral mode).
+// xdbg (optional, may be null): f32 debug spectra like the f32 batch path,
+// used by the executor conformance tests.
+static std::vector<PlanSink>& plan_sinks(int n) {
+    static std::vector<PlanSink> sinks;
+    if ((int)sinks.size() < n) sinks.resize(n);
+    return sinks;
+}
+
+int celt_fe_decode_batch_plan(void** handles, const uint8_t* data, const int32_t* lens,
+                              int n_packets, int frame_size48, const int32_t* stream_channels,
+                              int32_t* header, float* ble_out, int32_t* meta_out,
+                              float* gains_out, int32_t* bands_out,
+                              int32_t* arena, int64_t arena_words, int64_t* used_words_out,
+                              float* xdbg, int64_t xdbg_stride) {
+    std::vector<int64_t> offs(n_packets + 1, 0);
+    for (int i = 0; i < n_packets; i++) offs[i + 1] = offs[i] + lens[i];
+    auto& sinks = plan_sinks(n_packets);
+    int bad = 0;
+#pragma omp parallel
+    {
+        std::vector<float> scratch(2 * 960);
+        double g[3];
+#pragma omp for schedule(dynamic, 8)
+        for (int i = 0; i < n_packets; i++) {
+            FrontEnd* st = (FrontEnd*)handles[i];
+            PlanSink& sink = sinks[i];
+            int rc;
+            if (lens[i] > 0) {
+                if (lens[i] < 2 || lens[i] > 1275) rc = -1;
+                else {
+                    RangeDec dec;
+                    dec.init(data + offs[i], lens[i]);
+                    rc = decode_frame_ec(*st, dec, lens[i], frame_size48,
+                                         stream_channels[i], scratch.data(),
+                                         ble_out + i * 2 * NB_E_BANDS,
+                                         meta_out + i * 16, g, &sink);
+                }
+            } else {
+                rc = decode_lost_noise(*st, frame_size48, scratch.data(),
+                                       ble_out + i * 2 * NB_E_BANDS,
+                                       meta_out + i * 16, g, &sink);
+            }
+            if (rc != 0 || sink.overflow) {
+#pragma omp critical
+                bad = i + 1;
+            } else {
+                for (int j = 0; j < 3; j++) gains_out[i * 3 + j] = (float)g[j];
+                for (int j = 0; j < NB_E_BANDS; j++) {
+                    bands_out[(i * NB_E_BANDS + j) * 2] = (int32_t)sink.bands_w0[j];
+                    bands_out[(i * NB_E_BANDS + j) * 2 + 1] = (int32_t)sink.bands_w1[j];
+                }
+                if (xdbg) {
+                    int nvals = (120 << meta_out[i * 16 + 2]) * meta_out[i * 16 + 3];
+                    float* dst = xdbg + (int64_t)i * xdbg_stride;
+                    std::memcpy(dst, scratch.data(), nvals * sizeof(float));
+                }
+            }
+        }
+    }
+    if (bad) return -bad;
+    // Serial prefix over per-stream arena sizes.
+    int64_t total = 0;
+    for (int i = 0; i < n_packets; i++) {
+        PlanSink& sink = sinks[i];
+        int nl = (int)sink.leaves.size();
+        int ns = sink.n_seeds();
+        int na = (int)sink.acents.size() / 2;
+        int aw = sink.arena_words();
+        header[i * 4 + 0] = (int32_t)total;
+        header[i * 4 + 1] = nl;
+        header[i * 4 + 2] = na;
+        header[i * 4 + 3] = 2 * nl + ns + 2 * na;  // iy offset rel to arena_off
+        total += aw;
+    }
+    if (total > arena_words) return -(n_packets + 1);
+    *used_words_out = total;
+#pragma omp parallel for schedule(dynamic, 8)
+    for (int i = 0; i < n_packets; i++)
+        sinks[i].pack(arena + header[i * 4 + 0]);
+    return n_packets;
+}
 
 // Q14 int16 output variant: halves the host->device transfer for the
 // serving pipeline.  Band-shape values are unit-norm (|x| <= ~1.4 after

@@ -172,6 +172,20 @@ class NativeBatchFrontEnd:
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_float),
         ]
+        self.lib.celt_fe_decode_batch_plan.restype = ctypes.c_int
+        self.lib.celt_fe_decode_batch_plan.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p), ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),  # header [B,4]
+            ctypes.POINTER(ctypes.c_float),  # ble [B,2,21]
+            ctypes.POINTER(ctypes.c_int32),  # meta [B,16]
+            ctypes.POINTER(ctypes.c_float),  # gains [B,3]
+            ctypes.POINTER(ctypes.c_int32),  # bands [B,21,2]
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,  # arena, capacity
+            ctypes.POINTER(ctypes.c_int64),  # used_words out
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,  # xdbg, stride
+        ]
         self.batch = batch
         self.channels = channels
         self.downsample = downsample
@@ -301,6 +315,73 @@ class NativeBatchFrontEnd:
                 )
             )
         return slots
+
+    def alloc_plan_slots(self, n_slots: int = 4, arena_words_per_stream: int = 400) -> list:
+        """Plan-executor serving slots (opus_tpu/dsp/plan_exec.py contract).
+
+        One contiguous int32 buffer per slot: fixed regions (header [B,4],
+        ble [B,42] f32, meta [B,16], gains [B,3] f32, bands [B,21,2]) then
+        a shared variable-fill arena as the TAIL so only the used prefix
+        of the buffer needs to ship (`used_words` after each decode)."""
+        B = self.batch
+        fixed = B * (4 + 42 + 16 + 3 + 42)
+        aw = B * arena_words_per_stream
+        slots = []
+        for _ in range(n_slots):
+            buf = np.zeros(fixed + aw, np.int32)
+            o = 0
+            header = buf[o : o + B * 4].reshape(B, 4); o += B * 4
+            ble = buf[o : o + B * 42].view(np.float32).reshape(B, 2, self.NB); o += B * 42
+            meta = buf[o : o + B * 16].reshape(B, 16); o += B * 16
+            gains = buf[o : o + B * 3].view(np.float32).reshape(B, 3); o += B * 3
+            bands = buf[o : o + B * 42].reshape(B, self.NB, 2); o += B * 42
+            slots.append(dict(
+                buf=buf, mode="plan", fixed_words=fixed, header=header, ble=ble,
+                meta=meta, gains=gains, bands=bands, arena=buf[o:],
+                used_words=0,
+            ))
+        return slots
+
+    def decode_batch_plan_into(self, packets: list, frame_size: int, slot: dict,
+                               stream_channels=None, want_xdbg: bool = False):
+        """Plan-mode decode into a plan slot; None packets are concealed
+        (noise-regime PLC emitted as plan noise leaves).  Returns the slot
+        with slot["used_words"] = header words + used arena prefix; raises
+        OverflowError on arena exhaustion (caller falls back to p10)."""
+        B = self.batch
+        blob = b"".join(p or b"" for p in packets)
+        lens = np.array([0 if p is None else len(p) for p in packets], dtype=np.int32)
+        if stream_channels is None:
+            sch = np.array([self.channels] * B, dtype=np.int32)
+        else:
+            sch = np.ascontiguousarray(stream_channels, dtype=np.int32)
+        n48 = frame_size * self.downsample
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        used = ctypes.c_int64(0)
+        xdbg = None
+        if want_xdbg:
+            xdbg = np.zeros((B, 2 * 960), np.float32)
+        rc = self.lib.celt_fe_decode_batch_plan(
+            self.handles, blob, lens.ctypes.data_as(i32p), B, n48,
+            sch.ctypes.data_as(i32p),
+            slot["header"].ctypes.data_as(i32p),
+            slot["ble"].ctypes.data_as(f32p),
+            slot["meta"].ctypes.data_as(i32p),
+            slot["gains"].ctypes.data_as(f32p),
+            slot["bands"].ctypes.data_as(i32p),
+            slot["arena"].ctypes.data_as(i32p), slot["arena"].shape[0],
+            ctypes.byref(used),
+            xdbg.ctypes.data_as(f32p) if want_xdbg else None,
+            xdbg.shape[1] if want_xdbg else 0,
+        )
+        if rc == -(B + 1):
+            raise OverflowError("plan arena capacity exceeded")
+        if rc != B:
+            raise ValueError(f"native plan decode failed at stream {-rc - 1}")
+        slot["used_words"] = slot["fixed_words"] + int(used.value)
+        slot["xdbg"] = xdbg
+        return slot
 
     def decode_batch_q15_into(self, packets: list, frame_size: int, slot: dict,
                               stream_channels=None):
