@@ -62,9 +62,11 @@ class BatchedCeltDecoder:
         #: the host->device bytes, libopus-fixed precision class); "p12" =
         #: bit-packed 12-bit mantissas with per-band exponents folded into
         #: the energy plane (25% fewer bytes again, serve() path only —
-        #: the per-array paths use q14 precision).  Quantised modes are
-        #: gated by the RFC 8251 conformance metric (tests/test_native.py).
-        assert transfer in ("f32", "q14", "p12", "p10", "p8")
+        #: the per-array paths use q14 precision); "plan" = the plan
+        #: executor (pulse vectors + band plan, spectra rebuilt on device
+        #: — ~1.9x fewer bytes than p10, serve() only).  Quantised modes
+        #: are gated by the RFC 8251 conformance metric (tests/test_native.py).
+        assert transfer in ("f32", "q14", "p12", "p10", "p8", "plan")
         self.transfer = transfer
         self.batch = batch
         self.channels = channels
@@ -185,6 +187,100 @@ class BatchedCeltDecoder:
             )
         return self._steps[key]
 
+    #: Plan-mode arena upload buckets (int32 words per stream): the used
+    #: arena prefix rounds up to one of these so a handful of compiled
+    #: programs covers every content size.
+    PLAN_BUCKETS = (96, 160, 256, 384, 512)
+
+    def _plan_serving_step(self, lm: int, pf_chunk: int, pf_active: bool,
+                           bucket_words: int):
+        from ..dsp.synthesis import make_plan_serving_step
+
+        key = ("plan", lm, pf_chunk, pf_active, bucket_words)
+        if key not in self._steps:
+            self._steps[key] = make_plan_serving_step(
+                lm, self.batch, self.channels, self.downsample,
+                pf_chunk=pf_chunk, pf_active=pf_active,
+                arena_words=bucket_words,
+            )
+        return self._steps[key]
+
+    def _serve_plan(self, batches: list[list[bytes]], frame_size: int,
+                    n_slots: int = 4, stream_channels=None):
+        """Plan-executor serving loop: same single-upload/single-execute
+        shape as serve(), but the upload is the plan slot's used prefix
+        (bucketed) and the device rebuilds spectra before synthesis."""
+        if not hasattr(self, "_plan_slots") or len(self._plan_slots) != n_slots:
+            self._plan_slots = self.native.alloc_plan_slots(
+                n_slots, self.PLAN_BUCKETS[-1]
+            )
+        free: queue.Queue = queue.Queue()
+        for s in self._plan_slots:
+            free.put(s)
+        work: queue.Queue = queue.Queue()
+        err: list = []
+        done: dict = {}
+        B = self.batch
+
+        def uploader():
+            try:
+                state = getattr(self, "_serve_state", None)
+                if state is None:
+                    state = init_state(self.batch, self.channels)
+                ring = None
+                ring_lm = None
+                digest = None
+                held = None
+                while True:
+                    item = work.get()
+                    if item is None:
+                        if held is not None:
+                            free.put(held)
+                        break
+                    slot, lm, pf_chunk, pf_active, bucket = item
+                    fixed = slot["fixed_words"]
+                    buf = jnp.asarray(slot["buf"][: fixed + B * bucket])
+                    if held is not None:
+                        free.put(held)
+                    held = slot
+                    if ring is None or ring_lm != lm:
+                        n = ((1 << lm) * modes.SHORT_MDCT_SIZE) // self.downsample
+                        ring = jnp.zeros((self.batch, n, self.channels), jnp.float32)
+                        ring_lm = lm
+                    step = self._plan_serving_step(lm, pf_chunk, pf_active, bucket)
+                    state, ring, digest = step(state, ring, buf)
+                self._serve_state = state
+                self._serve_ring = ring
+                done["digest"] = digest
+            except Exception as e:  # pragma: no cover - propagated below
+                err.append(e)
+
+        th = threading.Thread(target=uploader, daemon=True)
+        th.start()
+        try:
+            for packets in batches:
+                slot = get_slot(free, err)
+                self.native.decode_batch_plan_into(packets, frame_size, slot,
+                                                   stream_channels)
+                meta = slot["meta"]
+                lm = int(meta[0, 2])
+                if not (meta[:, 2] == lm).all():
+                    raise ValueError("mixed frame sizes in one step not supported")
+                pf_chunk, pf_active = pf_chunk_for(meta[:, 6:9], slot["gains"])
+                arena_used = slot["used_words"] - slot["fixed_words"]
+                per_stream = -(-arena_used // B)
+                bucket = next(
+                    (bw for bw in self.PLAN_BUCKETS if bw >= per_stream),
+                    self.PLAN_BUCKETS[-1],
+                )
+                work.put((slot, lm, pf_chunk, pf_active, bucket))
+        finally:
+            work.put(None)
+            th.join()
+        if err:
+            raise err[0]
+        return np.asarray(done["digest"])
+
     def serve(self, batches: list[list[bytes]], frame_size: int, n_slots: int = 4,
               stream_channels=None):
         """Serving loop tuned for a high-latency host<->device link.
@@ -201,6 +297,8 @@ class BatchedCeltDecoder:
         stays on device in `self._serve_ring` (fetch with np.asarray).
         """
         assert self.use_native, "serving path requires the native plane A"
+        if self.transfer == "plan":
+            return self._serve_plan(batches, frame_size, n_slots, stream_channels)
         mode = self.transfer if self.transfer in ("p12", "p10", "p8") else "q14"
         if (not hasattr(self, "_slots") or len(self._slots) != n_slots
                 or self._slots[0].get("mode", "q14") != mode):

@@ -33,6 +33,8 @@ from __future__ import annotations
 import functools
 import math
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..celt import modes
@@ -270,8 +272,6 @@ def execute_plan_numpy(slot: dict, lm: int) -> np.ndarray:
         mt = meta[bi]
         c_ = int(mt[3])
         spread = int(mt[13])
-        short = bool(mt[1])
-        b_frame = m if short else 1
         lv = parse_leaves(arena, header[bi])
         iys = unpack_iy(lv)
         X = np.zeros((2, n_total), np.float64)
@@ -329,6 +329,7 @@ def execute_plan_numpy(slot: dict, lm: int) -> np.ndarray:
             fold_lis = [li for li in range(nl)
                         if lv["typ"][li] == LEAF_FOLD
                         and base <= lv["dst"][li] < hi]
+            b_frame = 1 if lb else m
             if fold_lis:
                 tf_fwd, _ = band_transforms(n, b_frame, rec, td, lb)
                 lbands = {}
@@ -400,3 +401,553 @@ def execute_plan_numpy(slot: dict, lm: int) -> np.ndarray:
 
         out[bi] = X.astype(np.float32)
     return out
+
+
+# --- jitted batched executor ------------------------------------------------
+#
+# The device algorithm mirrors execute_plan_numpy, vectorised over the
+# batch with static shapes:
+#
+# * leaf/seed/acent records gather from the flat arena with per-stream
+#   offsets (one XLA gather each);
+# * per-position parameter planes come from ONE scatter of leaf starts +
+#   a cumsum (leaves arrive position-sorted from plane A), then
+#   take_along_axis by leaf id;
+# * the spreading rotation's four sequential passes run as segmented
+#   first-order associative scans over the flat [B, 2N] plane — the
+#   stride2 pass through a closed-form chain permutation gather;
+# * the band walk (fold sources, interleave/haar undo, stereo merge,
+#   norm emission) is a 21-iteration trace-time loop of masked ops, with
+#   the per-band orthogonal transform selected among the reachable
+#   (recombine, time_divide, longblocks) configs by masked matmuls;
+# * anti-collapse is one vectorised pass (LCG jump tables) plus a
+#   band-one-hot renormalisation matmul.
+
+#: LCG jump tables: seed after t steps = A_JUMP[t]*seed + C_JUMP[t] (mod 2^32).
+_LCG_MAX = 1600
+
+
+@functools.lru_cache(maxsize=None)
+def _lcg_jump() -> tuple[np.ndarray, np.ndarray]:
+    a = np.zeros(_LCG_MAX, np.uint32)
+    c = np.zeros(_LCG_MAX, np.uint32)
+    a[0], c[0] = 1, 0
+    for t in range(1, _LCG_MAX):
+        a[t] = (1664525 * int(a[t - 1])) & 0xFFFFFFFF
+        c[t] = (1664525 * int(c[t - 1]) + 1013904223) & 0xFFFFFFFF
+    return a, c
+
+
+#: Reachable (recombine, time_divide) pairs by longblocks, per lm, from
+#: TF_SELECT_TABLE (celt_tables.h): long frames only shrink (td>0), short
+#: frames recombine (rec>0) or shrink once.
+_TF_CFGS = {
+    0: {True: [(0, 0), (0, 1)], False: []},
+    1: {True: [(0, 0), (0, 1), (0, 2)], False: [(0, 0), (1, 0), (0, 1)]},
+    2: {True: [(0, 0), (0, 2), (0, 3)], False: [(0, 0), (1, 0), (2, 0), (0, 1)]},
+    3: {True: [(0, 0), (0, 2), (0, 3)], False: [(0, 0), (1, 0), (3, 0), (0, 1)]},
+}
+
+
+def _valid_cfg(n: int, b_frame: int, rec: int, td: int) -> bool:
+    if b_frame >> rec < 1:
+        return False
+    n_b = (n // b_frame) << rec
+    for _ in range(td):
+        if n_b & 1:
+            return False
+        n_b >>= 1
+    return True
+
+
+def make_plan_executor(lm: int, batch: int, p_max: int = 192, a_max: int = 42):
+    """Build the jitted plan executor for one frame shape.
+
+    Returns f(header[B,4] i32, bands[B,21,2] i32, meta[B,16] i32,
+    arena[AW] i32) -> X [B, 2, N] f32 natural-domain band spectra.
+    """
+    m = 1 << lm
+    n = m * modes.SHORT_MDCT_SIZE
+    e = (modes.E_BANDS.astype(np.int64) * m).astype(np.int32)
+    norm_len = int(e[NB - 1])
+    n2 = 2 * n
+    aj_np, cj_np = _lcg_jump()
+
+    # Transform matrices for every reachable config, per band.
+    cfgs = []  # (rec, td, lb) global list; identity (0,0,True) excluded
+    for lb in (True, False):
+        for rec, td in _TF_CFGS[lm][lb]:
+            if (rec, td, lb) != (0, 0, True):
+                cfgs.append((rec, td, lb))
+    t_und = {}  # (band, cfgidx) -> [n_i, n_i]
+    t_fwd = {}
+    for bi in range(NB):
+        nb_ = int(e[bi + 1] - e[bi])
+        for ci, (rec, td, lb) in enumerate(cfgs):
+            bf = 1 if lb else m
+            if not _valid_cfg(nb_, bf, rec, td):
+                continue
+            fw, un = band_transforms(nb_, bf, rec, td, lb)
+            t_fwd[(bi, ci)] = jnp.asarray(fw)
+            t_und[(bi, ci)] = jnp.asarray(un)
+
+    band_onehot = np.zeros((NB, n), np.float32)
+    for bi in range(NB):
+        band_onehot[bi, int(e[bi]) : int(e[bi + 1])] = 1.0
+    band_onehot_j = jnp.asarray(band_onehot)
+
+    def _seg_scan(a, b):
+        def op(l, r):
+            return (r[0] * l[0], r[0] * l[1] + r[1])
+
+        return jax.lax.associative_scan(op, (a, b), axis=-1)[1]
+
+    def _rot_pass(x, cc, ss, k_pos, m_pos):
+        """One exp_rotation1 pass over contiguous chains in x [B, n2].
+
+        cc/ss: per-position pass coefficients; k_pos: index within chain;
+        m_pos: chain length (1 = identity)."""
+        first = k_pos == 0
+        last = k_pos == m_pos - 1
+        a = jnp.where(first, 0.0, ss)
+        b = jnp.where(first, x, cc * x)
+        v = _seg_scan(a, b)
+        x_next = jnp.roll(x, -1, axis=-1)
+        y = jnp.where(last, v, cc * v - ss * x_next)
+        # backward pass (only chains of length >= 3)
+        yr = jnp.flip(y, axis=-1)
+        kr = jnp.flip(m_pos - 1 - k_pos, axis=-1)  # chain pos in reversed orient.
+        mr = jnp.flip(m_pos, axis=-1)
+        ccr = jnp.flip(cc, axis=-1)
+        ssr = jnp.flip(ss, axis=-1)
+        # reversed-orientation chain position r: r==0 is natural k==m-1.
+        ar = jnp.where((kr == 0) | (kr == 1), 0.0, -ssr)
+        br = jnp.where(kr == 0, yr, jnp.where(kr == 1, yr, ccr * yr))
+        zr = _seg_scan(ar, br)
+        z = jnp.flip(zr, axis=-1)
+        y_prev = jnp.roll(y, 1, axis=-1)
+        f = jnp.where(
+            k_pos == 0, z,
+            jnp.where(k_pos == m_pos - 1, y, cc * z + ss * y_prev),
+        )
+        return jnp.where(m_pos < 3, y, f)
+
+    def executor(header, bands, meta, arena_i32):
+        B = batch
+        arena = jax.lax.bitcast_convert_type(arena_i32, jnp.uint32)
+        hdr_off = header[:, 0]
+        n_leaves = header[:, 1]
+        n_acents = header[:, 2]
+        iy_rel = header[:, 3]
+        spread = meta[:, 13]
+        c2 = meta[:, 3] == 2  # frame coded stereo
+
+        # ---- leaf table [B, P] ----
+        p = jnp.arange(p_max)[None, :]
+        valid = p < n_leaves[:, None]
+        wbase = hdr_off[:, None] + 2 * p
+        w0 = jnp.take(arena, jnp.where(valid, wbase, 0), mode="clip")
+        w1 = jnp.take(arena, jnp.where(valid, wbase + 1, 0), mode="clip")
+        dst = (w0 & 0x7FF).astype(jnp.int32)
+        plane = ((w0 >> 11) & 1).astype(jnp.int32)
+        ln = ((w0 >> 12) & 0xFF).astype(jnp.int32) + 1
+        typ = ((w0 >> 20) & 3).astype(jnp.int32)
+        wid = ((w0 >> 22) & 0xF).astype(jnp.int32)
+        bq = ((w0 >> 26) & 0xF).astype(jnp.int32) + 1
+        nrm2 = ((w0 >> 30) & 1).astype(jnp.int32)
+        kk = (w1 & 0xFF).astype(jnp.int32) + 1
+        srcrel = (w1 & 0x7FF).astype(jnp.int32)
+        gain = _f16_to_f32_j(((w1 >> 16) & 0xFFFF).astype(jnp.uint32))
+        typ = jnp.where(valid, typ, 3)  # 3 = inert
+
+        seeded = valid & (typ != LEAF_PVQ) & (typ != 3)
+        seedpos = jnp.cumsum(seeded, axis=1) - seeded
+        seeds = jnp.take(
+            arena, hdr_off[:, None] + 2 * n_leaves[:, None] + seedpos, mode="clip"
+        )
+        n_seeds = jnp.sum(seeded, axis=1)
+
+        iyb = jnp.where(valid & (typ == LEAF_PVQ), ln * wid, 0)
+        iybase = jnp.cumsum(iyb, axis=1) - iyb
+        iy_w0 = hdr_off + iy_rel
+
+        # ---- per-position planes [B, n2] ----
+        flatdst = jnp.where(valid, plane * n + dst, n2)
+        bidx = jnp.arange(B)[:, None]
+        marks = jnp.zeros((B, n2 + 1), jnp.int32).at[bidx, flatdst].add(1)
+        lid = jnp.cumsum(marks[:, :n2], axis=1) - 1
+        lidc = jnp.clip(lid, 0, p_max - 1)
+
+        def g(t):  # gather leaf field to positions
+            return jnp.take_along_axis(t, lidc, axis=1)
+
+        pos = jnp.arange(n2)[None, :]
+        fd_p = g(flatdst)
+        ln_p = g(ln)
+        rel = pos - fd_p
+        cov = (lid >= 0) & (rel < ln_p)
+        typ_p = jnp.where(cov, g(typ), 3)
+        wid_p = g(wid)
+        gain_p = g(gain)
+
+        # ---- iy unpack ----
+        bit = g(iybase) + rel * wid_p
+        word = iy_w0[:, None] + (bit >> 5)
+        sh = (bit & 31).astype(jnp.uint32)
+        lo = jnp.take(arena, jnp.clip(word, 0, arena.shape[0] - 1)) >> sh
+        hi = jnp.where(
+            sh == 0,
+            jnp.uint32(0),
+            jnp.take(arena, jnp.clip(word + 1, 0, arena.shape[0] - 1))
+            << (32 - jnp.maximum(sh, 1)),
+        )
+        wp_c = jnp.maximum(wid_p, 1)  # avoid negative shifts for non-pvq
+        msk = (jnp.uint32(1) << wp_c.astype(jnp.uint32)) - 1
+        iy = ((lo | hi) & msk).astype(jnp.int32) - (1 << (wp_c - 1))
+        iy = jnp.where(cov & (typ_p == LEAF_PVQ), iy, 0)
+
+        # ---- pvq normalise ----
+        # Ryy is a sum of integer squares (<= K^2 = 16384 per leaf): an
+        # int32 cumsum keeps the segmented differences EXACT — a float32
+        # cumsum over the whole plane loses ~1e-3 relative on small
+        # late-plane leaves to cancellation.
+        iyf = iy.astype(jnp.float32)
+        csum = jnp.cumsum(iy * iy, axis=1)
+        end_i = jnp.clip(flatdst + ln - 1, 0, n2 - 1)
+        start_i = flatdst - 1
+        at_end = jnp.take_along_axis(csum, jnp.clip(end_i, 0, n2 - 1), axis=1)
+        at_start = jnp.where(
+            start_i < 0, 0,
+            jnp.take_along_axis(csum, jnp.clip(start_i, 0, n2 - 1), axis=1),
+        )
+        ryy = (at_end - at_start).astype(jnp.float32)  # [B, P]
+        gl = gain / jnp.sqrt(jnp.maximum(ryy, 1e-30))
+        x = iyf * g(gl)
+
+        # ---- noise leaves ----
+        aj = jnp.asarray(aj_np)
+        cj = jnp.asarray(cj_np)
+        seed_p = g(seeds)
+        t1 = jnp.clip(rel + 1, 0, _LCG_MAX - 1)
+        sv = jnp.take(aj, t1) * seed_p + jnp.take(cj, t1)
+        noise = (
+            jax.lax.shift_right_arithmetic(
+                jax.lax.bitcast_convert_type(sv, jnp.int32), 20
+            )
+        ).astype(jnp.float32)
+        is_noise = cov & (typ_p == LEAF_NOISE)
+        # Noise values are integers (seed >> 20); the plane-wide cumsum may
+        # wrap int32, but two's-complement differences stay exact modulo
+        # 2^32 and every true per-leaf sum fits in 31 bits (176 * 2048^2),
+        # so reinterpreting the difference as uint32 recovers it exactly —
+        # a float32 cumsum would lose ~1e-3 to cancellation instead.
+        nzi = jnp.where(
+            is_noise,
+            jax.lax.shift_right_arithmetic(
+                jax.lax.bitcast_convert_type(sv, jnp.int32), 20
+            ),
+            0,
+        )
+        nz = jnp.where(is_noise, noise, 0.0)
+        ncsum = jnp.cumsum(nzi * nzi, axis=1)
+        nat_end = jnp.take_along_axis(ncsum, jnp.clip(end_i, 0, n2 - 1), axis=1)
+        nat_start = jnp.where(
+            start_i < 0, 0,
+            jnp.take_along_axis(ncsum, jnp.clip(start_i, 0, n2 - 1), axis=1),
+        )
+        nsum = jax.lax.bitcast_convert_type(
+            nat_end - nat_start, jnp.uint32
+        ).astype(jnp.float32)
+        nscale = gain / jnp.sqrt(EPSILON + nsum)
+        x = jnp.where(is_noise, nz * g(nscale), x)
+
+        # ---- rotation ----
+        sp_f = spread[:, None].astype(jnp.int32)
+        factor = jnp.take(
+            jnp.asarray(np.array([15, 15, 10, 5], np.int32)), jnp.clip(sp_f, 0, 3)
+        )
+        active = (2 * kk < ln) & (sp_f > 0) & (typ == LEAF_PVQ) & valid
+        gr = ln.astype(jnp.float32) / (ln + factor * kk).astype(jnp.float32)
+        th = 0.5 * gr * gr
+        c_l = jnp.cos(0.5 * jnp.pi * th)
+        s_l = jnp.cos(0.5 * jnp.pi * (1.0 - th))
+        L_l = ln // bq
+        st2 = jnp.ones_like(ln)
+        for t in range(1, 15):
+            st2 = st2 + (((t * t + t) * bq + (bq >> 2)) < ln).astype(jnp.int32)
+        st2 = jnp.where(ln >= 8 * bq, st2, 0)
+
+        act_p = g(active.astype(jnp.int32)) == 1
+        act_p = act_p & cov
+        L_p = jnp.maximum(g(L_l), 1)
+        st2_p = g(st2)
+        c_p = g(c_l)
+        s_p = g(s_l)
+        seg = jnp.minimum(rel // L_p, jnp.maximum(g(bq) - 1, 0))
+        rel2 = rel - seg * L_p
+        in_rot = act_p & (rel < g(bq) * L_p)
+        segbase = fd_p + seg * L_p
+
+        # pass A (stride2): chain-permute gather, scan, inverse gather.
+        stA = jnp.where(in_rot & (st2_p >= 2), st2_p, 1)
+        q_ = L_p // stA
+        r0 = L_p - q_ * stA  # L % stA
+        # forward map: chain-order slot t -> natural offset
+        t_ = rel2
+        big = t_ < r0 * (q_ + 1)
+        row = jnp.where(big, t_ // jnp.maximum(q_ + 1, 1), r0 + (t_ - r0 * (q_ + 1)) // jnp.maximum(q_, 1))
+        col = jnp.where(big, t_ % jnp.maximum(q_ + 1, 1), (t_ - r0 * (q_ + 1)) % jnp.maximum(q_, 1))
+        nat = col * stA + row
+        idx_nat = jnp.clip(segbase + nat, 0, n2 - 1)
+        xa = jnp.where(in_rot, jnp.take_along_axis(x, idx_nat, axis=1), x)
+        mA = jnp.where(in_rot, jnp.where(big, q_ + 1, q_), 1)
+        kA = jnp.where(in_rot, col, 0)
+        # pass A coefficients are swapped: exp_rotation1(seg, L, st2, s, c)
+        ccA = jnp.where(in_rot & (st2_p >= 2), s_p, 1.0)
+        ssA = jnp.where(in_rot & (st2_p >= 2), c_p, 0.0)
+        mA = jnp.where(st2_p >= 2, mA, 1)
+        kA = jnp.where(st2_p >= 2, kA, 0)
+        xa = _rot_pass(xa, ccA, ssA, kA, mA)
+        # inverse map: natural offset p -> chain slot
+        p_ = rel2
+        rowI = p_ % jnp.maximum(stA, 1)
+        colI = p_ // jnp.maximum(stA, 1)
+        tI = rowI * q_ + jnp.minimum(rowI, r0) + colI
+        idx_chain = jnp.clip(segbase + tI, 0, n2 - 1)
+        x = jnp.where(in_rot, jnp.take_along_axis(xa, idx_chain, axis=1), x)
+
+        # pass B (stride 1): contiguous chains of length L.
+        ccB = jnp.where(in_rot, c_p, 1.0)
+        ssB = jnp.where(in_rot, s_p, 0.0)
+        mB = jnp.where(in_rot, L_p, 1)
+        kB = jnp.where(in_rot, rel2, 0)
+        x = _rot_pass(x, ccB, ssB, kB, mB)
+
+        # ---- band walk ----
+        X = x.reshape(B, 2, n)
+        bw0 = jax.lax.bitcast_convert_type(bands[:, :, 0], jnp.uint32)
+        bw1 = jax.lax.bitcast_convert_type(bands[:, :, 1], jnp.uint32)
+        rec_b = (bw0 & 3).astype(jnp.int32)
+        td_b = ((bw0 >> 2) & 3).astype(jnp.int32)
+        lb_b = ((bw0 >> 4) & 1).astype(jnp.int32)
+        dual_b = (bw0 >> 5) & 1
+        isw_b = (bw0 >> 6) & 1
+        inv_b = (bw0 >> 7) & 1
+        imid_b = ((bw0 >> 8) & 0x7FFF).astype(jnp.float32) / 32768.0
+        ster_b = (bw0 >> 23) & 1
+        eff_b = ((bw1 >> 16) & 0x7FF).astype(jnp.int32)
+
+        # per-position fold fields on the [B, 2, n] view
+        typ_v = typ_p.reshape(B, 2, n)
+        src_v = g(srcrel).reshape(B, 2, n)
+        n2_v = g(nrm2).reshape(B, 2, n)
+        gain_v = gain_p.reshape(B, 2, n)
+        seed_v = g(seeds).reshape(B, 2, n)
+        rel_v = rel.reshape(B, 2, n)
+        fd_v = fd_p.reshape(B, 2, n)  # flat dst; plane-local dst = fd - plane*n
+
+        norm = jnp.zeros((B, 2, norm_len), jnp.float32)
+
+        for i in range(NB):
+            lo_, hi_ = int(e[i]), int(e[i + 1])
+            nb_ = hi_ - lo_
+            cfg_masks = []
+            for ci, (rec, td, lb) in enumerate(cfgs):
+                if (i, ci) not in t_und:
+                    cfg_masks.append(None)
+                    continue
+                mk = (rec_b[:, i] == rec) & (td_b[:, i] == td) & (lb_b[:, i] == (1 if lb else 0))
+                cfg_masks.append(mk)
+            ident = (rec_b[:, i] == 0) & (td_b[:, i] == 0) & (lb_b[:, i] == 1)
+
+            # intensity switch: average norm planes below this band
+            if lo_ > 0:
+                swm = (isw_b[:, i] == 1)[:, None]
+                pref = 0.5 * (norm[:, 0, :lo_] + norm[:, 1, :lo_])
+                norm = norm.at[:, 0, :lo_].set(
+                    jnp.where(swm, pref, norm[:, 0, :lo_])
+                )
+
+            # fold sources: gather norm slice at eff, apply T_fwd
+            has_fold = (typ_v[:, :, lo_:hi_] == LEAF_FOLD)
+            eff = jnp.clip(eff_b[:, i], 0, max(norm_len - nb_, 0))[:, None]
+            offs = jnp.arange(nb_)[None, :]
+            nrm_flat = norm.reshape(B, 2 * norm_len)
+            for npl in (0, 1):
+                src_idx = npl * norm_len + eff + offs
+                lbnd = jnp.take_along_axis(nrm_flat, src_idx, axis=1)  # [B, nb]
+                ld = jnp.where(ident[:, None], lbnd, 0.0)
+                for ci in range(len(cfgs)):
+                    if cfg_masks[ci] is None:
+                        continue
+                    ld = ld + jnp.where(
+                        cfg_masks[ci][:, None],
+                        lbnd @ t_fwd[(i, ci)].T,
+                        0.0,
+                    )
+                # fold fill: value = ld[srcrel + rel] + dither
+                sr = src_v[:, :, lo_:hi_] + rel_v[:, :, lo_:hi_]
+                sr = jnp.clip(sr, 0, nb_ - 1)
+                lval = jnp.take_along_axis(
+                    ld[:, None, :].repeat(2, axis=1), sr, axis=2
+                )
+                t1f = jnp.clip(rel_v[:, :, lo_:hi_] + 1, 0, _LCG_MAX - 1)
+                sval = jnp.take(jnp.asarray(aj_np), t1f) * seed_v[:, :, lo_:hi_] + jnp.take(
+                    jnp.asarray(cj_np), t1f
+                )
+                dith = jnp.where((sval & 0x8000) != 0, 1.0 / 256.0, -1.0 / 256.0)
+                fm = has_fold & (n2_v[:, :, lo_:hi_] == npl)
+                fill = jnp.where(fm, lval + dith, 0.0)
+                # per-leaf renorm of the fold fill (cumsum per plane so
+                # plane 0 sums never leak into plane 1 leaves)
+                csl = jnp.cumsum(fill * fill, axis=2)
+                relb = rel_v[:, :, lo_:hi_]
+                is_start = fm & (relb == 0)
+                # gather sum over each leaf: end = start + ln - 1
+                lnb = ln_p.reshape(B, 2, n)[:, :, lo_:hi_]
+                endr = jnp.clip(jnp.arange(nb_)[None, None, :] + lnb - 1, 0, nb_ - 1)
+                cs_end = jnp.take_along_axis(csl, endr, axis=2)
+                startm1 = jnp.arange(nb_)[None, None, :] - 1
+                cs_sm1 = jnp.where(
+                    startm1 < 0, 0.0,
+                    jnp.take_along_axis(csl, jnp.clip(startm1, 0, nb_ - 1), axis=2),
+                )
+                leafsum = cs_end - cs_sm1  # valid at leaf-start positions
+                scale_at_start = gain_v[:, :, lo_:hi_] / jnp.sqrt(EPSILON + leafsum)
+                # propagate the start's scale across the leaf
+                startpos = jnp.arange(nb_)[None, None, :] - relb
+                startpos = jnp.clip(startpos, 0, nb_ - 1)
+                scale = jnp.take_along_axis(scale_at_start, startpos, axis=2)
+                X = X.at[:, :, lo_:hi_].set(
+                    jnp.where(fm, fill * scale, X[:, :, lo_:hi_])
+                )
+
+            # undo transform
+            xb = X[:, :, lo_:hi_]
+            xn = jnp.where(ident[:, None, None], xb, 0.0)
+            for ci in range(len(cfgs)):
+                if cfg_masks[ci] is None:
+                    continue
+                xn = xn + jnp.where(
+                    cfg_masks[ci][:, None, None], xb @ t_und[(i, ci)].T, 0.0
+                )
+            # norm write (pre-merge)
+            if i < NB - 1 and hi_ <= norm_len:
+                sc = np.float32(math.sqrt(nb_))
+                norm = norm.at[:, 0, lo_:hi_].set(sc * xn[:, 0])
+                dm = (dual_b[:, i] == 1)[:, None]
+                norm = norm.at[:, 1, lo_:hi_].set(
+                    jnp.where(dm, sc * xn[:, 1], norm[:, 1, lo_:hi_])
+                )
+            # stereo merge
+            do_m = (ster_b[:, i] == 1) & c2
+            mid = imid_b[:, i][:, None]
+            x0 = xn[:, 0]
+            y0 = xn[:, 1]
+            xp = mid * jnp.sum(y0 * x0, axis=1, keepdims=True)
+            sdd = jnp.sum(y0 * y0, axis=1, keepdims=True)
+            el = mid * mid + sdd - 2 * xp
+            er = mid * mid + sdd + 2 * xp
+            degen = (er < 6e-4) | (el < 6e-4)
+            lg = 1.0 / jnp.sqrt(jnp.maximum(el, 1e-30))
+            rg = 1.0 / jnp.sqrt(jnp.maximum(er, 1e-30))
+            l_ = mid * x0
+            mx = jnp.where(degen, x0, lg * (l_ - y0))
+            my = jnp.where(degen, x0, rg * (l_ + y0))
+            dmask = do_m[:, None]
+            xn = jnp.stack(
+                [jnp.where(dmask, mx, xn[:, 0]), jnp.where(dmask, my, xn[:, 1])],
+                axis=1,
+            )
+            iv = ((inv_b[:, i] == 1) & c2)[:, None]
+            xn = jnp.stack(
+                [xn[:, 0], jnp.where(iv, -xn[:, 1], xn[:, 1])], axis=1
+            )
+            X = X.at[:, :, lo_:hi_].set(xn)
+
+        # ---- anti-collapse ----
+        ap = jnp.arange(a_max)[None, :]
+        avalid = ap < n_acents[:, None]
+        abase = hdr_off[:, None] + 2 * n_leaves[:, None] + n_seeds[:, None] + 2 * ap
+        a0 = jnp.take(arena, jnp.where(avalid, abase, 0), mode="clip")
+        a1 = jnp.take(arena, jnp.where(avalid, abase + 1, 0), mode="clip")
+        ab = (a0 & 0x1F).astype(jnp.int32)
+        ach = ((a0 >> 5) & 1).astype(jnp.int32)
+        amask = ((a0 >> 8) & 0xFF).astype(jnp.int32)
+        ar = _f16_to_f32_j((a0 >> 16) & 0xFFFF)
+        # scatter into [B, NB, 2]
+        ab_c = jnp.where(avalid, ab, NB)
+        r_bc = jnp.zeros((B, NB + 1, 2), jnp.float32).at[bidx, ab_c, ach].set(
+            jnp.where(avalid, ar, 0.0)
+        )[:, :NB]
+        s_bc = jnp.zeros((B, NB + 1, 2), jnp.uint32).at[bidx, ab_c, ach].set(
+            jnp.where(avalid, a1, 0)
+        )[:, :NB]
+        m_bc = jnp.zeros((B, NB + 1, 2), jnp.int32).at[bidx, ab_c, ach].set(
+            jnp.where(avalid, amask, 0)
+        )[:, :NB]
+        has_bc = jnp.zeros((B, NB + 1, 2), jnp.bool_).at[bidx, ab_c, ach].set(
+            avalid
+        )[:, :NB]
+
+        band_of = jnp.asarray(_plan_band_of_bin(lm))  # [n]
+        posn = jnp.arange(n)[None, :]
+        bb = band_of[None, :]
+        base_b = jnp.take(jnp.asarray(e[:NB]), bb)
+        off_in = posn - base_b
+        kblk = off_in & (m - 1)
+        jj = off_in >> lm
+        n0_b = jnp.take(jnp.asarray((modes.E_BANDS[1:] - modes.E_BANDS[:-1]).astype(np.int32)), bb)
+
+        def ac_channel(ch):
+            msk = jnp.take_along_axis(m_bc[:, :, ch], bb.repeat(B, 0), axis=1)
+            has = jnp.take_along_axis(has_bc[:, :, ch], bb.repeat(B, 0), axis=1)
+            rr = jnp.take_along_axis(r_bc[:, :, ch], bb.repeat(B, 0), axis=1)
+            sd = jnp.take_along_axis(s_bc[:, :, ch], bb.repeat(B, 0), axis=1)
+            cleared = ((msk >> kblk) & 1) == 0
+            # rank of cleared block k = cleared bits below k
+            rank = jnp.zeros_like(kblk)
+            for kb in range(m):
+                rank = rank + jnp.where(
+                    (kb < kblk) & (((msk >> kb) & 1) == 0), 1, 0
+                )
+            t_ = jnp.clip(rank * n0_b + jj + 1, 0, _LCG_MAX - 1)
+            sv = jnp.take(jnp.asarray(aj_np), t_) * sd + jnp.take(jnp.asarray(cj_np), t_)
+            val = jnp.where((sv & 0x8000) != 0, rr, -rr)
+            apply = has & cleared
+            newx = jnp.where(apply, val, X[:, ch])
+            # renorm bands with any record
+            s2 = jnp.einsum("bn,en->be", newx * newx, band_onehot_j)
+            anyr = has_bc[:, :, ch]
+            scl = jnp.where(anyr, 1.0 / jnp.sqrt(EPSILON + s2), 1.0)
+            sclb = jnp.einsum("be,en->bn", scl, band_onehot_j)
+            return newx * sclb
+
+        X = jnp.stack([ac_channel(0), ac_channel(1)], axis=1)
+        return X
+
+    return executor
+
+
+@functools.lru_cache(maxsize=None)
+def _plan_band_of_bin(lm: int) -> np.ndarray:
+    m = 1 << lm
+    n = m * modes.SHORT_MDCT_SIZE
+    widths = (modes.E_BANDS[1:] - modes.E_BANDS[:-1]).astype(np.int64) * m
+    idx = np.repeat(np.arange(NB, dtype=np.int32), widths)
+    # Bins above the top band never carry anti-collapse content; map them
+    # to band 20 (they are masked by `has` anyway).
+    return np.concatenate([idx, np.full(n - idx.size, NB - 1, np.int32)])
+
+
+def _f16_to_f32_j(h):
+    """uint32-holding-f16-bits -> f32 (jnp, vectorised)."""
+    sign = (h >> 15) & 1
+    exp = ((h >> 10) & 0x1F).astype(jnp.int32)
+    man = (h & 0x3FF).astype(jnp.float32)
+    f = jnp.where(
+        exp == 0,
+        (man / 1024.0) * jnp.float32(2.0 ** -14),
+        (1.0 + man / 1024.0) * jnp.exp2((exp - 15).astype(jnp.float32)),
+    )
+    return jnp.where(sign == 1, -f, f)

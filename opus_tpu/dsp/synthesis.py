@@ -504,6 +504,75 @@ def _unpack_pw(words_u32, batch: int, n: int, w_bits: int):
     return m[..., :n].astype(jnp.float32) * jnp.float32(1.0 / 16384.0)
 
 
+def _make_serving_core(lm: int, batch: int, channels: int, downsample: int,
+                       pf_chunk: int, pf_active: bool, silk_mix: bool):
+    """Shared serving-step body: (state, xs, ble, meta, gains, silk) ->
+    (state, pcm_out, digest).  xs is the unit-norm band-shape plane
+    [B, 2, N]; used by both the packed-spectrum and plan-executor steps."""
+    n = (1 << lm) * modes.SHORT_MDCT_SIZE
+    half = OVERLAP // 2
+    e_bands = jnp.asarray(modes.E_BANDS, jnp.int32)
+
+    def core(state: SynthState, xs, ble, meta, gains, silk):
+        silence = meta[:, 0] != 0
+        short = meta[:, 1] != 0
+        mono = meta[:, 3] == 1
+        eff_end = meta[:, 5]
+        periods = meta[:, 6:9]
+        tapsets = meta[:, 9:12]
+
+        if channels == 2:
+            x = jnp.where(mono[:, None, None], xs[:, :1], xs)
+            le = jnp.where(mono[:, None, None], ble[:, :1], ble)
+        else:
+            x = xs[:, :1]
+            le = ble[:, :1]
+
+        m = 1 << lm
+        bound = m * jnp.take(e_bands, eff_end)
+        if downsample != 1:
+            bound = jnp.minimum(bound, n // downsample)
+        bound = jnp.where(silence, 0, bound).astype(jnp.int32)
+
+        freq = _denormalise(x, le, lm, bound)
+        prev_tail = state.mem[..., DECODE_BUFFER_SIZE : DECODE_BUFFER_SIZE + half]
+        mids_l = _imdct_blocks(freq, lm, False)
+        out, tail = _overlap_add(mids_l, prev_tail, lm, False)
+        if lm != 0:
+            mids_s = _imdct_blocks(freq, lm, True)
+            out_s, tail_s = _overlap_add(mids_s, prev_tail, lm, True)
+            sel = short[:, None, None]
+            out = jnp.where(sel, out_s, out)
+            tail = jnp.where(sel, tail_s, tail)
+
+        hist = DECODE_BUFFER_SIZE - n
+        y = jnp.concatenate([state.mem[..., n:DECODE_BUFFER_SIZE], out], axis=-1)
+        if pf_active:
+            y = _postfilter(y, hist, n, lm, periods, gains, tapsets, pf_chunk)
+        out_f = y[..., hist:]
+
+        ys, new_preemph = _deemphasis(out_f, state.preemph)
+        pcm = ys[..., ::downsample] * (1.0 / 32768.0)
+
+        new_mem = jnp.concatenate(
+            [
+                state.mem[..., n:DECODE_BUFFER_SIZE],
+                out_f,
+                tail,
+                jnp.zeros_like(state.mem[..., : OVERLAP - half]),
+            ],
+            axis=-1,
+        )
+        pcm_out = jnp.transpose(pcm, (0, 2, 1)).astype(jnp.float32)
+        if silk_mix:
+            # decoder.rs:722-729: out = celt + silk/32768 in the time domain.
+            pcm_out = pcm_out + silk.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
+        digest = jnp.stack([pcm_out[0, 0, 0], pcm_out[-1, -1, -1]])
+        return SynthState(mem=new_mem, preemph=new_preemph), pcm_out, digest
+
+    return core
+
+
 def make_serving_step(lm: int, batch: int, channels: int = 2, downsample: int = 1,
                       pf_chunk: int = _CHUNK, pf_active: bool = True,
                       transfer: str = "q14", silk_mix: bool = False):
@@ -519,11 +588,9 @@ def make_serving_step(lm: int, batch: int, channels: int = 2, downsample: int = 
     from the batch's actual lags/gains via pf_chunk_for().
     """
     n = (1 << lm) * modes.SHORT_MDCT_SIZE
-    half = OVERLAP // 2
     assert not (silk_mix and downsample != 1), "mixed serving mixes at 48 kHz"
     silk_words = (n * channels + 1) // 2 if silk_mix else 0
     off = packed_offsets(batch, transfer, silk_words)
-    e_bands = jnp.asarray(modes.E_BANDS, jnp.int32)
 
     def unpack(buf):
         xq_w = buf[off["xq"] : off["silk"]]
@@ -558,64 +625,54 @@ def make_serving_step(lm: int, batch: int, channels: int = 2, downsample: int = 
             )
         return xs, ble, meta, gains, silk
 
+    core = _make_serving_core(lm, batch, channels, downsample, pf_chunk,
+                              pf_active, silk_mix)
+
     def step(state: SynthState, ring, buf):
         xs, ble, meta, gains, silk = unpack(buf)
-        silence = meta[:, 0] != 0
-        short = meta[:, 1] != 0
-        mono = meta[:, 3] == 1
-        eff_end = meta[:, 5]
-        periods = meta[:, 6:9]
-        tapsets = meta[:, 9:12]
+        return core(state, xs, ble, meta, gains, silk)
 
-        if channels == 2:
-            x = jnp.where(mono[:, None, None], xs[:, :1], xs)
-            le = jnp.where(mono[:, None, None], ble[:, :1], ble)
-        else:
-            x = xs[:, :1]
-            le = ble[:, :1]
+    return _maybe_checkify(step, donate=(0, 1))
 
-        m = 1 << lm
-        bound = m * jnp.take(e_bands, eff_end)
-        if downsample != 1:
-            bound = jnp.minimum(bound, n // downsample)
-        bound = jnp.where(silence, 0, bound).astype(jnp.int32)
 
-        freq = _denormalise(x, le, lm, bound)
-        prev_tail = state.mem[..., DECODE_BUFFER_SIZE : DECODE_BUFFER_SIZE + half]
-        mids_l = _imdct_blocks(freq, lm, False)
-        out, tail = _overlap_add(mids_l, prev_tail, lm, False)
-        if lm != 0:
-            mids_s = _imdct_blocks(freq, lm, True)
-            out_s, tail_s = _overlap_add(mids_s, prev_tail, lm, True)
-            sel = short[:, None, None]
-            out = jnp.where(sel, out_s, out)
-            tail = jnp.where(sel, tail_s, tail)
+def make_plan_serving_step(lm: int, batch: int, channels: int = 2,
+                           downsample: int = 1, pf_chunk: int = _CHUNK,
+                           pf_active: bool = True, arena_words: int = 0):
+    """Serving step over a plan-executor slot (opus_tpu/dsp/plan_exec.py).
 
-        # --- postfilter + de-emphasis: same tail as make_synthesis_step ---
-        hist = DECODE_BUFFER_SIZE - n
-        y = jnp.concatenate([state.mem[..., n:DECODE_BUFFER_SIZE], out], axis=-1)
-        if pf_active:
-            y = _postfilter(y, hist, n, lm, periods, gains, tapsets, pf_chunk)
-        out_f = y[..., hist:]
+    Same contract as make_serving_step, but the uploaded buffer holds
+    plane A's pulse-vector plan (header/ble/meta/gains/bands + a
+    variable-fill arena whose used prefix is bucketed by the caller)
+    instead of a packed spectrum; the band spectra are rebuilt on device
+    by the plan executor before the shared synthesis core runs.
+    """
+    from .plan_exec import make_plan_executor
 
-        ys, new_preemph = _deemphasis(out_f, state.preemph)
-        pcm = ys[..., ::downsample] * (1.0 / 32768.0)
+    B = batch
+    NBv = modes.NB_E_BANDS
+    o_hdr = 0
+    o_ble = o_hdr + B * 4
+    o_meta = o_ble + B * 2 * NBv
+    o_gains = o_meta + B * 16
+    o_bands = o_gains + B * 3
+    o_arena = o_bands + B * 2 * NBv
+    executor = make_plan_executor(lm, batch)
+    core = _make_serving_core(lm, batch, channels, downsample, pf_chunk,
+                              pf_active, False)
 
-        new_mem = jnp.concatenate(
-            [
-                state.mem[..., n:DECODE_BUFFER_SIZE],
-                out_f,
-                tail,
-                jnp.zeros_like(state.mem[..., : OVERLAP - half]),
-            ],
-            axis=-1,
-        )
-        pcm_out = jnp.transpose(pcm, (0, 2, 1)).astype(jnp.float32)
-        if silk_mix:
-            # decoder.rs:722-729: out = celt + silk/32768 in the time domain.
-            pcm_out = pcm_out + silk.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
-        digest = jnp.stack([pcm_out[0, 0, 0], pcm_out[-1, -1, -1]])
-        return SynthState(mem=new_mem, preemph=new_preemph), pcm_out, digest
+    def step(state: SynthState, ring, buf):
+        header = buf[o_hdr:o_ble].reshape(B, 4)
+        ble = jax.lax.bitcast_convert_type(
+            buf[o_ble:o_meta], jnp.float32
+        ).reshape(B, 2, NBv)
+        meta = buf[o_meta:o_gains].reshape(B, 16)
+        gains = jax.lax.bitcast_convert_type(
+            buf[o_gains:o_bands], jnp.float32
+        ).reshape(B, 3)
+        bands = buf[o_bands:o_arena].reshape(B, NBv, 2)
+        arena = buf[o_arena:]
+        xs = executor(header, bands, meta, arena)
+        return core(state, xs, ble, meta, gains, None)
 
     return _maybe_checkify(step, donate=(0, 1))
 

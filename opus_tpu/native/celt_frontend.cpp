@@ -1854,7 +1854,11 @@ static int decode_lost_noise(FrontEnd& st, int frame_size48, float* x_out,
 
     uint32_t seed = st.rng;
     std::memset(x_out, 0, (size_t)cc * n * sizeof(float));
-    if (plan) plan->reset(x_out, cc == 2 ? x_out + n : nullptr);
+    if (plan) {
+        plan->reset(x_out, cc == 2 ? x_out + n : nullptr);
+        // PLC planes carry no band transforms: longblocks identity config.
+        for (int i = 0; i < NB_E_BANDS; i++) plan->band_cfg(i, 0, 0, true);
+    }
     for (int c = 0; c < cc; c++) {
         for (int i = start; i < eff_end; i++) {
             int boffs = n * c + (E_BANDS[i] << lm);

@@ -316,7 +316,7 @@ class NativeBatchFrontEnd:
             )
         return slots
 
-    def alloc_plan_slots(self, n_slots: int = 4, arena_words_per_stream: int = 400) -> list:
+    def alloc_plan_slots(self, n_slots: int = 4, arena_words_per_stream: int = 512) -> list:
         """Plan-executor serving slots (opus_tpu/dsp/plan_exec.py contract).
 
         One contiguous int32 buffer per slot: fixed regions (header [B,4],
@@ -379,6 +379,9 @@ class NativeBatchFrontEnd:
             raise OverflowError("plan arena capacity exceeded")
         if rc != B:
             raise ValueError(f"native plan decode failed at stream {-rc - 1}")
+        if int(slot["header"][:, 1].max(initial=0)) > 192:
+            # jit executor's leaf-table capacity (make_plan_executor p_max)
+            raise OverflowError("plan leaf count exceeds executor capacity")
         slot["used_words"] = slot["fixed_words"] + int(used.value)
         slot["xdbg"] = xdbg
         return slot

@@ -301,3 +301,71 @@ def test_native_batch_fuzz_robustness():
             d.serve([payloads], 960)
         except ValueError:
             pass
+
+
+def test_plan_executor_matches_reference_spectra():
+    """Plan emission + both executors reproduce the native f32 spectra.
+
+    Exercises PVQ leaves, spreading rotation, folds, transients
+    (haar/interleave undo + anti-collapse), stereo merge, and PLC noise
+    leaves across bitrates."""
+    from opus_tpu.native.frontend import NativeBatchFrontEnd
+    from opus_tpu.dsp.plan_exec import execute_plan_numpy, make_plan_executor
+    import jax
+    import jax.numpy as jnp
+
+    B, F, NF = 3, 960, 6
+    rng = np.random.default_rng(11)
+    t = np.arange(F * NF) / 48000.0
+    sig = np.sin(2 * np.pi * 220 * t) * 0.4 + np.sin(2 * np.pi * 3000 * t) * 0.2
+    sig[F * 2 : F * 2 + 500] += rng.standard_normal(500) * 0.8  # transient
+    sig[: F // 2] = 0
+    streams = []
+    for kbps in (48, 96, 160):
+        enc = oracle.Encoder(48000, 2)
+        enc.ctl(oracle.SET_BITRATE, kbps * 1000)
+        enc.ctl(oracle.SET_FORCE_MODE, oracle.MODE_CELT_ONLY)
+        pcm = np.stack([sig, np.roll(sig, 13)], -1).astype(np.float32)
+        pk = [enc.encode_float(pcm[i * F : (i + 1) * F].ravel(), F) for i in range(NF)]
+        streams.append([p[parse_packet(p).payload_offset :] for p in pk])
+    fe = NativeBatchFrontEnd(B, 2, 1)
+    slots = fe.alloc_plan_slots(1)
+    exj = jax.jit(make_plan_executor(3, B))
+    for fr in range(NF):
+        pkts = [streams[b][fr] for b in range(B)]
+        if fr == 4:
+            pkts[1] = None  # PLC noise-leaf path
+        slot = fe.decode_batch_plan_into(pkts, F, slots[0], want_xdbg=True)
+        xn = execute_plan_numpy(slot, 3)
+        xj = np.asarray(
+            exj(jnp.asarray(slot["header"]), jnp.asarray(slot["bands"]),
+                jnp.asarray(slot["meta"]), jnp.asarray(slot["arena"]))
+        )
+        for b in range(B):
+            c_ = int(slot["meta"][b, 3])
+            ref = slot["xdbg"][b, : c_ * 960].reshape(c_, 960)
+            assert np.abs(ref - xn[b, :c_]).max() < 1e-3  # f16 leaf gains
+            assert np.abs(ref - xj[b, :c_]).max() < 1e-3
+
+
+def test_plan_transfer_mode_conformance():
+    """transfer="plan" through the full serve() loop clears the RFC 8251
+    conformance gate vs the float reference path (state carry, postfilter,
+    transients, silence tail included)."""
+    from opus_tpu.batch.pipeline import BatchedCeltDecoder
+    from opus_tpu.conformance import PASS_QUALITY, compare
+
+    B, FRAME, NF = 4, 960, 6
+    payloads = _payloads(2, 960, 96, nframes=NF)
+    f = BatchedCeltDecoder(B, 2, use_native=True, transfer="f32")
+    if not f.use_native:
+        pytest.skip("native engine not built")
+    refs, ours = [], []
+    p = BatchedCeltDecoder(B, 2, use_native=True, transfer="plan")
+    for fr in range(NF):
+        refs.append(f.decode_frames([payloads[fr]] * B, FRAME)[0])
+        p.serve([[payloads[fr]] * B], FRAME)
+        ours.append(np.asarray(p._serve_ring)[0])
+    a, b = np.concatenate(refs), np.concatenate(ours)
+    assert float(np.abs(a - b).max()) < 4e-3
+    assert compare(a, b) >= PASS_QUALITY
