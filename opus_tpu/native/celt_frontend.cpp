@@ -1026,6 +1026,12 @@ struct BandCtx {
     uint32_t seed;
     bool disable_inv;
     PlanSink* plan = nullptr;
+    // Plan fast path: skip ALL float band math.  Safe because nothing on
+    // the host consumes the float values in plan mode — fold content is
+    // rebuilt on device from recorded seeds/srcrel, and no bitstream
+    // decision depends on them.  Only the LCG consumption counts must be
+    // replayed so st.rng stays exact.
+    bool plan_skip = false;
 };
 
 struct SplitCtx {
@@ -1191,16 +1197,18 @@ static uint32_t quant_partition(BandCtx& ctx, float* x, int n, int64_t b, int B,
     if (q != 0) {
         int k = get_pulses(q);
         if (ctx.plan) {
-            // Plan mode: record the integer pulse vector + leaf params and
-            // still produce the float content (norm/fold sources need it;
-            // the device executor independently replays the same math).
+            // Plan mode: record the integer pulse vector + leaf params; the
+            // debug path (plan_skip=false) still produces the float content
+            // the executor conformance tests compare against.
             int32_t iy[256];
             uint64_t ryy;
             decode_pulses(*ctx.ec, n, k, iy, &ryy);
             ctx.plan->emit_pvq(x, n, k, B, gain, iy);
-            float g = gain / std::sqrt((float)ryy);
-            for (int j = 0; j < n; j++) x[j] = g * iy[j];
-            exp_rotation(x, n, -1, B, k, ctx.spread);
+            if (!ctx.plan_skip) {
+                float g = gain / std::sqrt((float)ryy);
+                for (int j = 0; j < n; j++) x[j] = g * iy[j];
+                exp_rotation(x, n, -1, B, k, ctx.spread);
+            }
             return extract_collapse_mask(iy, n, B);
         }
         return alg_unquant(x, n, k, ctx.spread, B, *ctx.ec, gain);
@@ -1209,9 +1217,14 @@ static uint32_t quant_partition(BandCtx& ctx, float* x, int n, int64_t b, int B,
     fill &= cm_mask;
     uint32_t cm = 0;
     if (!fill) {
-        std::memset(x, 0, n * sizeof(float));
+        if (!ctx.plan_skip) std::memset(x, 0, n * sizeof(float));
     } else {
         if (ctx.plan) ctx.plan->emit_fill(x, n, gain, lowband, ctx.seed);
+        if (ctx.plan_skip) {
+            // Only the LCG consumption count matters on the fast path.
+            for (int j = 0; j < n; j++) ctx.seed = lcg_rand(ctx.seed);
+            return lowband == nullptr ? cm_mask : fill;
+        }
         if (lowband == nullptr) {
             for (int j = 0; j < n; j++) {
                 ctx.seed = lcg_rand(ctx.seed);
@@ -1247,7 +1260,8 @@ static uint32_t quant_band(BandCtx& ctx, float* x, int n, int64_t b, int B,
 
     if (tf_change > 0) recombine = tf_change;
 
-    if (lowband_scratch && lowband &&
+    bool skip = ctx.plan_skip;
+    if (!skip && lowband_scratch && lowband &&
         (recombine || ((n_b & 1) == 0 && tf_change < 0) || B0 > 1)) {
         std::memcpy(lowband_scratch, lowband, n * sizeof(float));
         lowband = lowband_scratch;
@@ -1255,14 +1269,14 @@ static uint32_t quant_band(BandCtx& ctx, float* x, int n, int64_t b, int B,
     if (ctx.plan) ctx.plan->lb0 = lowband;  // srcrel base for this band's folds
 
     for (int k = 0; k < recombine; k++) {
-        if (lowband) haar1(lowband, n >> k, 1 << k);
+        if (lowband && !skip) haar1(lowband, n >> k, 1 << k);
         fill = BIT_INTERLEAVE[fill & 0xF] | (uint32_t)BIT_INTERLEAVE[fill >> 4] << 2;
     }
     B >>= recombine;
     n_b <<= recombine;
 
     while ((n_b & 1) == 0 && tf_change < 0) {
-        if (lowband) haar1(lowband, n_b, B);
+        if (lowband && !skip) haar1(lowband, n_b, B);
         fill |= fill << B;
         B <<= 1;
         n_b >>= 1;
@@ -1272,14 +1286,14 @@ static uint32_t quant_band(BandCtx& ctx, float* x, int n, int64_t b, int B,
     B0 = B;
     int n_b0 = n_b;
 
-    if (B0 > 1 && lowband)
+    if (B0 > 1 && lowband && !skip)
         deinterleave_hadamard(lowband, n_b >> recombine, B0 << recombine, long_blocks, tmpbuf);
 
     if (ctx.plan) ctx.plan->band_cfg(ctx.band, recombine, time_divide, long_blocks);
     uint32_t cm = quant_partition(ctx, x, n, b, B, lowband, lm, gain, fill);
 
     // Resynthesis reshaping (decode side always resynthesises).
-    if (B0 > 1)
+    if (B0 > 1 && !skip)
         interleave_hadamard(x, n_b >> recombine, B0 << recombine, long_blocks, tmpbuf);
     n_b = n_b0;
     B = B0;
@@ -1287,15 +1301,15 @@ static uint32_t quant_band(BandCtx& ctx, float* x, int n, int64_t b, int B,
         B >>= 1;
         n_b <<= 1;
         cm |= cm >> B;
-        haar1(x, n_b, B);
+        if (!skip) haar1(x, n_b, B);
     }
     for (int k = 0; k < recombine; k++) {
         cm = BIT_DEINTERLEAVE[cm];
-        haar1(x, n0 >> k, 1 << k);
+        if (!skip) haar1(x, n0 >> k, 1 << k);
     }
     B <<= recombine;
 
-    if (lowband_out) {
+    if (lowband_out && !skip) {
         float scale = std::sqrt((float)n0);
         for (int j = 0; j < n0; j++) lowband_out[j] = scale * x[j];
     }
@@ -1368,9 +1382,11 @@ static uint32_t quant_band_stereo(BandCtx& ctx, float* x, float* y, int n, int64
             cm |= quant_band(ctx, x, n, mbits, B, lowband, lm, lowband_out, 1.0, lowband_scratch, fill, tmpbuf);
         }
     }
-    if (n != 2) stereo_merge(x, y, mid, n);
-    if (inv)
-        for (int j = 0; j < n; j++) y[j] = -y[j];
+    if (!ctx.plan_skip) {
+        if (n != 2) stereo_merge(x, y, mid, n);
+        if (inv)
+            for (int j = 0; j < n; j++) y[j] = -y[j];
+    }
     return cm;
 }
 
@@ -1388,7 +1404,7 @@ static uint32_t quant_all_bands_dec(int start, int end, float* x_, float* y_,
                                     bool dual_stereo, int intensity, const int* tf_res,
                                     int64_t total_bits, int64_t balance, RangeDec& ec,
                                     int lm, int coded_bands, uint32_t seed, bool disable_inv,
-                                    PlanSink* plan = nullptr) {
+                                    PlanSink* plan = nullptr, bool plan_skip = false) {
     int M = 1 << lm;
     int B = short_blocks ? M : 1;
     int C = y_ ? 2 : 1;
@@ -1414,6 +1430,7 @@ static uint32_t quant_all_bands_dec(int start, int end, float* x_, float* y_,
     ctx.seed = seed;
     ctx.disable_inv = disable_inv;
     ctx.plan = plan;
+    ctx.plan_skip = plan != nullptr && plan_skip;
     if (plan) plan->reset(x_, y_);
 
     int lowband_offset = 0;
@@ -1479,8 +1496,10 @@ static uint32_t quant_all_bands_dec(int start, int end, float* x_, float* y_,
         bool int_switch = dual_stereo && i == intensity;
         if (int_switch) {
             dual_stereo = false;
-            int upto = M * E_BANDS[i] - norm_offset;
-            for (int j = 0; j < upto; j++) norm[j] = 0.5 * (norm[j] + norm2[j]);
+            if (!ctx.plan_skip) {
+                int upto = M * E_BANDS[i] - norm_offset;
+                for (int j = 0; j < upto; j++) norm[j] = 0.5 * (norm[j] + norm2[j]);
+            }
         }
         if (plan) plan->band_flags(i, dual_stereo, int_switch, effective_lowband);
 
@@ -1517,7 +1536,7 @@ static uint32_t anti_collapse_c(float* x_, const int32_t collapse_masks[NB_E_BAN
                                 const float prev1_log_e[2][NB_E_BANDS],
                                 const float prev2_log_e[2][NB_E_BANDS],
                                 const int* pulses, uint32_t seed,
-                                PlanSink* plan = nullptr) {
+                                PlanSink* plan = nullptr, bool plan_skip = false) {
     for (int i = start; i < end; i++) {
         int n0 = E_BANDS[i + 1] - E_BANDS[i];
         int depth = ((1 + pulses[i]) / n0) >> lm;
@@ -1545,14 +1564,18 @@ static uint32_t anti_collapse_c(float* x_, const int32_t collapse_masks[NB_E_BAN
             }
             for (int k = 0; k < (1 << lm); k++) {
                 if (!(collapse_masks[i][c] & (1 << k))) {
-                    for (int j = 0; j < n0; j++) {
-                        seed = lcg_rand(seed);
-                        x_[base + (j << lm) + k] = (seed & 0x8000) ? r : -r;
+                    if (plan_skip) {
+                        for (int j = 0; j < n0; j++) seed = lcg_rand(seed);
+                    } else {
+                        for (int j = 0; j < n0; j++) {
+                            seed = lcg_rand(seed);
+                            x_[base + (j << lm) + k] = (seed & 0x8000) ? r : -r;
+                        }
                     }
                     renorm = true;
                 }
             }
-            if (renorm) renormalise_vector(x_ + base, n0 << lm, 1.0);
+            if (renorm && !plan_skip) renormalise_vector(x_ + base, n0 << lm, 1.0);
         }
     }
     return seed;
@@ -1611,7 +1634,8 @@ struct FrontEnd {
 
 static int decode_frame_ec(FrontEnd& st, RangeDec& dec, int frame_bytes, int frame_size48,
                            int stream_channels, float* x_out, float* band_log_e_out,
-                           int32_t* meta, double* pf_gains, PlanSink* plan = nullptr) {
+                           int32_t* meta, double* pf_gains, PlanSink* plan = nullptr,
+                           bool plan_skip = false) {
     // dec is already initialised (and, for hybrid frames, advanced past the
     // SILK symbols — the shared-range-coder contract, decoder.rs:603/:711).
     int frame_size = frame_size48;  // caller passes samples at 48 kHz
@@ -1715,7 +1739,8 @@ static int decode_frame_ec(FrontEnd& st, RangeDec& dec, int frame_bytes, int fra
 
     int32_t collapse_masks[NB_E_BANDS][2];
     std::memset(collapse_masks, 0, sizeof(collapse_masks));
-    std::memset(x_out, 0, (size_t)c_ * n * sizeof(float));
+    bool skip = plan != nullptr && plan_skip;
+    if (!skip) std::memset(x_out, 0, (size_t)c_ * n * sizeof(float));
     float* y_ = c_ == 2 ? x_out + n : nullptr;
 
     if (plan && (start != 0 || end != NB_E_BANDS)) return -3;  // plan: full-band only
@@ -1724,7 +1749,7 @@ static int decode_frame_ec(FrontEnd& st, RangeDec& dec, int frame_bytes, int fra
                                  alloc.intensity, tf_res,
                                  (int64_t)frame_bytes * (8 << BITRES) - anti_collapse_rsv,
                                  alloc.balance, dec, lm, alloc.coded_bands, st.rng,
-                                 st.disable_inv, plan);
+                                 st.disable_inv, plan, skip);
 
     bool anti_collapse_on = false;
     if (anti_collapse_rsv > 0) anti_collapse_on = dec.decode_bits(1) != 0;
@@ -1735,7 +1760,7 @@ static int decode_frame_ec(FrontEnd& st, RangeDec& dec, int frame_bytes, int fra
     if (anti_collapse_on)
         st.rng = anti_collapse_c(x_out, collapse_masks, lm, c_, n, start, end,
                                  (const float(*)[NB_E_BANDS])old_band_e, st.old_log_e,
-                                 st.old_log_e2, alloc.pulses, st.rng, plan);
+                                 st.old_log_e2, alloc.pulses, st.rng, plan, skip);
 
     if (silence)
         for (int c = 0; c < 2; c++)
@@ -2171,7 +2196,8 @@ int celt_fe_decode_batch_plan(void** handles, const uint8_t* data, const int32_t
                     rc = decode_frame_ec(*st, dec, lens[i], frame_size48,
                                          stream_channels[i], scratch.data(),
                                          ble_out + i * 2 * NB_E_BANDS,
-                                         meta_out + i * 16, g, &sink);
+                                         meta_out + i * 16, g, &sink,
+                                         /*plan_skip=*/xdbg == nullptr);
                 }
             } else {
                 rc = decode_lost_noise(*st, frame_size48, scratch.data(),
