@@ -111,15 +111,23 @@ def main() -> None:
     libopus_rate = nref * 0.02 / el
 
     # --- headline: packed serving loop end-to-end ---------------------------
-    # One upload + one execute per step (packed 10-bit slot, donated state
-    # + PCM ring, plane A overlapped in a second thread), true-synced by
-    # fetching the step digest. Best-of-N: the host core AND the
-    # host<->device link are shared with other tenants and vary >3x
-    # run-to-run (including multi-second transport stalls); the minimum is
-    # the achievable steady-state rate, so the headline gets the largest
-    # share of the wall-clock budget.
-    front = BatchedCeltDecoder(BATCH, 2, use_native=True, transfer="p10")
-    front.serve(batches[:2], FRAME)  # warm jit + buffers
+    # One upload + one execute per step (plan-executor slot: pulse vectors
+    # + band plan, spectra rebuilt on device — ~1.4 KB/stream vs 2.6 at
+    # p10 on the byte-bound transport; p10 fallback if plan mode trips a
+    # capacity limit), donated state + PCM ring, plane A overlapped in a
+    # second thread, true-synced by fetching the step digest. Best-of-N:
+    # the host core AND the host<->device link are shared with other
+    # tenants and vary >3x run-to-run (including multi-second transport
+    # stalls); the minimum is the achievable steady-state rate, so the
+    # headline gets the largest share of the wall-clock budget.
+    serve_mode = "plan"
+    try:
+        front = BatchedCeltDecoder(BATCH, 2, use_native=True, transfer="plan")
+        front.serve(batches[:2], FRAME)  # warm jit + buffers
+    except Exception:
+        serve_mode = "p10"
+        front = BatchedCeltDecoder(BATCH, 2, use_native=True, transfer="p10")
+        front.serve(batches[:2], FRAME)
     best = float("inf")
     for _ in range(12):
         t0 = time.perf_counter()
@@ -131,15 +139,27 @@ def main() -> None:
     e2e_rate = STEPS * BATCH * 0.02 / best
 
     # --- plane A alone (native C++ symbol decode, this host's cores) --------
-    slots = front.native.alloc_packed_slots(2, "p10")
-    host_elapsed = _best(
-        lambda: front.native.decode_batch_q15_into(batches[0], FRAME, slots[0]), 5
-    )
+    if serve_mode == "plan":
+        pslots = front.native.alloc_plan_slots(2)
+        host_elapsed = _best(
+            lambda: front.native.decode_batch_plan_into(batches[0], FRAME, pslots[0]), 5
+        )
+        bytes_per_stream = pslots[0]["used_words"] * 4 / BATCH
+    else:
+        qslots = front.native.alloc_packed_slots(2, "p10")
+        host_elapsed = _best(
+            lambda: front.native.decode_batch_q15_into(batches[0], FRAME, qslots[0]), 5
+        )
+        bytes_per_stream = (600 + 42 + 16 + 3) * 4
     host_rate = BATCH * 0.02 / host_elapsed
     _PARTIAL["extras"] = {
         "host_plane_native_audio_sec_per_sec_per_core": round(host_rate, 1),
         "libopus_full_decode_audio_sec_per_sec_per_core_same_host": round(libopus_rate, 1),
+        "serve_transfer_mode": serve_mode,
+        "upload_bytes_per_stream": round(bytes_per_stream, 1),
     }
+    slots = front.native.alloc_packed_slots(2, "p10")
+    front.native.decode_batch_q15_into(batches[0], FRAME, slots[0])
 
     # --- plane B alone: batched synthesis step throughput -------------------
     # Chained executes with args resident on device, ONE true sync at the
@@ -151,8 +171,16 @@ def main() -> None:
 
     lm = int(slots[0]["meta"][0, 2])
     pf_chunk, pf_active = pf_chunk_for(slots[0]["meta"][:, 6:9], slots[0]["gains"])
-    sstep = front._serving_step(lm, pf_chunk, pf_active)
-    jbuf = jnp.asarray(slots[0]["buf"])
+    if serve_mode == "plan":
+        # Measure the step actually served: plan unpack + executor + synthesis.
+        arena_used = pslots[0]["used_words"] - pslots[0]["fixed_words"]
+        per_stream = -(-arena_used // BATCH)
+        bucket = next(bw for bw in front.PLAN_BUCKETS if bw >= per_stream)
+        sstep = front._plan_serving_step(lm, pf_chunk, pf_active, bucket)
+        jbuf = jnp.asarray(pslots[0]["buf"][: pslots[0]["fixed_words"] + BATCH * bucket])
+    else:
+        sstep = front._serving_step(lm, pf_chunk, pf_active)
+        jbuf = jnp.asarray(slots[0]["buf"])
     dstate = init_state(BATCH, 2)
     dring = jnp.zeros((BATCH, FRAME, 2), jnp.float32)
     dstate, dring, dg = sstep(dstate, dring, jbuf)
