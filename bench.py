@@ -268,24 +268,43 @@ def main() -> None:
         pass
 
     # --- encoder (BASELINE configs[3]: CELT stereo music encode) ------------
+    # Native C++ encode plane (celt_encoder.inc, batch-parallel); falls back
+    # to the Python encoder if the native build is absent.
     encode_rate = 0.0
     try:
         if _left() < 45:
             raise TimeoutError("budget spent; skipping encode section")
-        import opus_tpu.encoder as topenc
-        from opus_tpu.types import Channels as Ch, SamplingRate as SR
+        from opus_tpu.native.frontend import NativeCeltEncoderBatch
 
-        e = topenc.Encoder(topenc.EncoderConfiguration(SR(48000), Ch.STEREO, 96000,
-                                                       application="music"))
-        for f in range(2):
-            e.encode(pcm[f * FRAME : (f + 1) * FRAME])
-        n_enc = 8
-        t1 = time.perf_counter()
-        for f in range(n_enc):
-            e.encode(pcm[(f % NSRC) * FRAME : ((f % NSRC) + 1) * FRAME])
-        encode_rate = n_enc * 0.02 / (time.perf_counter() - t1)
+        EB, ENF = 32, 8  # 256 frames total
+        benc = NativeCeltEncoderBatch(EB, 2)
+        frames = [np.ascontiguousarray(pcm[f * FRAME : (f + 1) * FRAME])
+                  for f in range(min(ENF, NSRC))]
+        bpcm = [np.broadcast_to(fr, (EB, FRAME, 2)) for fr in frames]
+        benc.encode_batch(bpcm[0], 240)  # warm tables
+        best = float("inf")
+        for _ in range(3):
+            t1 = time.perf_counter()
+            for fb in bpcm:
+                benc.encode_batch(fb, 240)
+            best = min(best, time.perf_counter() - t1)
+        encode_rate = EB * len(bpcm) * 0.02 / best
     except Exception:
-        pass
+        try:
+            import opus_tpu.encoder as topenc
+            from opus_tpu.types import Channels as Ch, SamplingRate as SR
+
+            e = topenc.Encoder(topenc.EncoderConfiguration(SR(48000), Ch.STEREO, 96000,
+                                                           application="music"))
+            for f in range(2):
+                e.encode(pcm[f * FRAME : (f + 1) * FRAME])
+            n_enc = 8
+            t1 = time.perf_counter()
+            for f in range(n_enc):
+                e.encode(pcm[(f % NSRC) * FRAME : ((f % NSRC) + 1) * FRAME])
+            encode_rate = n_enc * 0.02 / (time.perf_counter() - t1)
+        except Exception:
+            pass
 
     cores = os.cpu_count() or 1
     result = {

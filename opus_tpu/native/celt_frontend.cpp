@@ -582,16 +582,17 @@ constexpr int SPREAD_AGGRESSIVE_ = 3;
 constexpr int SPREAD_FACTOR[3] = {15, 10, 5};
 constexpr float EPSILON = 1e-15;
 
-static void exp_rotation1(float* x, int len, int stride, float c, float s) {
-    float ms = -s;
+template <typename F>
+static void exp_rotation1(F* x, int len, int stride, F c, F s) {
+    F ms = -s;
     if (stride == 1) {
         // Forward pass: iteration i+1's x1 is the value just written to
         // x[i+1] — carry it in a register (same FP ops, one load less,
         // shorter address chain on the latency-bound recurrence).
-        float x1 = x[0];
+        F x1 = x[0];
         for (int i = 0; i < len - 1; i++) {
-            float x2 = x[i + 1];
-            float nx2 = c * x2 + s * x1;
+            F x2 = x[i + 1];
+            F nx2 = c * x2 + s * x1;
             x[i] = c * x1 + ms * x2;
             x[i + 1] = nx2;
             x1 = nx2;
@@ -599,11 +600,11 @@ static void exp_rotation1(float* x, int len, int stride, float c, float s) {
         // Backward pass: iteration i-1's x2 is the value just written to
         // x[i] — carry it the same way.
         if (len >= 3) {
-            float x2 = x[len - 2];
+            F x2 = x[len - 2];
             for (int i = len - 3; i >= 0; i--) {
-                float x1b = x[i];
+                F x1b = x[i];
                 x[i + 1] = c * x2 + s * x1b;
-                float nx1 = c * x1b + ms * x2;
+                F nx1 = c * x1b + ms * x2;
                 x[i] = nx1;
                 x2 = nx1;
             }
@@ -611,24 +612,25 @@ static void exp_rotation1(float* x, int len, int stride, float c, float s) {
         return;
     }
     for (int i = 0; i < len - stride; i++) {
-        float x1 = x[i], x2 = x[i + stride];
+        F x1 = x[i], x2 = x[i + stride];
         x[i + stride] = c * x2 + s * x1;
         x[i] = c * x1 + ms * x2;
     }
     for (int i = len - 2 * stride - 1; i >= 0; i--) {
-        float x1 = x[i], x2 = x[i + stride];
+        F x1 = x[i], x2 = x[i + stride];
         x[i + stride] = c * x2 + s * x1;
         x[i] = c * x1 + ms * x2;
     }
 }
 
-static void exp_rotation(float* x, int len, int direction, int stride, int k, int spread) {
+template <typename F>
+static void exp_rotation(F* x, int len, int direction, int stride, int k, int spread) {
     if (2 * k >= len || spread == SPREAD_NONE_) return;
     int factor = SPREAD_FACTOR[spread - 1];
-    float gain = (float)len / (float)(len + factor * k);
-    float theta = 0.5 * gain * gain;
-    float c = std::cos(0.5 * M_PI * theta);
-    float s = std::cos(0.5 * M_PI * (1.0 - theta));
+    F gain = (F)((double)len / (double)(len + factor * k));
+    F theta = (F)(0.5 * (double)gain * (double)gain);
+    F c = (F)std::cos(0.5 * M_PI * (double)theta);
+    F s = (F)std::cos(0.5 * M_PI * (1.0 - (double)theta));
     int stride2 = 0;
     if (len >= 8 * stride) {
         stride2 = 1;
@@ -636,7 +638,7 @@ static void exp_rotation(float* x, int len, int direction, int stride, int k, in
     }
     len /= stride;
     for (int i = 0; i < stride; i++) {
-        float* seg = x + i * len;
+        F* seg = x + i * len;
         if (direction < 0) {
             if (stride2) exp_rotation1(seg, len, stride2, s, c);
             exp_rotation1(seg, len, 1, c, s);
@@ -659,10 +661,11 @@ static uint32_t extract_collapse_mask(const int32_t* iy, int n, int b) {
     return mask;
 }
 
-static void renormalise_vector(float* x, int n, float gain) {
-    float e = EPSILON;
+template <typename F>
+static void renormalise_vector(F* x, int n, F gain) {
+    F e = (F)EPSILON;
     for (int j = 0; j < n; j++) e += x[j] * x[j];
-    float g = gain / std::sqrt(e);
+    F g = gain / std::sqrt(e);
     for (int j = 0; j < n; j++) x[j] *= g;
 }
 
@@ -701,24 +704,26 @@ constexpr uint8_t BIT_DEINTERLEAVE[16] = {0x00, 0x03, 0x0C, 0x0F, 0x30, 0x33, 0x
                                           0xC0, 0xC3, 0xCC, 0xCF, 0xF0, 0xF3, 0xFC, 0xFF};
 constexpr int EXP2_TABLE8[8] = {16384, 17866, 19483, 21247, 23170, 25267, 27554, 30048};
 
-static void haar1(float* x, int n0, int stride) {
+template <typename F>
+static void haar1(F* x, int n0, int stride) {
     n0 >>= 1;
-    const float c = 0.70710678;
+    const F c = (F)0.70710678;
     for (int i = 0; i < stride; i++) {
         for (int j = 0; j < n0; j++) {
             int idx = i + stride * 2 * j;
-            float a = c * x[idx];
-            float b = c * x[idx + stride];
+            F a = c * x[idx];
+            F b = c * x[idx + stride];
             x[idx] = a + b;
             x[idx + stride] = a - b;
         }
     }
 }
 
-static void deinterleave_hadamard(float* x, int n0, int stride, bool hadamard, std::vector<float>& tmpbuf) {
+template <typename F>
+static void deinterleave_hadamard(F* x, int n0, int stride, bool hadamard, std::vector<F>& tmpbuf) {
     int n = n0 * stride;
     if ((int)tmpbuf.size() < n) tmpbuf.resize(n);
-    float* tmp = tmpbuf.data();
+    F* tmp = tmpbuf.data();
     if (hadamard) {
         const int* ordery = ordery_for(stride);
         for (int i = 0; i < stride; i++)
@@ -727,13 +732,14 @@ static void deinterleave_hadamard(float* x, int n0, int stride, bool hadamard, s
         for (int i = 0; i < stride; i++)
             for (int j = 0; j < n0; j++) tmp[i * n0 + j] = x[i + j * stride];
     }
-    std::memcpy(x, tmp, n * sizeof(float));
+    std::memcpy(x, tmp, n * sizeof(F));
 }
 
-static void interleave_hadamard(float* x, int n0, int stride, bool hadamard, std::vector<float>& tmpbuf) {
+template <typename F>
+static void interleave_hadamard(F* x, int n0, int stride, bool hadamard, std::vector<F>& tmpbuf) {
     int n = n0 * stride;
     if ((int)tmpbuf.size() < n) tmpbuf.resize(n);
-    float* tmp = tmpbuf.data();
+    F* tmp = tmpbuf.data();
     if (hadamard) {
         const int* ordery = ordery_for(stride);
         for (int i = 0; i < stride; i++)
@@ -742,7 +748,7 @@ static void interleave_hadamard(float* x, int n0, int stride, bool hadamard, std
         for (int i = 0; i < stride; i++)
             for (int j = 0; j < n0; j++) tmp[i + j * stride] = x[i * n0 + j];
     }
-    std::memcpy(x, tmp, n * sizeof(float));
+    std::memcpy(x, tmp, n * sizeof(F));
 }
 
 static int compute_qn(int n, int b, int offset, int pulse_cap, bool stereo) {
@@ -1575,7 +1581,7 @@ static uint32_t anti_collapse_c(float* x_, const int32_t collapse_masks[NB_E_BAN
                     renorm = true;
                 }
             }
-            if (renorm && !plan_skip) renormalise_vector(x_ + base, n0 << lm, 1.0);
+            if (renorm && !plan_skip) renormalise_vector(x_ + base, n0 << lm, 1.0f);
         }
     }
     return seed;
@@ -2289,3 +2295,5 @@ int celt_fe_decode_batch_q15(void** handles, const uint8_t* data, const int32_t*
 }
 
 }  // extern "C"
+
+#include "celt_encoder.inc"

@@ -194,4 +194,209 @@ static int decode_laplace(RangeDec& dec, int fs, int decay) {
 }
 
 
+// ---------------------------------------------------------------------------
+// Range encoder (RFC 6716 sec. 4.1) — mirrors opus_tpu/rc/encoder.py.
+// ---------------------------------------------------------------------------
+
+constexpr int CODE_SHIFT = CODE_BITS - SYM_BITS - 1;
+
+struct RangeEnc {
+    uint8_t* buf;
+    int storage;
+    int offs;
+    int end_offs;
+    uint32_t end_window;
+    int nend_bits;
+    int bits_total;
+    uint32_t rng;
+    uint32_t val;
+    uint32_t ext;
+    int rem;  // -1 = none buffered
+    bool error;
+
+    void init(uint8_t* b, int len) {
+        buf = b; storage = len; offs = 0;
+        end_offs = 0; end_window = 0; nend_bits = 0;
+        bits_total = CODE_BITS + 1;
+        rng = CODE_TOP; val = 0; ext = 0; rem = -1; error = false;
+    }
+    void write_byte(uint32_t v) {
+        if (offs + end_offs >= storage) { error = true; return; }
+        buf[offs++] = (uint8_t)(v & 0xFF);
+    }
+    void write_byte_at_end(uint32_t v) {
+        if (offs + end_offs >= storage) { error = true; return; }
+        end_offs++;
+        buf[storage - end_offs] = (uint8_t)(v & 0xFF);
+    }
+    void carry_out(uint32_t c) {
+        if (c != SYM_MAX) {
+            uint32_t carry = c >> SYM_BITS;
+            if (rem >= 0) write_byte((uint32_t)rem + carry);
+            if (ext > 0) {
+                uint32_t sym = (SYM_MAX + carry) & SYM_MAX;
+                while (ext > 0) { write_byte(sym); ext--; }
+            }
+            rem = (int)(c & SYM_MAX);
+        } else {
+            ext++;
+        }
+    }
+    void normalize() {
+        while (rng <= CODE_BOT) {
+            carry_out(val >> CODE_SHIFT);
+            val = (val << SYM_BITS) & (CODE_TOP - 1);
+            rng <<= SYM_BITS;
+            bits_total += SYM_BITS;
+        }
+    }
+    int tell() const { return bits_total - ilog32(rng); }
+    uint32_t tell_frac() const {
+        uint32_t bits = (uint32_t)bits_total << BITRES;
+        int l = ilog32(rng);
+        uint32_t r = rng >> (l - 16);
+        int b = (int)(r >> 12) - 8;
+        if (r > TELL_FRAC_CORR[b]) b++;
+        return bits - (uint32_t)((l << 3) + b);
+    }
+    void encode(uint32_t fl, uint32_t fh, uint32_t ft) {
+        uint32_t r = rng / ft;
+        if (fl > 0) {
+            val += rng - r * (ft - fl);
+            rng = r * (fh - fl);
+        } else {
+            rng -= r * (ft - fh);
+        }
+        normalize();
+    }
+    void encode_bin(uint32_t fl, uint32_t fh, int bits) {
+        uint32_t r = rng >> bits;
+        if (fl > 0) {
+            val += rng - r * ((1u << bits) - fl);
+            rng = r * (fh - fl);
+        } else {
+            rng -= r * ((1u << bits) - fh);
+        }
+        normalize();
+    }
+    void encode_bit_logp(int bit, int logp) {
+        uint32_t r = rng;
+        uint32_t s = r >> logp;
+        r -= s;
+        if (bit) val += r;
+        rng = bit ? s : r;
+        normalize();
+    }
+    void encode_icdf(int symbol, const uint8_t* icdf, int ftb) {
+        uint32_t r = rng >> ftb;
+        if (symbol > 0) {
+            val += rng - r * icdf[symbol - 1];
+            rng = r * (uint32_t)(icdf[symbol - 1] - icdf[symbol]);
+        } else {
+            rng -= r * icdf[symbol];
+        }
+        normalize();
+    }
+    void encode_bits(uint32_t fl, int bits) {
+        uint32_t window = end_window;
+        int used = nend_bits;
+        if (used + bits > WINDOW_SIZE) {
+            while (used >= SYM_BITS) {
+                write_byte_at_end(window & SYM_MAX);
+                window >>= SYM_BITS;
+                used -= SYM_BITS;
+            }
+        }
+        window |= fl << used;
+        used += bits;
+        end_window = window;
+        nend_bits = used;
+        bits_total += bits;
+    }
+    void encode_uint(uint32_t fl, uint32_t ft) {
+        ft--;
+        int ftb = ilog32(ft);
+        if (ftb > UINT_BITS) {
+            ftb -= UINT_BITS;
+            uint32_t ft1 = (ft >> ftb) + 1;
+            uint32_t fl1 = fl >> ftb;
+            encode(fl1, fl1 + 1, ft1);
+            encode_bits(fl & ((1u << ftb) - 1), ftb);
+        } else {
+            encode(fl, fl + 1, ft + 1);
+        }
+    }
+    void done() {
+        int l = CODE_BITS - ilog32(rng);
+        uint32_t msk = (CODE_TOP - 1) >> l;
+        uint32_t end = (val + msk) & ~msk;
+        if ((end | msk) >= val + rng) {
+            l++;
+            msk >>= 1;
+            end = (val + msk) & ~msk;
+        }
+        while (l > 0) {
+            carry_out(end >> CODE_SHIFT);
+            end = (end << SYM_BITS) & (CODE_TOP - 1);
+            l -= SYM_BITS;
+        }
+        if (rem >= 0 || ext > 0) carry_out(0);
+        uint32_t window = end_window;
+        int used = nend_bits;
+        while (used >= SYM_BITS) {
+            write_byte_at_end(window & SYM_MAX);
+            window >>= SYM_BITS;
+            used -= SYM_BITS;
+        }
+        if (!error) {
+            for (int i = offs; i < storage - end_offs; i++) buf[i] = 0;
+            if (used > 0) {
+                if (end_offs >= storage) {
+                    error = true;
+                } else {
+                    l = -l;
+                    if (offs + end_offs >= storage && l < used) {
+                        window &= (1u << l) - 1;
+                        error = true;
+                    }
+                    buf[storage - end_offs - 1] |= (uint8_t)(window & 0xFF);
+                }
+            }
+        }
+    }
+};
+
+// Laplace encode (opus_tpu/rc/laplace.py encode_laplace).  Returns the
+// (possibly magnitude-clamped) value actually coded.
+static int encode_laplace(RangeEnc& enc, int value, int fs, int decay) {
+    int fl = 0;
+    int val = value;
+    if (val != 0) {
+        int s = val < 0 ? -1 : 0;
+        val = (val + s) ^ s;
+        fl = fs;
+        fs = laplace_freq1(fs, decay);
+        int i = 1;
+        while (fs > 0 && i < val) {
+            fs *= 2;
+            fl += fs + 2 * LAPLACE_MINP;
+            fs = (fs * decay) >> 15;
+            i++;
+        }
+        if (fs == 0) {
+            int ndi_max = (32768 - fl + LAPLACE_MINP - 1) >> 0;  // LOG_MINP=0
+            ndi_max = (ndi_max - s) >> 1;
+            int di = std::min(val - i, ndi_max - 1);
+            fl += (2 * di + 1 + s) * LAPLACE_MINP;
+            fs = std::min(LAPLACE_MINP, 32768 - fl);
+            value = (i + di + s) ^ s;
+        } else {
+            fs += LAPLACE_MINP;
+            if (s == 0) fl += fs;
+        }
+    }
+    enc.encode_bin(fl, fl + fs, 15);
+    return value;
+}
+
 }  // namespace opusfe

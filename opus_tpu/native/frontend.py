@@ -460,6 +460,99 @@ class NativeBatchFrontEnd:
         return xq, ble, meta, gains
 
 
+class NativeCeltEncoder:
+    """Native CELT encoder (celt_encoder.inc): one stream, CBR payloads.
+
+    Bitstreams are conformant but not byte-identical to the Python
+    CeltEncoder (the analysis floats differ in rounding); libopus decodes
+    them with final_range equality against our decoder
+    (tests/test_native_encoder.py)."""
+
+    def __init__(self, channels: int):
+        self.lib = _load()
+        self.lib.celt_enc_create.restype = ctypes.c_void_p
+        self.lib.celt_enc_create.argtypes = [ctypes.c_int]
+        self.lib.celt_enc_destroy.argtypes = [ctypes.c_void_p]
+        self.lib.celt_enc_reset.argtypes = [ctypes.c_void_p]
+        self.lib.celt_enc_rng.restype = ctypes.c_uint32
+        self.lib.celt_enc_rng.argtypes = [ctypes.c_void_p]
+        self.lib.celt_enc_encode.restype = ctypes.c_int
+        self.lib.celt_enc_encode.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+        ]
+        self.channels = channels
+        self.h = self.lib.celt_enc_create(channels)
+
+    def __del__(self):
+        try:
+            self.lib.celt_enc_destroy(self.h)
+        except Exception:
+            pass
+
+    def reset(self):
+        self.lib.celt_enc_reset(self.h)
+
+    @property
+    def final_range(self) -> int:
+        return int(self.lib.celt_enc_rng(self.h))
+
+    def encode(self, pcm: np.ndarray, nb_bytes: int) -> bytes:
+        """pcm [N, channels] float32 in ±1 -> nb_bytes of CELT payload."""
+        fr = np.ascontiguousarray(pcm, dtype=np.float32)
+        out = np.zeros(nb_bytes, np.uint8)
+        rc = self.lib.celt_enc_encode(
+            self.h, fr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            fr.shape[0], nb_bytes,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        if rc != 0:
+            raise ValueError(f"native celt encode failed: {rc}")
+        return bytes(out)
+
+
+class NativeCeltEncoderBatch:
+    """Batch of native CELT encoders; one C call encodes every stream
+    (OpenMP across streams) — the serving-scale encode plane
+    (BASELINE configs[3])."""
+
+    def __init__(self, batch: int, channels: int):
+        self.proto = NativeCeltEncoder(channels)  # loads signatures
+        self.lib = self.proto.lib
+        self.lib.celt_enc_encode_batch.restype = ctypes.c_int
+        self.lib.celt_enc_encode_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        self.batch = batch
+        self.channels = channels
+        self.handles = (ctypes.c_void_p * batch)(
+            *[self.lib.celt_enc_create(channels) for _ in range(batch)]
+        )
+
+    def __del__(self):
+        try:
+            for h in self.handles:
+                self.lib.celt_enc_destroy(h)
+        except Exception:
+            pass
+
+    def encode_batch(self, pcm: np.ndarray, nb_bytes: int) -> np.ndarray:
+        """pcm [B, N, channels] f32 -> payloads [B, nb_bytes] uint8."""
+        B = self.batch
+        fr = np.ascontiguousarray(pcm, dtype=np.float32).reshape(B, -1)
+        out = np.zeros((B, nb_bytes), np.uint8)
+        rc = self.lib.celt_enc_encode_batch(
+            self.handles, fr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            fr.shape[1], B, pcm.shape[1], nb_bytes,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        if rc != B:
+            raise ValueError(f"native celt batch encode failed at {-rc - 1}")
+        return out
+
+
 class NativeSilkFrontEnd:
     """Native SILK plane A: bit-exact frame decode + device-plane params."""
 
