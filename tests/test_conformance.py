@@ -24,6 +24,37 @@ def _signal(n, kind, seed=11):
     if kind == "voice":
         ph = np.cumsum(2 * np.pi * (130 + 25 * np.sin(2 * np.pi * 2.5 * t)) / 48000.0)
         return (0.35 * np.sign(np.sin(ph)) + 0.02 * rng.standard_normal(n)).astype(np.float32)
+    if kind == "transient":
+        # Periodic clicks over quiet tone: exercises short blocks,
+        # tf switches and anti-collapse.
+        sig = 0.1 * np.sin(2 * np.pi * 330 * t)
+        step = 48000 // 3
+        for off in range(step // 2, n - 300, step):
+            sig[off : off + 300] += rng.standard_normal(300) * 0.7
+        return sig.astype(np.float32)
+    if kind == "onset":
+        # Silence -> hard attack -> decaying harmonics: exercises the
+        # silence flag, intra energy and post-onset energy tracking.
+        sig = np.zeros(n)
+        start = n // 4
+        env = np.exp(-3.0 * (t[: n - start]))
+        sig[start:] = env * (0.6 * np.sin(2 * np.pi * 523 * t[: n - start])
+                             + 0.3 * np.sin(2 * np.pi * 1046.5 * t[: n - start]))
+        return sig.astype(np.float32)
+    if kind == "noiseburst":
+        # Alternating noise bursts and near-silence: spectral folding and
+        # spread decisions on noise-like frames.
+        sig = 0.02 * rng.standard_normal(n)
+        step = 9600
+        for off in range(0, n - step, 2 * step):
+            sig[off : off + step] = rng.standard_normal(step) * 0.5
+        return sig.astype(np.float32)
+    if kind == "sweep":
+        # Moving-envelope chirp: every band's energy moves every frame
+        # (coarse-energy predictor + dynalloc under motion).
+        f0 = 100 * np.exp(np.log(12000 / 100) * t / t[-1])
+        ph = np.cumsum(2 * np.pi * f0 / 48000.0)
+        return ((0.5 + 0.45 * np.sin(2 * np.pi * 3.1 * t)) * np.sin(ph)).astype(np.float32)
     return (0.4 * np.sin(2 * np.pi * 440 * t) + 0.2 * np.sin(2 * np.pi * 2930 * t)
             + 0.05 * rng.standard_normal(n)).astype(np.float32)
 
@@ -71,6 +102,18 @@ MATRIX = [
     ("hybrid swb stereo 20ms", oracle.MODE_HYBRID, 64, 2, 1104, 960, "voice"),
     ("hybrid fb mono 10ms", oracle.MODE_HYBRID, 48, 1, None, 480, "voice"),
     ("hybrid fb stereo 20ms", oracle.MODE_HYBRID, 96, 2, None, 960, "music"),
+    # Signal-family rows: transients/onsets/noise/motion exercise the
+    # anti-collapse, short-block, silence-flag and energy-tracking paths
+    # the two steady signals never hit.
+    ("celt transient stereo", oracle.MODE_CELT_ONLY, 96, 2, None, 960, "transient"),
+    ("celt transient mono 10ms", oracle.MODE_CELT_ONLY, 64, 1, None, 480, "transient"),
+    ("celt onset stereo", oracle.MODE_CELT_ONLY, 96, 2, None, 960, "onset"),
+    ("celt noiseburst mono", oracle.MODE_CELT_ONLY, 48, 1, None, 960, "noiseburst"),
+    ("celt sweep stereo", oracle.MODE_CELT_ONLY, 96, 2, None, 960, "sweep"),
+    ("silk onset mono", oracle.MODE_SILK_ONLY, 24, 1, 1103, 960, "onset"),
+    ("silk noiseburst mono", oracle.MODE_SILK_ONLY, 24, 1, 1103, 960, "noiseburst"),
+    ("hybrid transient stereo", oracle.MODE_HYBRID, 96, 2, None, 960, "transient"),
+    ("hybrid sweep mono", oracle.MODE_HYBRID, 64, 1, None, 960, "sweep"),
 ]
 
 
