@@ -57,6 +57,12 @@ class CeltEncoder:
         self.prefilter_period = 15
         self.prefilter_gain = 0.0
         self.prefilter_tapset = 0
+        #: Tapset for the NEXT frame's prefilter, from the spread analysis
+        #: (libopus derives tapset_decision in spreading_decision): very
+        #: tonal content gets the sharp 1-tap comb (tapset 2), mildly tonal
+        #: the middle one — matching the 3 tapsets the decoder implements
+        #: (/root/reference/src/celt/comb_filter/mod.rs:45-55).
+        self.tapset_decision = 0
 
     def _run_prefilter(self, prebuf: np.ndarray, n: int, nb_available_bytes: int,
                        enabled: bool):
@@ -106,12 +112,12 @@ class CeltEncoder:
         pf_threshold = max(pf_threshold, 0.2)
 
         if gain1 < pf_threshold:
-            return False, MINP, 0.0, 0, self.prefilter_tapset
+            return False, MINP, 0.0, 0, self.tapset_decision
         if abs(gain1 - self.prefilter_gain) < 0.1:
             gain1 = self.prefilter_gain
         qg = max(0, min(7, int(np.floor(0.5 + gain1 * 32.0 / 3.0)) - 1))
         gain1 = 0.09375 * (qg + 1)
-        return True, pitch_index, gain1, qg, self.prefilter_tapset
+        return True, pitch_index, gain1, qg, self.tapset_decision
 
     def encode(self, pcm: np.ndarray, nb_bytes: int, enc: RangeEncoder | None = None) -> bytes:
         """Encode one frame of pcm [N, channels] (N in 2.5-20 ms at 48 kHz)
@@ -241,6 +247,10 @@ class CeltEncoder:
             enc.encode_icdf(spread, SPREAD_ICDF, 5)
         else:
             spread = SPREAD_NORMAL
+        # Tapset for the NEXT frame from the same tonality analysis the
+        # spread uses: SPREAD_NONE (very tonal) -> sharp comb (2),
+        # SPREAD_LIGHT -> 1, else the wide default (0).
+        self.tapset_decision = {0: 2, 1: 1}.get(spread, 0)
 
         cap = init_caps(lm, c_)
         # Dynalloc: boost bands whose energy pops far above their smoothed
