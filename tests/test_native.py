@@ -369,3 +369,66 @@ def test_plan_transfer_mode_conformance():
     a, b = np.concatenate(refs), np.concatenate(ours)
     assert float(np.abs(a - b).max()) < 4e-3
     assert compare(a, b) >= PASS_QUALITY
+
+
+def test_multistream_multiframe_and_silk_sessions():
+    """Generalized multistream fast path: multi-frame CELT packets (code 3)
+    and SILK/hybrid elementary streams (mode="opus"), both legal RFC 7845
+    family-1 traffic, verified against libopus's multistream decoder."""
+    from opus_tpu.batch.multistream_pipeline import BatchedMultistreamDecoder
+
+    rng = np.random.default_rng(9)
+
+    # --- multi-frame CELT: 40 ms packets = 2x20 ms frames per stream ----
+    B, streams, coupled, ch = 2, 3, 1, 4
+    mapping = [0, 1, 2, 3]
+    encs = [oracle.MultistreamEncoder(48000, ch, streams, coupled, mapping)
+            for _ in range(B)]
+    refs = [oracle.MultistreamDecoder(48000, ch, streams, coupled, mapping)
+            for _ in range(B)]
+    for e in encs:
+        e.ctl(oracle.SET_BITRATE, 256000)
+        e.ctl(oracle.SET_FORCE_MODE, oracle.MODE_CELT_ONLY)
+    bmd = BatchedMultistreamDecoder(B, ch, streams, coupled, mapping)
+    frame, dur = 960, 1920  # 40 ms packets
+    t = np.arange(dur * 2) / 48000
+    for f in range(2):
+        pkts = []
+        for b in range(B):
+            pcm = np.stack(
+                [0.3 * np.sin(2 * np.pi * (180 + 70 * k + 11 * b) * t[f * dur : (f + 1) * dur])
+                 + 0.02 * rng.standard_normal(dur) for k in range(ch)], -1).astype(np.float32)
+            pkts.append(encs[b].encode_float(pcm.ravel(), dur))
+        out = bmd.decode_frames(pkts, frame)
+        assert out.shape == (B, dur, ch)
+        for b in range(B):
+            r = np.asarray(refs[b].decode_float(pkts[b], dur)).reshape(dur, ch)
+            assert bmd.final_ranges()[b] == refs[b].final_range
+            assert float(np.abs(out[b] - r).max()) < 1e-5
+
+    # --- SILK elementary streams through the mixed-mode core ------------
+    B2, streams2, coupled2, ch2 = 2, 2, 1, 3
+    mapping2 = [0, 1, 2]
+    encs2 = [oracle.MultistreamEncoder(48000, ch2, streams2, coupled2, mapping2,
+                                       application=oracle.APPLICATION_VOIP)
+             for _ in range(B2)]
+    refs2 = [oracle.MultistreamDecoder(48000, ch2, streams2, coupled2, mapping2)
+             for _ in range(B2)]
+    for e in encs2:
+        e.ctl(oracle.SET_BITRATE, 48000)
+        e.ctl(oracle.SET_FORCE_MODE, oracle.MODE_SILK_ONLY)
+        e.ctl(oracle.SET_MAX_BANDWIDTH, 1103)
+    bms = BatchedMultistreamDecoder(B2, ch2, streams2, coupled2, mapping2, mode="opus")
+    ph = np.cumsum(2 * np.pi * (130 + 25 * np.sin(2 * np.pi * 2.5 * t)) / 48000.0)
+    voice = (0.35 * np.sign(np.sin(ph)) + 0.02 * rng.standard_normal(t.size)).astype(np.float32)
+    for f in range(3):
+        pkts = []
+        for b in range(B2):
+            pcm = np.stack([np.roll(voice, 17 * k + 5 * b)[f * frame : (f + 1) * frame]
+                            for k in range(ch2)], -1).astype(np.float32)
+            pkts.append(encs2[b].encode_float(pcm.ravel(), frame))
+        out = bms.decode_frames(pkts, frame)
+        for b in range(B2):
+            r = np.asarray(refs2[b].decode_float(pkts[b], frame)).reshape(frame, ch2)
+            assert bms.final_ranges()[b] == refs2[b].final_range
+            assert float(np.abs(out[b] - r).max()) < 1e-4, (f, b)
