@@ -50,11 +50,39 @@ def _best(fn, n=3):
     return best
 
 
+_STATE_PATH = f"/tmp/opus_tpu_bench_state_{os.getpid()}.json"
+
+
+def _save_partial() -> None:
+    try:
+        with open(_STATE_PATH, "w") as f:
+            json.dump(_PARTIAL, f)
+    except Exception:
+        pass
+
+
 def _watchdog() -> None:
-    """Hard deadline: if a transport call stalls past the budget +
-    grace, print whatever was measured and exit 0.  While no headline
-    exists yet (e.g. the jit warm-up itself is wedged), keep extending
-    in 60 s steps so a late-arriving first measurement still lands."""
+    """Hard deadline: if a transport call stalls past the budget + grace,
+    print whatever was measured and exit 0.
+
+    Two layers.  A daemon thread covers ordinary stalls.  A forked
+    watchdog PROCESS covers the worst case actually observed on the
+    axon tunnel: the transport client blocking in C WITH THE GIL HELD,
+    which freezes every Python thread in the parent — the child shares
+    our stdout, reads the last snapshot from _STATE_PATH, prints the
+    one JSON line the driver needs, and kills the wedged parent."""
+
+    parent = os.getpid()
+
+    def emit_partial(partial):
+        out = {
+            "metric": "audio_sec_decoded_per_sec_per_chip",
+            "value": partial.get("value", 0.0),
+            "unit": "audio-sec/s end-to-end served (PARTIAL: transport stalled past budget)",
+            "vs_baseline": round(partial.get("value", 0.0) / 5000.0, 3),
+        }
+        out.update(partial.get("extras", {}))
+        print(json.dumps(out), flush=True)
 
     def fire():
         deadline = _BUDGET_S + 90.0
@@ -67,17 +95,40 @@ def _watchdog() -> None:
                 break
             deadline += 60.0
             extensions -= 1
-        out = {
-            "metric": "audio_sec_decoded_per_sec_per_chip",
-            "value": _PARTIAL.get("value", 0.0),
-            "unit": "audio-sec/s end-to-end served (PARTIAL: transport stalled past budget)",
-            "vs_baseline": round(_PARTIAL.get("value", 0.0) / 5000.0, 3),
-        }
-        out.update(_PARTIAL.get("extras", {}))
-        print(json.dumps(out), flush=True)
+        emit_partial(_PARTIAL)
         os._exit(0)
 
     threading.Thread(target=fire, daemon=True).start()
+
+    pid = os.fork()
+    if pid == 0:
+        # Watchdog process: independent interpreter state, shared stdout.
+        hard = _BUDGET_S + 90.0 + 9 * 60.0 + 120.0
+        while time.perf_counter() - _T0 < hard:
+            time.sleep(10.0)
+            try:
+                os.kill(parent, 0)
+            except OSError:
+                os._exit(0)  # parent finished (or died after printing)
+            try:
+                with open(_STATE_PATH) as f:
+                    if json.load(f).get("done"):
+                        os._exit(0)
+            except Exception:
+                pass
+        partial = {}
+        try:
+            with open(_STATE_PATH) as f:
+                partial = json.load(f)
+        except Exception:
+            pass
+        if not partial.get("done"):
+            emit_partial(partial)
+            try:
+                os.kill(parent, 9)
+            except OSError:
+                pass
+        os._exit(0)
 
 
 def main() -> None:
@@ -134,6 +185,7 @@ def main() -> None:
         front.serve(batches, FRAME)
         best = min(best, time.perf_counter() - t0)
         _PARTIAL["value"] = round(STEPS * BATCH * 0.02 / best, 1)
+        _save_partial()
         if _left() < max(150.0, _BUDGET_S * 0.4):
             break
     e2e_rate = STEPS * BATCH * 0.02 / best
@@ -158,6 +210,7 @@ def main() -> None:
         "serve_transfer_mode": serve_mode,
         "upload_bytes_per_stream": round(bytes_per_stream, 1),
     }
+    _save_partial()
     slots = front.native.alloc_packed_slots(2, "p10")
     front.native.decode_batch_q15_into(batches[0], FRAME, slots[0])
 
@@ -324,6 +377,7 @@ def main() -> None:
         "realtime_factor_per_chip": round(e2e_rate, 1),
     }
     _PARTIAL["done"] = True
+    _save_partial()
     print(json.dumps(result))
 
 
