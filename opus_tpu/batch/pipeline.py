@@ -193,15 +193,15 @@ class BatchedCeltDecoder:
     PLAN_BUCKETS = (96, 160, 256, 384, 512)
 
     def _plan_serving_step(self, lm: int, pf_chunk: int, pf_active: bool,
-                           bucket_words: int):
+                           bucket_words: int, with_plc: bool = False):
         from ..dsp.synthesis import make_plan_serving_step
 
-        key = ("plan", lm, pf_chunk, pf_active, bucket_words)
+        key = ("plan", lm, pf_chunk, pf_active, bucket_words, with_plc)
         if key not in self._steps:
             self._steps[key] = make_plan_serving_step(
                 lm, self.batch, self.channels, self.downsample,
                 pf_chunk=pf_chunk, pf_active=pf_active,
-                arena_words=bucket_words,
+                arena_words=bucket_words, with_plc=with_plc,
             )
         return self._steps[key]
 
@@ -224,9 +224,17 @@ class BatchedCeltDecoder:
 
         def uploader():
             try:
+                from ..dsp.plc_exec import LPC_ORDER
+
                 state = getattr(self, "_serve_state", None)
                 if state is None:
                     state = init_state(self.batch, self.channels)
+                plc_lpc = getattr(self, "_serve_plc_lpc", None)
+                if plc_lpc is None:
+                    plc_lpc = jnp.zeros((B, self.channels, LPC_ORDER), jnp.float32)
+                    plc_pitch = jnp.full((B,), 15, jnp.int32)
+                else:
+                    plc_pitch = self._serve_plc_pitch
                 ring = None
                 ring_lm = None
                 digest = None
@@ -237,7 +245,7 @@ class BatchedCeltDecoder:
                         if held is not None:
                             free.put(held)
                         break
-                    slot, lm, pf_chunk, pf_active, bucket = item
+                    slot, lm, pf_chunk, pf_active, bucket, has_plc = item
                     fixed = slot["fixed_words"]
                     buf = jnp.asarray(slot["buf"][: fixed + B * bucket])
                     if held is not None:
@@ -247,10 +255,18 @@ class BatchedCeltDecoder:
                         n = ((1 << lm) * modes.SHORT_MDCT_SIZE) // self.downsample
                         ring = jnp.zeros((self.batch, n, self.channels), jnp.float32)
                         ring_lm = lm
-                    step = self._plan_serving_step(lm, pf_chunk, pf_active, bucket)
-                    state, ring, digest = step(state, ring, buf)
+                    step = self._plan_serving_step(lm, pf_chunk, pf_active, bucket,
+                                                   with_plc=has_plc)
+                    if has_plc:
+                        state, ring, digest, plc_lpc, plc_pitch = step(
+                            state, ring, buf, plc_lpc, plc_pitch
+                        )
+                    else:
+                        state, ring, digest = step(state, ring, buf)
                 self._serve_state = state
                 self._serve_ring = ring
+                self._serve_plc_lpc = plc_lpc
+                self._serve_plc_pitch = plc_pitch
                 done["digest"] = digest
             except Exception as e:  # pragma: no cover - propagated below
                 err.append(e)
@@ -273,7 +289,9 @@ class BatchedCeltDecoder:
                     (bw for bw in self.PLAN_BUCKETS if bw >= per_stream),
                     self.PLAN_BUCKETS[-1],
                 )
-                work.put((slot, lm, pf_chunk, pf_active, bucket))
+                # Steps with pitch-regime losses run the PLC step variant.
+                has_plc = bool((meta[:, 14] & 1).any())
+                work.put((slot, lm, pf_chunk, pf_active, bucket, has_plc))
         finally:
             work.put(None)
             th.join()

@@ -513,7 +513,7 @@ def _make_serving_core(lm: int, batch: int, channels: int, downsample: int,
     half = OVERLAP // 2
     e_bands = jnp.asarray(modes.E_BANDS, jnp.int32)
 
-    def core(state: SynthState, xs, ble, meta, gains, silk):
+    def core(state: SynthState, xs, ble, meta, gains, silk, plc=None):
         silence = meta[:, 0] != 0
         short = meta[:, 1] != 0
         mono = meta[:, 3] == 1
@@ -551,6 +551,13 @@ def _make_serving_core(lm: int, batch: int, channels: int, downsample: int,
             y = _postfilter(y, hist, n, lm, periods, gains, tapsets, pf_chunk)
         out_f = y[..., hist:]
 
+        if plc is not None:
+            # Device-resident pitch-regime loss concealment: replace lost
+            # streams' frame (pre-de-emphasis) and decode memory with the
+            # concealment's (opus_tpu/dsp/plc_exec.py).
+            plc_mask, out_f_c, mem_c = plc
+            out_f = jnp.where(plc_mask[:, None, None], out_f_c, out_f)
+
         ys, new_preemph = _deemphasis(out_f, state.preemph)
         pcm = ys[..., ::downsample] * (1.0 / 32768.0)
 
@@ -563,6 +570,8 @@ def _make_serving_core(lm: int, batch: int, channels: int, downsample: int,
             ],
             axis=-1,
         )
+        if plc is not None:
+            new_mem = jnp.where(plc_mask[:, None, None], mem_c, new_mem)
         pcm_out = jnp.transpose(pcm, (0, 2, 1)).astype(jnp.float32)
         if silk_mix:
             # decoder.rs:722-729: out = celt + silk/32768 in the time domain.
@@ -637,7 +646,8 @@ def make_serving_step(lm: int, batch: int, channels: int = 2, downsample: int = 
 
 def make_plan_serving_step(lm: int, batch: int, channels: int = 2,
                            downsample: int = 1, pf_chunk: int = _CHUNK,
-                           pf_active: bool = True, arena_words: int = 0):
+                           pf_active: bool = True, arena_words: int = 0,
+                           with_plc: bool = False):
     """Serving step over a plan-executor slot (opus_tpu/dsp/plan_exec.py).
 
     Same contract as make_serving_step, but the uploaded buffer holds
@@ -645,8 +655,16 @@ def make_plan_serving_step(lm: int, batch: int, channels: int = 2,
     variable-fill arena whose used prefix is bucketed by the caller)
     instead of a packed spectrum; the band spectra are rebuilt on device
     by the plan executor before the shared synthesis core runs.
+
+    with_plc=True compiles the device pitch-regime loss concealment
+    (opus_tpu/dsp/plc_exec.py) into the step: lost streams flagged in
+    meta[14] are concealed from the device-resident decode memory, with
+    LPC/pitch carried as extra donated device state —
+    step(state, ring, buf, plc_lpc, plc_pitch) ->
+    (state, ring, digest, plc_lpc, plc_pitch).  The host picks this
+    variant only for steps that actually contain pitch-regime losses.
     """
-    from .plan_exec import make_plan_executor
+    from .plan_exec import make_plan_executor, _f16_to_f32_j
 
     B = batch
     NBv = modes.NB_E_BANDS
@@ -660,7 +678,7 @@ def make_plan_serving_step(lm: int, batch: int, channels: int = 2,
     core = _make_serving_core(lm, batch, channels, downsample, pf_chunk,
                               pf_active, False)
 
-    def step(state: SynthState, ring, buf):
+    def unpack(buf):
         header = buf[o_hdr:o_ble].reshape(B, 4)
         ble = jax.lax.bitcast_convert_type(
             buf[o_ble:o_meta], jnp.float32
@@ -671,10 +689,41 @@ def make_plan_serving_step(lm: int, batch: int, channels: int = 2,
         ).reshape(B, 3)
         bands = buf[o_bands:o_arena].reshape(B, NBv, 2)
         arena = buf[o_arena:]
-        xs = executor(header, bands, meta, arena)
-        return core(state, xs, ble, meta, gains, None)
+        return header, ble, meta, gains, bands, arena
 
-    return _maybe_checkify(step, donate=(0, 1))
+    if not with_plc:
+        def step(state: SynthState, ring, buf):
+            header, ble, meta, gains, bands, arena = unpack(buf)
+            xs = executor(header, bands, meta, arena)
+            return core(state, xs, ble, meta, gains, None)
+
+        return _maybe_checkify(step, donate=(0, 1))
+
+    from .plc_exec import LPC_ORDER, make_plc_conceal
+
+    conceal = make_plc_conceal(lm, batch, channels)
+
+    def step_plc(state: SynthState, ring, buf, plc_lpc, plc_pitch):
+        header, ble, meta, gains, bands, arena = unpack(buf)
+        xs = executor(header, bands, meta, arena)
+        plc_mask = (meta[:, 14] & 1) == 1
+        first = ((meta[:, 14] >> 1) & 1) == 1
+        m15 = jax.lax.bitcast_convert_type(meta[:, 15], jnp.uint32)
+        u_period = (m15 & 0x7FF).astype(jnp.int32)
+        u_tapset = ((m15 >> 11) & 3).astype(jnp.int32)
+        u_gain = _f16_to_f32_j((m15 >> 16) & 0xFFFF)
+        mem_c, new_lpc, new_pitch, out_f_c = conceal(
+            state.mem, plc_lpc, plc_pitch, first, u_period, u_gain, u_tapset
+        )
+        new_state, pcm_out, digest = core(
+            state, xs, ble, meta, gains, None,
+            plc=(plc_mask, out_f_c, mem_c),
+        )
+        new_lpc = jnp.where(plc_mask[:, None, None], new_lpc, plc_lpc)
+        new_pitch = jnp.where(plc_mask, new_pitch, plc_pitch)
+        return new_state, pcm_out, digest, new_lpc, new_pitch
+
+    return _maybe_checkify(step_plc, donate=(0, 1, 3, 4))
 
 
 def make_opus_step(lm: int, short_blocks: bool, channels: int = 2, downsample: int = 1):

@@ -1609,6 +1609,8 @@ struct FrontEnd {
     double postfilter_gain, postfilter_gain_old;
     int postfilter_tapset, postfilter_tapset_old;
     int loss_duration;  // lost time in 2.5 ms units (libopus 1.3 semantics)
+    bool skip_plc;      // set on the first good frame after a loss run:
+                        // the next loss then conceals noise-based (libopus)
     bool error;
 
     void reset() {
@@ -1628,6 +1630,7 @@ struct FrontEnd {
         postfilter_gain = postfilter_gain_old = 0.0;
         postfilter_tapset = postfilter_tapset_old = 0;
         loss_duration = 0;
+        skip_plc = false;
         rng = 0;
         error = false;
     }
@@ -1661,6 +1664,7 @@ static int decode_frame_ec(FrontEnd& st, RangeDec& dec, int frame_bytes, int fra
         for (int j = 0; j < NB_E_BANDS; j++)
             old_band_e[0][j] = std::max(old_band_e[0][j], old_band_e[1][j]);
 
+    st.skip_plc = st.loss_duration != 0;
     int total_bits = frame_bytes * 8;
     int tell = dec.tell();
     bool silence;
@@ -1789,6 +1793,8 @@ static int decode_frame_ec(FrontEnd& st, RangeDec& dec, int frame_bytes, int fra
     meta[10] = st.postfilter_tapset;
     meta[11] = postfilter_tapset;
     meta[13] = spread_decision;
+    meta[14] = 0;  // plan-PLC flags: coded frames clear the reused slot
+    meta[15] = 0;
     pf_gains[0] = st.postfilter_gain_old;
     pf_gains[1] = st.postfilter_gain;
     pf_gains[2] = postfilter_gain;
@@ -1917,6 +1923,8 @@ static int decode_lost_noise(FrontEnd& st, int frame_size48, float* x_out,
     meta[9] = meta[10] = meta[11] = 0;
     meta[12] = 0;
     meta[13] = 0;
+    meta[14] = 0;
+    meta[15] = 0;
     pf_gains[0] = pf_gains[1] = pf_gains[2] = 0.0;  // lost frames skip the comb
     st.loss_duration = std::min(10000, st.loss_duration + m);
     return 0;
@@ -2117,6 +2125,59 @@ void celt_fe_pack_pw(const float* x, int n, int lm, int W, int32_t* dst,
     pack_pw_channel(x, n, lm, W, dst, ble_row);
 }
 
+}  // extern "C"
+
+namespace {
+
+// Plan-mode loss concealment dispatch: the noise regime (loss >= 100 ms)
+// emits noise leaves as before; the pitch-LPC regime emits an EMPTY plan
+// with meta flags so the DEVICE conceals from its own decode memory
+// (opus_tpu/dsp/plc_exec.py) — lost frames never leave the packed loop.
+// meta[14]: bit0 = pitch-regime PLC, bit1 = first loss (run pitch search).
+// meta[15]: postfilter-undo params: period[0:11] | tapset[11:13]
+//           | gain_f16[16:32] (the state the scalar undo reads).
+static int decode_lost_plan(FrontEnd& st, int frame_size48, float* x_out,
+                            float* band_log_e_out, int32_t* meta, double* pf_gains,
+                            PlanSink* plan) {
+    bool noise = st.loss_duration >= 40 || st.start_band != 0 || st.skip_plc;
+    if (noise)
+        return decode_lost_noise(st, frame_size48, x_out, band_log_e_out, meta,
+                                 pf_gains, plan);
+    int lm = -1;
+    for (int l = 0; l <= MAX_LM; l++)
+        if (SHORT_MDCT_SIZE << l == frame_size48) { lm = l; break; }
+    if (lm < 0) return -1;
+    int cc = st.channels;
+    int n = (1 << lm) * SHORT_MDCT_SIZE;
+    std::memset(x_out, 0, (size_t)cc * n * sizeof(float));
+    plan->reset(x_out, cc == 2 ? x_out + n : nullptr);
+    for (int i = 0; i < NB_E_BANDS; i++) plan->band_cfg(i, 0, 0, true);
+    for (int c = 0; c < cc; c++)
+        for (int j = 0; j < NB_E_BANDS; j++)
+            band_log_e_out[c * NB_E_BANDS + j] = st.old_band_e[c][j];
+    meta[0] = 1;  // silence: the coded-path synthesis is discarded anyway
+    meta[1] = 0;
+    meta[2] = lm;
+    meta[3] = cc;
+    meta[4] = st.start_band;
+    meta[5] = st.start_band;
+    meta[6] = meta[7] = meta[8] = MIN_PERIOD;
+    meta[9] = meta[10] = meta[11] = 0;
+    meta[12] = 0;
+    meta[13] = 0;
+    meta[14] = 1 | (st.loss_duration == 0 ? 2 : 0);
+    int period = std::max(st.postfilter_period, MIN_PERIOD) & 0x7FF;
+    meta[15] = period | ((st.postfilter_tapset & 3) << 11) |
+               (int32_t)(f32_to_f16_bits((float)st.postfilter_gain) << 16);
+    pf_gains[0] = pf_gains[1] = pf_gains[2] = 0.0;
+    st.loss_duration = std::min(10000, st.loss_duration + (1 << lm));
+    return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
 int celt_fe_decode_batch_packed(void** handles, const uint8_t* data, const int32_t* lens,
                                 int n_packets, int frame_size48, const int32_t* stream_channels,
                                 int mant_bits,
@@ -2206,9 +2267,9 @@ int celt_fe_decode_batch_plan(void** handles, const uint8_t* data, const int32_t
                                          /*plan_skip=*/xdbg == nullptr);
                 }
             } else {
-                rc = decode_lost_noise(*st, frame_size48, scratch.data(),
-                                       ble_out + i * 2 * NB_E_BANDS,
-                                       meta_out + i * 16, g, &sink);
+                rc = decode_lost_plan(*st, frame_size48, scratch.data(),
+                                      ble_out + i * 2 * NB_E_BANDS,
+                                      meta_out + i * 16, g, &sink);
             }
             if (rc != 0 || sink.overflow) {
 #pragma omp critical

@@ -432,3 +432,50 @@ def test_multistream_multiframe_and_silk_sessions():
             r = np.asarray(refs2[b].decode_float(pkts[b], frame)).reshape(frame, ch2)
             assert bms.final_ranges()[b] == refs2[b].final_range
             assert float(np.abs(out[b] - r).max()) < 1e-4, (f, b)
+
+
+def test_plan_serving_pitch_plc_in_packed_loop():
+    """Pitch-regime CELT loss concealment runs ON DEVICE in the plan
+    serving loop (opus_tpu/dsp/plc_exec.py): lost frames never leave the
+    packed loop, including bursts that cross into the noise regime.
+    Gate: conformance quality vs the scalar decoder under identical
+    losses (the device conceals in f32 vs the scalar's f64, so near-tie
+    pitch candidates may differ — both are legal concealments)."""
+    from opus_tpu.batch.pipeline import BatchedCeltDecoder
+    from opus_tpu.celt.decoder import CeltDecoder
+    from opus_tpu.conformance import PASS_QUALITY, compare
+
+    F, NF, B = 960, 16, 3
+    rng = np.random.default_rng(5)
+    t = np.arange(F * NF) / 48000.0
+    ph = np.cumsum(2 * np.pi * (160 + 8 * np.sin(2 * np.pi * 1.5 * t)) / 48000.0)
+    sig = (0.5 * np.sin(ph) + 0.25 * np.sin(2 * ph) + 0.1 * np.sin(3 * ph)
+           + 0.01 * rng.standard_normal(t.size))
+    pcm = np.stack([sig, np.roll(sig, 11) * 0.9], -1).astype(np.float32)
+    enc = oracle.Encoder(48000, 2)
+    enc.ctl(oracle.SET_BITRATE, 96000)
+    enc.ctl(oracle.SET_FORCE_MODE, oracle.MODE_CELT_ONLY)
+    pays = []
+    for i in range(NF):
+        p = enc.encode_float(pcm[i * F : (i + 1) * F].ravel(), F)
+        pays.append(p[parse_packet(p).payload_offset :])
+
+    # isolated loss, double loss, and a 6-frame burst (120 ms: frames 5+
+    # of the burst cross into the noise regime -> regime switch inside
+    # the packed loop).
+    lose = {3, 6, 7} | set(range(9, 15))
+    scal = CeltDecoder(2, 1)
+    ref = np.concatenate(
+        [scal.decode(None if i in lose else pays[i], F) for i in range(NF)]
+    )
+    front = BatchedCeltDecoder(B, 2, transfer="plan")
+    if not front.use_native:
+        pytest.skip("native engine not built")
+    outs = []
+    for i in range(NF):
+        pk = None if i in lose else pays[i]
+        front.serve([[pk] * B], F)
+        outs.append(np.asarray(front._serve_ring))
+    ours = np.stack(outs, 1).reshape(B, NF * F, 2)
+    for b in range(B):
+        assert compare(ref, ours[b]) >= PASS_QUALITY
