@@ -513,6 +513,13 @@ def _make_serving_core(lm: int, batch: int, channels: int, downsample: int,
     half = OVERLAP // 2
     e_bands = jnp.asarray(modes.E_BANDS, jnp.int32)
 
+    import os
+
+    # Opt-in Pallas VMEM-resident postfilter (dsp/pallas_pf.py): validated
+    # in interpreter mode; not yet profiled on real TPU, so the XLA
+    # lag-adaptive postfilter stays the default.
+    use_pallas_pf = os.environ.get("OPUS_TPU_PALLAS_PF", "0") == "1"
+
     def core(state: SynthState, xs, ble, meta, gains, silk, plc=None):
         silence = meta[:, 0] != 0
         short = meta[:, 1] != 0
@@ -548,7 +555,12 @@ def _make_serving_core(lm: int, batch: int, channels: int, downsample: int,
         hist = DECODE_BUFFER_SIZE - n
         y = jnp.concatenate([state.mem[..., n:DECODE_BUFFER_SIZE], out], axis=-1)
         if pf_active:
-            y = _postfilter(y, hist, n, lm, periods, gains, tapsets, pf_chunk)
+            if use_pallas_pf:
+                from .pallas_pf import pallas_postfilter
+
+                y = pallas_postfilter(y, hist, n, lm, periods, gains, tapsets)
+            else:
+                y = _postfilter(y, hist, n, lm, periods, gains, tapsets, pf_chunk)
         out_f = y[..., hist:]
 
         if plc is not None:
