@@ -161,6 +161,57 @@ def main() -> None:
     el = _best(lambda: [ref.decode_float(pkts[i % NSRC], FRAME) for i in range(nref)], 3)
     libopus_rate = nref * 0.02 / el
 
+    # --- host-only metrics FIRST (no tunnel dependency): if the transport
+    # is wedged all round, the partial still carries real numbers. -----------
+    from opus_tpu.native.frontend import NativeBatchFrontEnd
+
+    hfront = NativeBatchFrontEnd(BATCH, 2, 1)
+    try:
+        pslots0 = hfront.alloc_plan_slots(2)
+        host_elapsed = _best(
+            lambda: hfront.decode_batch_plan_into(batches[0], FRAME, pslots0[0]), 5
+        )
+        bytes_per_stream = pslots0[0]["used_words"] * 4 / BATCH
+        planA_mode = "plan"
+    except Exception:
+        qslots0 = hfront.alloc_packed_slots(2, "p10")
+        host_elapsed = _best(
+            lambda: hfront.decode_batch_q15_into(batches[0], FRAME, qslots0[0]), 5
+        )
+        bytes_per_stream = (600 + 42 + 16 + 3) * 4
+        planA_mode = "p10"
+    host_rate = BATCH * 0.02 / host_elapsed
+
+    encode_rate = 0.0
+    try:
+        from opus_tpu.native.frontend import NativeCeltEncoderBatch
+
+        EB, ENF = 32, 8
+        benc = NativeCeltEncoderBatch(EB, 2)
+        frames = [np.ascontiguousarray(pcm[f * FRAME : (f + 1) * FRAME])
+                  for f in range(min(ENF, NSRC))]
+        bpcm = [np.broadcast_to(fr, (EB, FRAME, 2)) for fr in frames]
+        benc.encode_batch(bpcm[0], 240)
+        best = float("inf")
+        for _ in range(3):
+            t1 = time.perf_counter()
+            for fb in bpcm:
+                benc.encode_batch(fb, 240)
+            best = min(best, time.perf_counter() - t1)
+        encode_rate = EB * len(bpcm) * 0.02 / best
+    except Exception:
+        pass
+
+    _PARTIAL["extras"] = {
+        "host_plane_native_audio_sec_per_sec_per_core": round(host_rate, 1),
+        "libopus_full_decode_audio_sec_per_sec_per_core_same_host": round(libopus_rate, 1),
+        "serve_transfer_mode": planA_mode,
+        "upload_bytes_per_stream": round(bytes_per_stream, 1),
+        "celt_encode_audio_sec_per_sec_per_core": round(encode_rate, 2),
+    }
+    _save_partial()
+    del hfront
+
     # --- headline: packed serving loop end-to-end ---------------------------
     # One upload + one execute per step (plan-executor slot: pulse vectors
     # + band plan, spectra rebuilt on device — ~1.4 KB/stream vs 2.6 at
@@ -190,30 +241,6 @@ def main() -> None:
             break
     e2e_rate = STEPS * BATCH * 0.02 / best
 
-    # --- plane A alone (native C++ symbol decode, this host's cores) --------
-    if serve_mode == "plan":
-        pslots = front.native.alloc_plan_slots(2)
-        host_elapsed = _best(
-            lambda: front.native.decode_batch_plan_into(batches[0], FRAME, pslots[0]), 5
-        )
-        bytes_per_stream = pslots[0]["used_words"] * 4 / BATCH
-    else:
-        qslots = front.native.alloc_packed_slots(2, "p10")
-        host_elapsed = _best(
-            lambda: front.native.decode_batch_q15_into(batches[0], FRAME, qslots[0]), 5
-        )
-        bytes_per_stream = (600 + 42 + 16 + 3) * 4
-    host_rate = BATCH * 0.02 / host_elapsed
-    _PARTIAL["extras"] = {
-        "host_plane_native_audio_sec_per_sec_per_core": round(host_rate, 1),
-        "libopus_full_decode_audio_sec_per_sec_per_core_same_host": round(libopus_rate, 1),
-        "serve_transfer_mode": serve_mode,
-        "upload_bytes_per_stream": round(bytes_per_stream, 1),
-    }
-    _save_partial()
-    slots = front.native.alloc_packed_slots(2, "p10")
-    front.native.decode_batch_q15_into(batches[0], FRAME, slots[0])
-
     # --- plane B alone: batched synthesis step throughput -------------------
     # Chained executes with args resident on device, ONE true sync at the
     # end (a digest fetch): block_until_ready on this transport returns
@@ -222,10 +249,14 @@ def main() -> None:
     import jax.numpy as jnp
     from opus_tpu.dsp.synthesis import init_state, pf_chunk_for
 
+    slots = front.native.alloc_packed_slots(1, "p10")
+    front.native.decode_batch_q15_into(batches[0], FRAME, slots[0])
     lm = int(slots[0]["meta"][0, 2])
     pf_chunk, pf_active = pf_chunk_for(slots[0]["meta"][:, 6:9], slots[0]["gains"])
     if serve_mode == "plan":
         # Measure the step actually served: plan unpack + executor + synthesis.
+        pslots = front.native.alloc_plan_slots(1)
+        front.native.decode_batch_plan_into(batches[0], FRAME, pslots[0])
         arena_used = pslots[0]["used_words"] - pslots[0]["fixed_words"]
         per_stream = -(-arena_used // BATCH)
         bucket = next(bw for bw in front.PLAN_BUCKETS if bw >= per_stream)
@@ -320,45 +351,6 @@ def main() -> None:
     except Exception:
         pass
 
-    # --- encoder (BASELINE configs[3]: CELT stereo music encode) ------------
-    # Native C++ encode plane (celt_encoder.inc, batch-parallel); falls back
-    # to the Python encoder if the native build is absent.
-    encode_rate = 0.0
-    try:
-        if _left() < 45:
-            raise TimeoutError("budget spent; skipping encode section")
-        from opus_tpu.native.frontend import NativeCeltEncoderBatch
-
-        EB, ENF = 32, 8  # 256 frames total
-        benc = NativeCeltEncoderBatch(EB, 2)
-        frames = [np.ascontiguousarray(pcm[f * FRAME : (f + 1) * FRAME])
-                  for f in range(min(ENF, NSRC))]
-        bpcm = [np.broadcast_to(fr, (EB, FRAME, 2)) for fr in frames]
-        benc.encode_batch(bpcm[0], 240)  # warm tables
-        best = float("inf")
-        for _ in range(3):
-            t1 = time.perf_counter()
-            for fb in bpcm:
-                benc.encode_batch(fb, 240)
-            best = min(best, time.perf_counter() - t1)
-        encode_rate = EB * len(bpcm) * 0.02 / best
-    except Exception:
-        try:
-            import opus_tpu.encoder as topenc
-            from opus_tpu.types import Channels as Ch, SamplingRate as SR
-
-            e = topenc.Encoder(topenc.EncoderConfiguration(SR(48000), Ch.STEREO, 96000,
-                                                           application="music"))
-            for f in range(2):
-                e.encode(pcm[f * FRAME : (f + 1) * FRAME])
-            n_enc = 8
-            t1 = time.perf_counter()
-            for f in range(n_enc):
-                e.encode(pcm[(f % NSRC) * FRAME : ((f % NSRC) + 1) * FRAME])
-            encode_rate = n_enc * 0.02 / (time.perf_counter() - t1)
-        except Exception:
-            pass
-
     cores = os.cpu_count() or 1
     result = {
         "metric": "audio_sec_decoded_per_sec_per_chip",
@@ -375,6 +367,8 @@ def main() -> None:
         "libopus_full_decode_audio_sec_per_sec_per_core_same_host": round(libopus_rate, 1),
         "speedup_vs_libopus_same_host": round(e2e_rate / libopus_rate, 2),
         "realtime_factor_per_chip": round(e2e_rate, 1),
+        "serve_transfer_mode": serve_mode,
+        "upload_bytes_per_stream": round(bytes_per_stream, 1),
     }
     _PARTIAL["done"] = True
     _save_partial()
