@@ -280,6 +280,29 @@ def main() -> None:
     p50 = best / ITERS
     device_rate = BATCH * 0.02 / p50
 
+    # --- lossy traffic: 5% packet loss through the serving loop -------------
+    # (device-resident PLC: noise regime as plan noise leaves, pitch-LPC
+    # regime as the batched conceal step; VERDICT criterion: <15% penalty.)
+    lossy_rate = 0.0
+    try:
+        if _left() < 150 or serve_mode != "plan":
+            raise TimeoutError("skip lossy section")
+        lrng = np.random.default_rng(7)
+        lossy = [
+            [None if lrng.random() < 0.05 else pk for pk in b] for b in batches
+        ]
+        front.serve(lossy[:2], FRAME)  # warm the PLC step variant
+        best = float("inf")
+        for _ in range(3):
+            t1 = time.perf_counter()
+            front.serve(lossy, FRAME)
+            best = min(best, time.perf_counter() - t1)
+        lossy_rate = STEPS * BATCH * 0.02 / best
+        _PARTIAL["extras"]["e2e_5pct_loss_audio_sec_per_sec"] = round(lossy_rate, 1)
+        _save_partial()
+    except Exception:
+        pass
+
     # --- mixed traffic: CELT + SILK + hybrid in one batch (configs[1]/[2]) --
     mixed_rate = 0.0
     try:
@@ -369,6 +392,7 @@ def main() -> None:
         "realtime_factor_per_chip": round(e2e_rate, 1),
         "serve_transfer_mode": serve_mode,
         "upload_bytes_per_stream": round(bytes_per_stream, 1),
+        "e2e_5pct_loss_audio_sec_per_sec": round(lossy_rate, 1),
     }
     _PARTIAL["done"] = True
     _save_partial()
