@@ -214,13 +214,25 @@ class BatchedCeltDecoder:
             self._plan_slots = self.native.alloc_plan_slots(
                 n_slots, self.PLAN_BUCKETS[-1]
             )
+        if not hasattr(self, "_plan_p10_slots"):
+            # Per-step spectral fallback pool: a frame whose plan overflows
+            # the arena (pathological content) ships as a packed q14
+            # spectrum (the layout _serving_step compiles for non-p-mode
+            # transfers) instead of killing the serving session.
+            self._plan_p10_slots = self.native.alloc_packed_slots(2, "q14")
         free: queue.Queue = queue.Queue()
         for s in self._plan_slots:
             free.put(s)
+        free_p10: queue.Queue = queue.Queue()
+        for s in self._plan_p10_slots:
+            free_p10.put(s)
         work: queue.Queue = queue.Queue()
         err: list = []
         done: dict = {}
         B = self.batch
+
+        def release(slot):
+            (free if slot.get("mode") == "plan" else free_p10).put(slot)
 
         def uploader():
             try:
@@ -243,25 +255,35 @@ class BatchedCeltDecoder:
                     item = work.get()
                     if item is None:
                         if held is not None:
-                            free.put(held)
+                            release(held)
                         break
                     slot, lm, pf_chunk, pf_active, bucket, has_plc = item
-                    fixed = slot["fixed_words"]
-                    buf = jnp.asarray(slot["buf"][: fixed + B * bucket])
+                    if bucket < 0:
+                        # p10 fallback step (arena overflow on this frame):
+                        # SynthState is shared between the two step kinds,
+                        # so a spectral step mid-stream keeps continuity.
+                        buf = jnp.asarray(slot["buf"])
+                    else:
+                        buf = jnp.asarray(slot["buf"][: slot["fixed_words"] + B * bucket])
                     if held is not None:
-                        free.put(held)
+                        release(held)
                     held = slot
                     if ring is None or ring_lm != lm:
                         n = ((1 << lm) * modes.SHORT_MDCT_SIZE) // self.downsample
                         ring = jnp.zeros((self.batch, n, self.channels), jnp.float32)
                         ring_lm = lm
-                    step = self._plan_serving_step(lm, pf_chunk, pf_active, bucket,
-                                                   with_plc=has_plc)
-                    if has_plc:
+                    if bucket < 0:
+                        step = self._serving_step(lm, pf_chunk, pf_active)
+                        state, ring, digest = step(state, ring, buf)
+                    elif has_plc:
+                        step = self._plan_serving_step(lm, pf_chunk, pf_active, bucket,
+                                                       with_plc=True)
                         state, ring, digest, plc_lpc, plc_pitch = step(
                             state, ring, buf, plc_lpc, plc_pitch
                         )
                     else:
+                        step = self._plan_serving_step(lm, pf_chunk, pf_active, bucket,
+                                                       with_plc=False)
                         state, ring, digest = step(state, ring, buf)
                 self._serve_state = state
                 self._serve_ring = ring
@@ -276,8 +298,24 @@ class BatchedCeltDecoder:
         try:
             for packets in batches:
                 slot = get_slot(free, err)
-                self.native.decode_batch_plan_into(packets, frame_size, slot,
-                                                   stream_channels)
+                try:
+                    self.native.decode_batch_plan_into(packets, frame_size, slot,
+                                                       stream_channels)
+                except OverflowError:
+                    # Plan capacity exceeded by this step's content: ship a
+                    # packed p10 spectrum for just this step (never
+                    # uploaded, so the plan slot is safe to reuse now).
+                    free.put(slot)
+                    slot = get_slot(free_p10, err)
+                    self.native.decode_batch_q15_into(packets, frame_size, slot,
+                                                      stream_channels)
+                    meta = slot["meta"]
+                    lm = int(meta[0, 2])
+                    if not (meta[:, 2] == lm).all():
+                        raise ValueError("mixed frame sizes in one step not supported")
+                    pf_chunk, pf_active = pf_chunk_for(meta[:, 6:9], slot["gains"])
+                    work.put((slot, lm, pf_chunk, pf_active, -1, False))
+                    continue
                 meta = slot["meta"]
                 lm = int(meta[0, 2])
                 if not (meta[:, 2] == lm).all():

@@ -522,3 +522,34 @@ def test_plan_executor_dual_stereo_and_intensity():
             assert np.abs(ref - xn[b, :c_]).max() < 1e-3
             assert np.abs(ref - xj[b, :c_]).max() < 1e-3
     assert saw_dual > 0  # the content must actually drive the path
+
+
+def test_plan_serve_overflow_falls_back_per_step():
+    """A step whose plan overflows the arena ships as a q14 spectrum for
+    just that step (SynthState is shared between step kinds), instead of
+    killing the serving session."""
+    from opus_tpu.batch.pipeline import BatchedCeltDecoder
+
+    F, B, NF = 960, 4, 6
+    payloads = _payloads(2, 960, 96, nframes=NF)
+    ref = BatchedCeltDecoder(B, 2, transfer="plan")
+    if not ref.use_native:
+        pytest.skip("native engine not built")
+    ref.serve([[payloads[i]] * B for i in range(NF)], F)
+    want = np.asarray(ref._serve_ring)
+
+    front = BatchedCeltDecoder(B, 2, transfer="plan")
+    orig = front.native.decode_batch_plan_into
+    calls = {"n": 0}
+
+    def patched(packets, frame_size, slot, stream_channels=None, want_xdbg=False):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise OverflowError("synthetic arena overflow")
+        return orig(packets, frame_size, slot, stream_channels, want_xdbg)
+
+    front.native.decode_batch_plan_into = patched
+    front.serve([[payloads[i]] * B for i in range(NF)], F)
+    got = np.asarray(front._serve_ring)
+    assert calls["n"] == NF  # every step attempted the plan path
+    assert float(np.abs(got - want).max()) < 5e-4
