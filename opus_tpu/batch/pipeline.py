@@ -189,8 +189,10 @@ class BatchedCeltDecoder:
 
     #: Plan-mode arena upload buckets (int32 words per stream): the used
     #: arena prefix rounds up to one of these so a handful of compiled
-    #: programs covers every content size.
-    PLAN_BUCKETS = (96, 160, 256, 384, 512)
+    #: programs covers every content size.  Finer granularity in the
+    #: common 96-256 range — on the byte-bound transport each 32-word
+    #: bucket step is 128 B/stream of upload.
+    PLAN_BUCKETS = (64, 96, 128, 160, 192, 224, 256, 320, 384, 512)
 
     def _plan_serving_step(self, lm: int, pf_chunk: int, pf_active: bool,
                            bucket_words: int, with_plc: bool = False):

@@ -41,67 +41,79 @@ def _pf_kernel(y_ref, par_ref, w2_ref, gt_ref, out_ref, *, n, lm, hist, channels
     par_ref: [BS, 16] f32 params: periods p0..p2 (as float), gains g0..g2,
              tapsets t0..t2 (as float), window flags.
     out_ref: [BS, C, hist+n] updated plane.
+
+    Mosaic constraints shape the whole kernel (jax pallas/mosaic
+    lowering.py _gather_lowering_rule): the ONLY supported gather is 2D,
+    same-shape, batched along one dim — so the plane is flattened to
+    [BS*C, W] rows, the per-row lagged window is fetched as a full-width
+    same-shape row gather (VMEM-resident, bandwidth is free), the tiny
+    tapset table is resolved by 3-way select instead of indexing, and
+    every loop is unrolled at trace time (chunk counts are static) so
+    all slices are static.
     """
     import jax.numpy as jnp
 
     w2 = w2_ref[...]
     gains_tbl = gt_ref[...]
 
-    y = y_ref[...]
-    par = par_ref[...]
-    p = par[:, 0:3].astype(jnp.int32)
-    g = par[:, 3:6]
-    ts = par[:, 6:9].astype(jnp.int32)
-
     chunk = _CHUNK
-    bs = y.shape[0]
-    W = y.shape[2]
+    y3 = y_ref[...]
+    bs = y3.shape[0]
+    W = y3.shape[2]
+    R = bs * channels
+    y = y3.reshape(R, W)
+    par = par_ref[...]
+    rep = lambda v: jnp.repeat(v, channels, axis=0)  # [BS,k] -> [R,k]
+    p = rep(par[:, 0:3]).astype(jnp.int32)
+    g = rep(par[:, 3:6])
+    ts = rep(par[:, 6:9]).astype(jnp.int32)
+
+    def taps_of(t):  # [R] tapset -> [R, 3] taps, gather-free
+        out = jnp.zeros((R, 3), jnp.float32)
+        for k in range(3):
+            out = out + jnp.where((t == k)[:, None], gains_tbl[k][None, :], 0.0)
+        return out
 
     def seg(y, off, ln, pa_, ga_, ta_, pb_, gb_, tb_):
-        ga = gains_tbl[ta_] * ga_[..., None]
-        gb = gains_tbl[tb_] * gb_[..., None]
+        ga = taps_of(ta_) * ga_[:, None]
+        gb = taps_of(tb_) * gb_[:, None]
         same = (ga_ == gb_) & (pa_ == pb_) & (ta_ == tb_)
         zero = (ga_ == 0.0) & (gb_ == 0.0)
         zero_b = gb_ == 0.0
         pa = jnp.maximum(pa_, 15)
         pb = jnp.maximum(pb_, 15)
+        wlen = chunk + 4
 
         def window(yv, i0, t):
-            wlen = chunk + 4
-            start = jnp.clip(i0 - 2 - t[:, None, None], 0, W - wlen)
-            idx = start + jnp.arange(wlen)[None, None, :]
-            return jnp.take_along_axis(yv, jnp.broadcast_to(idx, (bs, channels, wlen)), axis=-1)
+            # same-shape batched row gather -> tpu.dynamic_gather
+            start = jnp.clip(i0 - 2 - t[:, None], 0, W - wlen)
+            idx = jnp.minimum(start + jnp.arange(W)[None, :], W - 1)
+            return jnp.take_along_axis(yv, idx, axis=-1)[:, :wlen]
 
         def tap5(win, taps):
-            s = win[..., 2 : 2 + chunk]
-            s1 = win[..., 1 : 1 + chunk] + win[..., 3 : 3 + chunk]
-            s2 = win[..., 0:chunk] + win[..., 4 : 4 + chunk]
-            return (taps[:, 0][:, None, None] * s
-                    + taps[:, 1][:, None, None] * s1
-                    + taps[:, 2][:, None, None] * s2)
+            s = win[:, 2 : 2 + chunk]
+            s1 = win[:, 1 : 1 + chunk] + win[:, 3 : 3 + chunk]
+            s2 = win[:, 0:chunk] + win[:, 4 : 4 + chunk]
+            return (taps[:, 0][:, None] * s
+                    + taps[:, 1][:, None] * s1
+                    + taps[:, 2][:, None] * s2)
 
         ncf = min(ln, OVERLAP) // chunk
-
-        def body_cf(ci, y):
+        for ci in range(ncf):  # static unroll: all slices static
             i0 = off + ci * chunk
-            wh = jax.lax.dynamic_slice(w2, (ci * chunk,), (chunk,))[None, None, :]
-            wh = jnp.where(same[:, None, None], 1.0, wh)
-            contrib = (1.0 - wh) * tap5(window(y, i0, pa), ga) + wh * tap5(window(y, i0, pb), gb)
-            contrib = jnp.where(zero[:, None, None], 0.0, contrib)
-            cur = jax.lax.dynamic_slice_in_dim(y, i0, chunk, axis=-1)
-            return jax.lax.dynamic_update_slice_in_dim(y, cur + contrib, i0, axis=-1)
-
-        y = jax.lax.fori_loop(0, ncf, body_cf, y)
+            wh = w2[ci * chunk : (ci + 1) * chunk][None, :]
+            wh = jnp.where(same[:, None], 1.0, wh)
+            contrib = (1.0 - wh) * tap5(window(y, i0, pa), ga) + wh * tap5(
+                window(y, i0, pb), gb
+            )
+            contrib = jnp.where(zero[:, None], 0.0, contrib)
+            y = y.at[:, i0 : i0 + chunk].add(contrib)
         ntail = (ln - ncf * chunk) // chunk
-        if ntail:
-            def body_b(ci, y):
-                i0 = off + ncf * chunk + ci * chunk
-                contrib = tap5(window(y, i0, pb), gb)
-                contrib = jnp.where(zero_b[:, None, None], 0.0, contrib)
-                cur = jax.lax.dynamic_slice_in_dim(y, i0, chunk, axis=-1)
-                return jax.lax.dynamic_update_slice_in_dim(y, cur + contrib, i0, axis=-1)
-
-            y = jax.lax.fori_loop(0, ntail, body_b, y)
+        for ci in range(ntail):
+            i0 = off + ncf * chunk + ci * chunk
+            contrib = tap5(window(y, i0, pb), gb)
+            contrib = jnp.where(zero_b[:, None], 0.0, contrib)
+            y = y.at[:, i0 : i0 + chunk].add(contrib)
         return y
 
     y = seg(y, hist, modes.SHORT_MDCT_SIZE,
@@ -109,7 +121,7 @@ def _pf_kernel(y_ref, par_ref, w2_ref, gt_ref, out_ref, *, n, lm, hist, channels
     if lm != 0:
         y = seg(y, hist + modes.SHORT_MDCT_SIZE, n - modes.SHORT_MDCT_SIZE,
                 p[:, 1], g[:, 1], ts[:, 1], p[:, 2], g[:, 2], ts[:, 2])
-    out_ref[...] = y
+    out_ref[...] = y.reshape(bs, channels, W)
 
 
 def pallas_postfilter(y, hist, n, lm, pf_periods, pf_gains, pf_tapsets,

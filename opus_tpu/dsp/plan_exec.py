@@ -3,12 +3,13 @@
 Plane A (opus_tpu/native/celt_frontend.cpp, celt_fe_decode_batch_plan)
 walks the range-coded symbols and emits, per stream:
 
-* sorted 2-word leaf records (PVQ / fold / noise) covering the coded
-  coefficients in the band-transform (deinterleaved) domain,
-* a variable-width bit-packed stream of integer PVQ pulse vectors,
-* explicit LCG seeds for fold/noise leaves (order-independent replay),
-* 2-word per-band records (interleave/haar config, stereo angle,
-  collapse masks, fold source offset),
+* 2-word PVQ leaf records + a variable-width bit-packed stream of integer
+  PVQ pulse vectors, sorted by position in the band-transform
+  (deinterleaved) domain,
+* 3-word fill (fold/noise) leaf records with explicit LCG seeds
+  (order-independent replay),
+* per-band records (interleave/haar config, stereo angle, fold source
+  offset) packed as 21 config words + a 21x11-bit eff-field stream,
 * sparse anti-collapse records.
 
 This module replays everything the reference decoder does after cwrsi
@@ -19,7 +20,7 @@ anti-collapse — first as a numpy reference (`execute_plan_numpy`, the
 oracle for tests), then as the jitted batched executor used by the
 serving step.
 
-Why this beats uploading spectra: pulse vectors + plan are ~1.7x fewer
+Why this beats uploading spectra: pulse vectors + plan are ~2.3x fewer
 bytes than the p10 packed spectrum (the transport is the serving
 bottleneck), and plane A sheds its packer.  The rotation — a sequential
 recurrence per band in the reference — is exactly two first-order
@@ -43,7 +44,7 @@ NB = modes.NB_E_BANDS
 EPSILON = 1e-15
 _SPREAD_FACTOR = (15, 10, 5)
 
-# Leaf record field extraction (contract: celt_frontend.cpp PlanSink).
+# Merged-view leaf types (oracle; the wire format splits the tables).
 LEAF_PVQ, LEAF_FOLD, LEAF_NOISE = 0, 1, 2
 
 
@@ -197,32 +198,59 @@ def band_transforms(n: int, b_frame: int, recombine: int, time_divide: int,
     return fwd.astype(np.float32), undo.astype(np.float32)
 
 
-# --- record parsing ---------------------------------------------------------
+# --- record parsing (numpy oracle side) -------------------------------------
 
 def parse_leaves(arena: np.ndarray, hdr: np.ndarray):
-    """Decode one stream's leaf records -> dict of field arrays."""
-    off, nl, na, iy_off = int(hdr[0]), int(hdr[1]), int(hdr[2]), int(hdr[3])
-    w = arena[off : off + 2 * nl].astype(np.uint32).reshape(nl, 2)
-    w0, w1 = w[:, 0], w[:, 1]
-    dst = (w0 & 0x7FF).astype(np.int64)
-    plane = (w0 >> 11) & 1
-    n = ((w0 >> 12) & 0xFF).astype(np.int64) + 1
-    typ = (w0 >> 20) & 3
-    width = (w0 >> 22) & 0xF
-    bq = ((w0 >> 26) & 0xF).astype(np.int64) + 1
-    norm2 = (w0 >> 30) & 1
-    k = (w1 & 0xFF).astype(np.int64) + 1
-    srcrel = (w1 & 0x7FF).astype(np.int64)
-    gain = f16_bits_to_f32(((w1 >> 16) & 0xFFFF).astype(np.uint16))
-    n_seeds = int(np.sum(typ != LEAF_PVQ))
-    seeds = arena[off + 2 * nl : off + 2 * nl + n_seeds].astype(np.uint32)
-    ac = arena[off + 2 * nl + n_seeds : off + 2 * nl + n_seeds + 2 * na].astype(
-        np.uint32
-    ).reshape(na, 2)
-    iy_words = arena[off + iy_off :]
+    """Decode one stream's leaf tables -> merged dict of field arrays.
+
+    hdr is the 4-word staging header {off, n_pvq|n_fill<<9|n_ac<<18,
+    n_ac, iy_rel}.  The merged view (pvq leaves first, then fills)
+    carries per-leaf seeds explicitly."""
+    off, counts, iy_off = int(hdr[0]), int(hdr[1]), int(hdr[3])
+    np_, nf = counts & 0x1FF, (counts >> 9) & 0x1FF
+    na = counts >> 18
+    words = arena[off:].astype(np.uint32)
+    nl = np_ + nf
+    dst = np.zeros(nl, np.int64)
+    plane = np.zeros(nl, np.int64)
+    n = np.zeros(nl, np.int64)
+    typ = np.zeros(nl, np.int64)
+    width = np.zeros(nl, np.int64)
+    bq = np.ones(nl, np.int64)
+    norm2 = np.zeros(nl, np.int64)
+    k = np.ones(nl, np.int64)
+    srcrel = np.zeros(nl, np.int64)
+    gain = np.zeros(nl, np.float32)
+    seeds = np.zeros(nl, np.uint32)
+    for i in range(np_):
+        w0 = int(words[2 * i])
+        w1 = int(words[2 * i + 1])
+        dst[i] = w0 & 0x7FF
+        plane[i] = (w0 >> 11) & 1
+        n[i] = ((w0 >> 12) & 0xFF) + 1
+        width[i] = (w0 >> 20) & 0xF
+        bq[i] = ((w0 >> 24) & 0xF) + 1
+        k[i] = (w1 & 0xFF) + 1
+        gain[i] = f16_bits_to_f32(np.array([(w1 >> 16) & 0xFFFF], np.uint16))[0]
+        typ[i] = LEAF_PVQ
+    pvq_words = 2 * np_
+    for j in range(nf):
+        w0 = int(words[pvq_words + 3 * j])
+        w1 = int(words[pvq_words + 3 * j + 1])
+        i = np_ + j
+        dst[i] = w0 & 0x7FF
+        plane[i] = (w0 >> 11) & 1
+        n[i] = ((w0 >> 12) & 0xFF) + 1
+        typ[i] = LEAF_NOISE if (w0 >> 20) & 1 else LEAF_FOLD
+        norm2[i] = (w0 >> 21) & 1
+        srcrel[i] = w1 & 0x7FF
+        gain[i] = f16_bits_to_f32(np.array([(w1 >> 16) & 0xFFFF], np.uint16))[0]
+        seeds[i] = np.uint32(words[pvq_words + 3 * j + 2])
+    ac = words[pvq_words + 3 * nf : pvq_words + 3 * nf + 2 * na].reshape(na, 2)
+    iy_words = words[iy_off:]
     return dict(dst=dst, plane=plane, n=n, typ=typ, width=width, bq=bq,
                 norm2=norm2, k=k, srcrel=srcrel, gain=gain, seeds=seeds,
-                acents=ac, iy_words=iy_words)
+                acents=ac, iy_words=iy_words, n_pvq=np_)
 
 
 def unpack_iy(leaves: dict) -> list:
@@ -258,7 +286,7 @@ def execute_plan_numpy(slot: dict, lm: int) -> np.ndarray:
     The numpy oracle for the jitted executor; mirrors the device
     algorithm (band-ordered walk), not the reference's recursion — the
     results agree because every float op is replayed identically.
-    """
+    Reads the STAGING header/meta/bands (full-precision host arrays)."""
     header, arena = slot["header"], slot["arena"]
     meta, bands = slot["meta"], slot["bands"]
     B = header.shape[0]
@@ -282,12 +310,7 @@ def execute_plan_numpy(slot: dict, lm: int) -> np.ndarray:
         band_w1 = bands[bi, :, 1].astype(np.uint32)
 
         # Phase A: PVQ + noise leaves (order-free).
-        si = 0
-        leaf_seed = np.zeros(nl, np.uint32)
-        for li in range(nl):
-            if lv["typ"][li] != LEAF_PVQ:
-                leaf_seed[li] = lv["seeds"][si]
-                si += 1
+        leaf_seed = lv["seeds"]
         for li in range(nl):
             t = int(lv["typ"][li])
             pl, dst, n = int(lv["plane"][li]), int(lv["dst"][li]), int(lv["n"][li])
@@ -408,11 +431,11 @@ def execute_plan_numpy(slot: dict, lm: int) -> np.ndarray:
 # The device algorithm mirrors execute_plan_numpy, vectorised over the
 # batch with static shapes:
 #
-# * leaf/seed/acent records gather from the flat arena with per-stream
+# * pvq/fill/acent records gather from the flat arena with per-stream
 #   offsets (one XLA gather each);
 # * per-position parameter planes come from ONE scatter of leaf starts +
-#   a cumsum (leaves arrive position-sorted from plane A), then
-#   take_along_axis by leaf id;
+#   a cumsum per table (leaves arrive position-sorted from plane A),
+#   then take_along_axis by leaf id;
 # * the spreading rotation's four sequential passes run as segmented
 #   first-order associative scans over the flat [B, 2N] plane — the
 #   stride2 pass through a closed-form chain permutation gather;
@@ -460,12 +483,20 @@ def _valid_cfg(n: int, b_frame: int, rec: int, td: int) -> bool:
     return True
 
 
-def make_plan_executor(lm: int, batch: int, p_max: int = 192, a_max: int = 42):
+def make_plan_executor(lm: int, batch: int, p_max: int = 192, f_max: int = 64,
+                       a_max: int = 42, stop_after: str | None = None):
     """Build the jitted plan executor for one frame shape.
 
-    Returns f(header[B,4] i32, bands[B,21,2] i32, meta[B,16] i32,
+    Returns f(header[B,3] i32, bands[B,29] i32, meta[B,16] i32,
     arena[AW] i32) -> X [B, 2, N] f32 natural-domain band spectra.
-    """
+    header = {arena off, n_pvq|n_fill<<9|n_ac<<18, iy_rel}; bands =
+    21 config words + 8 words of 21x11-bit eff fields (frontend.py
+    _pack_plan_fixed).
+
+    stop_after (profiling only, tools/tpu_exec_bisect.py): one of
+    "leaves", "posmap", "iy", "norm", "noise", "rot", "bands" — the
+    executor returns a digest scalar right after that stage, with every
+    prior intermediate summed in so nothing is dead-code-eliminated."""
     m = 1 << lm
     n = m * modes.SHORT_MDCT_SIZE
     e = (modes.E_BANDS.astype(np.int64) * m).astype(np.int32)
@@ -536,75 +567,114 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, a_max: int = 42):
         B = batch
         arena = jax.lax.bitcast_convert_type(arena_i32, jnp.uint32)
         hdr_off = header[:, 0]
-        n_leaves = header[:, 1]
-        n_acents = header[:, 2]
-        iy_rel = header[:, 3]
+        counts = header[:, 1]
+        n_pvq = counts & 0x1FF
+        n_fill = (counts >> 9) & 0x1FF
+        n_acents = counts >> 18
+        iy_rel = header[:, 2]
         spread = meta[:, 13]
         c2 = meta[:, 3] == 2  # frame coded stereo
+        bidx = jnp.arange(B)[:, None]
+        pos = jnp.arange(n2)[None, :]
+        amax = arena.shape[0] - 1
 
-        # ---- leaf table [B, P] ----
+        # ---- pvq leaf table [B, P] (2-word records) ----
         p = jnp.arange(p_max)[None, :]
-        valid = p < n_leaves[:, None]
+        valid = p < n_pvq[:, None]
         wbase = hdr_off[:, None] + 2 * p
-        w0 = jnp.take(arena, jnp.where(valid, wbase, 0), mode="clip")
-        w1 = jnp.take(arena, jnp.where(valid, wbase + 1, 0), mode="clip")
+        w0 = jnp.take(arena, jnp.clip(jnp.where(valid, wbase, 0), 0, amax))
+        w1 = jnp.take(arena, jnp.clip(jnp.where(valid, wbase + 1, 0), 0, amax))
         dst = (w0 & 0x7FF).astype(jnp.int32)
         plane = ((w0 >> 11) & 1).astype(jnp.int32)
         ln = ((w0 >> 12) & 0xFF).astype(jnp.int32) + 1
-        typ = ((w0 >> 20) & 3).astype(jnp.int32)
-        wid = ((w0 >> 22) & 0xF).astype(jnp.int32)
-        bq = ((w0 >> 26) & 0xF).astype(jnp.int32) + 1
-        nrm2 = ((w0 >> 30) & 1).astype(jnp.int32)
+        wid = ((w0 >> 20) & 0xF).astype(jnp.int32)
+        bq = ((w0 >> 24) & 0xF).astype(jnp.int32) + 1
         kk = (w1 & 0xFF).astype(jnp.int32) + 1
-        srcrel = (w1 & 0x7FF).astype(jnp.int32)
-        gain = _f16_to_f32_j(((w1 >> 16) & 0xFFFF).astype(jnp.uint32))
-        typ = jnp.where(valid, typ, 3)  # 3 = inert
+        gain = _f16_to_f32_j((w1 >> 16) & 0xFFFF)
 
-        seeded = valid & (typ != LEAF_PVQ) & (typ != 3)
-        seedpos = jnp.cumsum(seeded, axis=1) - seeded
-        seeds = jnp.take(
-            arena, hdr_off[:, None] + 2 * n_leaves[:, None] + seedpos, mode="clip"
-        )
-        n_seeds = jnp.sum(seeded, axis=1)
-
-        iyb = jnp.where(valid & (typ == LEAF_PVQ), ln * wid, 0)
+        iyb = jnp.where(valid, ln * wid, 0)
         iybase = jnp.cumsum(iyb, axis=1) - iyb
         iy_w0 = hdr_off + iy_rel
 
-        # ---- per-position planes [B, n2] ----
-        flatdst = jnp.where(valid, plane * n + dst, n2)
-        bidx = jnp.arange(B)[:, None]
-        marks = jnp.zeros((B, n2 + 1), jnp.int32).at[bidx, flatdst].add(1)
-        lid = jnp.cumsum(marks[:, :n2], axis=1) - 1
+        # ---- fill leaf table [B, F] (3-word records) ----
+        pvq_words = 2 * n_pvq
+        f = jnp.arange(f_max)[None, :]
+        fvalid = f < n_fill[:, None]
+        fbase = hdr_off[:, None] + pvq_words[:, None] + 3 * f
+        fw0 = jnp.take(arena, jnp.clip(jnp.where(fvalid, fbase, 0), 0, amax))
+        fw1 = jnp.take(arena, jnp.clip(jnp.where(fvalid, fbase + 1, 0), 0, amax))
+        fseed = jnp.take(arena, jnp.clip(jnp.where(fvalid, fbase + 2, 0), 0, amax))
+        fdst = (fw0 & 0x7FF).astype(jnp.int32)
+        fplane = ((fw0 >> 11) & 1).astype(jnp.int32)
+        fln = ((fw0 >> 12) & 0xFF).astype(jnp.int32) + 1
+        fnoise = ((fw0 >> 20) & 1).astype(jnp.int32)
+        fnorm2 = ((fw0 >> 21) & 1).astype(jnp.int32)
+        fsrc = (fw1 & 0x7FF).astype(jnp.int32)
+        fgain = _f16_to_f32_j((fw1 >> 16) & 0xFFFF)
+
+        if stop_after == "leaves":
+            return (jnp.sum(gain) + jnp.sum(fgain)
+                    + jnp.sum((dst + plane + ln + wid + bq + kk + iybase
+                               ).astype(jnp.float32))
+                    + jnp.sum((fdst + fplane + fln + fnoise + fnorm2 + fsrc
+                               ).astype(jnp.float32))
+                    + jnp.sum(fseed.astype(jnp.float32)))
+
+        # ---- per-position planes [B, n2], one per table ----
+        def position_map(flat, count_mask):
+            flatc = jnp.where(count_mask, flat, n2)
+            marks = jnp.zeros((B, n2 + 1), jnp.int32).at[bidx, flatc].add(1)
+            lid = jnp.cumsum(marks[:, :n2], axis=1) - 1
+            return flatc, lid
+
+        flatdst, lid = position_map(plane * n + dst, valid)
         lidc = jnp.clip(lid, 0, p_max - 1)
 
-        def g(t):  # gather leaf field to positions
+        def g(t):  # gather pvq leaf field to positions
             return jnp.take_along_axis(t, lidc, axis=1)
 
-        pos = jnp.arange(n2)[None, :]
         fd_p = g(flatdst)
         ln_p = g(ln)
         rel = pos - fd_p
         cov = (lid >= 0) & (rel < ln_p)
-        typ_p = jnp.where(cov, g(typ), 3)
         wid_p = g(wid)
         gain_p = g(gain)
+
+        fflat, flid = position_map(fplane * n + fdst, fvalid)
+        flidc = jnp.clip(flid, 0, f_max - 1)
+
+        def gf(t):  # gather fill leaf field to positions
+            return jnp.take_along_axis(t, flidc, axis=1)
+
+        ffd_p = gf(fflat)
+        fln_p = gf(fln)
+        frel = pos - ffd_p
+        fcov = (flid >= 0) & (frel < fln_p)
+
+        if stop_after == "posmap":
+            return (jnp.sum((fd_p + ln_p + wid_p + ffd_p + fln_p
+                             ).astype(jnp.float32))
+                    + jnp.sum(gain_p) + jnp.sum(cov) + jnp.sum(fcov))
 
         # ---- iy unpack ----
         bit = g(iybase) + rel * wid_p
         word = iy_w0[:, None] + (bit >> 5)
         sh = (bit & 31).astype(jnp.uint32)
-        lo = jnp.take(arena, jnp.clip(word, 0, arena.shape[0] - 1)) >> sh
+        lo = jnp.take(arena, jnp.clip(word, 0, amax)) >> sh
         hi = jnp.where(
             sh == 0,
             jnp.uint32(0),
-            jnp.take(arena, jnp.clip(word + 1, 0, arena.shape[0] - 1))
+            jnp.take(arena, jnp.clip(word + 1, 0, amax))
             << (32 - jnp.maximum(sh, 1)),
         )
-        wp_c = jnp.maximum(wid_p, 1)  # avoid negative shifts for non-pvq
+        wp_c = jnp.maximum(wid_p, 1)  # avoid negative shifts off-leaf
         msk = (jnp.uint32(1) << wp_c.astype(jnp.uint32)) - 1
         iy = ((lo | hi) & msk).astype(jnp.int32) - (1 << (wp_c - 1))
-        iy = jnp.where(cov & (typ_p == LEAF_PVQ), iy, 0)
+        iy = jnp.where(cov, iy, 0)
+
+        if stop_after == "iy":
+            return (jnp.sum(iy.astype(jnp.float32)) + jnp.sum(gain_p)
+                    + jnp.sum(fcov) + jnp.sum(fln_p.astype(jnp.float32)))
 
         # ---- pvq normalise ----
         # Ryy is a sum of integer squares (<= K^2 = 16384 per leaf): an
@@ -624,18 +694,21 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, a_max: int = 42):
         gl = gain / jnp.sqrt(jnp.maximum(ryy, 1e-30))
         x = iyf * g(gl)
 
+        if stop_after == "norm":
+            return jnp.sum(x) + jnp.sum(fcov) + jnp.sum(fln_p.astype(jnp.float32))
+
         # ---- noise leaves ----
         aj = jnp.asarray(aj_np)
         cj = jnp.asarray(cj_np)
-        seed_p = g(seeds)
-        t1 = jnp.clip(rel + 1, 0, _LCG_MAX - 1)
+        seed_p = gf(fseed)
+        t1 = jnp.clip(frel + 1, 0, _LCG_MAX - 1)
         sv = jnp.take(aj, t1) * seed_p + jnp.take(cj, t1)
         noise = (
             jax.lax.shift_right_arithmetic(
                 jax.lax.bitcast_convert_type(sv, jnp.int32), 20
             )
         ).astype(jnp.float32)
-        is_noise = cov & (typ_p == LEAF_NOISE)
+        is_noise = fcov & (gf(fnoise) == 1)
         # Noise values are integers (seed >> 20); the plane-wide cumsum may
         # wrap int32, but two's-complement differences stay exact modulo
         # 2^32 and every true per-leaf sum fits in 31 bits (176 * 2048^2),
@@ -650,23 +723,28 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, a_max: int = 42):
         )
         nz = jnp.where(is_noise, noise, 0.0)
         ncsum = jnp.cumsum(nzi * nzi, axis=1)
-        nat_end = jnp.take_along_axis(ncsum, jnp.clip(end_i, 0, n2 - 1), axis=1)
+        fend_i = jnp.clip(fflat + fln - 1, 0, n2 - 1)
+        fstart_i = fflat - 1
+        nat_end = jnp.take_along_axis(ncsum, jnp.clip(fend_i, 0, n2 - 1), axis=1)
         nat_start = jnp.where(
-            start_i < 0, 0,
-            jnp.take_along_axis(ncsum, jnp.clip(start_i, 0, n2 - 1), axis=1),
+            fstart_i < 0, 0,
+            jnp.take_along_axis(ncsum, jnp.clip(fstart_i, 0, n2 - 1), axis=1),
         )
         nsum = jax.lax.bitcast_convert_type(
             nat_end - nat_start, jnp.uint32
         ).astype(jnp.float32)
-        nscale = gain / jnp.sqrt(EPSILON + nsum)
-        x = jnp.where(is_noise, nz * g(nscale), x)
+        nscale = fgain / jnp.sqrt(EPSILON + nsum)
+        x = jnp.where(is_noise, nz * gf(nscale), x)
+
+        if stop_after == "noise":
+            return jnp.sum(x)
 
         # ---- rotation ----
         sp_f = spread[:, None].astype(jnp.int32)
         factor = jnp.take(
             jnp.asarray(np.array([15, 15, 10, 5], np.int32)), jnp.clip(sp_f, 0, 3)
         )
-        active = (2 * kk < ln) & (sp_f > 0) & (typ == LEAF_PVQ) & valid
+        active = (2 * kk < ln) & (sp_f > 0) & valid
         gr = ln.astype(jnp.float32) / (ln + factor * kk).astype(jnp.float32)
         th = 0.5 * gr * gr
         c_l = jnp.cos(0.5 * jnp.pi * th)
@@ -723,10 +801,13 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, a_max: int = 42):
         kB = jnp.where(in_rot, rel2, 0)
         x = _rot_pass(x, ccB, ssB, kB, mB)
 
+        if stop_after == "rot":
+            return jnp.sum(x)
+
         # ---- band walk ----
         X = x.reshape(B, 2, n)
-        bw0 = jax.lax.bitcast_convert_type(bands[:, :, 0], jnp.uint32)
-        bw1 = jax.lax.bitcast_convert_type(bands[:, :, 1], jnp.uint32)
+        bw0 = jax.lax.bitcast_convert_type(bands[:, :NB], jnp.uint32)
+        beff = jax.lax.bitcast_convert_type(bands[:, NB : NB + 8], jnp.uint32)
         rec_b = (bw0 & 3).astype(jnp.int32)
         td_b = ((bw0 >> 2) & 3).astype(jnp.int32)
         lb_b = ((bw0 >> 4) & 1).astype(jnp.int32)
@@ -735,16 +816,23 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, a_max: int = 42):
         inv_b = (bw0 >> 7) & 1
         imid_b = ((bw0 >> 8) & 0x7FFF).astype(jnp.float32) / 32768.0
         ster_b = (bw0 >> 23) & 1
-        eff_b = ((bw1 >> 16) & 0x7FF).astype(jnp.int32)
+
+        def eff_field(i):
+            bitpos = 11 * i
+            w, s = bitpos >> 5, bitpos & 31
+            v = beff[:, w] >> s
+            if s + 11 > 32:
+                v = v | (beff[:, w + 1] << (32 - s))
+            return (v & 0x7FF).astype(jnp.int32)
 
         # per-position fold fields on the [B, 2, n] view
-        typ_v = typ_p.reshape(B, 2, n)
-        src_v = g(srcrel).reshape(B, 2, n)
-        n2_v = g(nrm2).reshape(B, 2, n)
-        gain_v = gain_p.reshape(B, 2, n)
-        seed_v = g(seeds).reshape(B, 2, n)
-        rel_v = rel.reshape(B, 2, n)
-        fd_v = fd_p.reshape(B, 2, n)  # flat dst; plane-local dst = fd - plane*n
+        ftyp_v = (fcov & (gf(fnoise) == 0)).reshape(B, 2, n)  # fold coverage
+        src_v = gf(fsrc).reshape(B, 2, n)
+        n2_v = gf(fnorm2).reshape(B, 2, n)
+        gain_v = gf(fgain).reshape(B, 2, n)
+        seed_v = gf(fseed).reshape(B, 2, n)
+        rel_v = frel.reshape(B, 2, n)
+        fln_v = fln_p.reshape(B, 2, n)
 
         norm = jnp.zeros((B, 2, norm_len), jnp.float32)
 
@@ -769,8 +857,8 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, a_max: int = 42):
                 )
 
             # fold sources: gather norm slice at eff, apply T_fwd
-            has_fold = (typ_v[:, :, lo_:hi_] == LEAF_FOLD)
-            eff = jnp.clip(eff_b[:, i], 0, max(norm_len - nb_, 0))[:, None]
+            has_fold = ftyp_v[:, :, lo_:hi_]
+            eff = jnp.clip(eff_field(i), 0, max(norm_len - nb_, 0))[:, None]
             offs = jnp.arange(nb_)[None, :]
             nrm_flat = norm.reshape(B, 2 * norm_len)
             for npl in (0, 1):
@@ -802,9 +890,8 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, a_max: int = 42):
                 # plane 0 sums never leak into plane 1 leaves)
                 csl = jnp.cumsum(fill * fill, axis=2)
                 relb = rel_v[:, :, lo_:hi_]
-                is_start = fm & (relb == 0)
                 # gather sum over each leaf: end = start + ln - 1
-                lnb = ln_p.reshape(B, 2, n)[:, :, lo_:hi_]
+                lnb = fln_v[:, :, lo_:hi_]
                 endr = jnp.clip(jnp.arange(nb_)[None, None, :] + lnb - 1, 0, nb_ - 1)
                 cs_end = jnp.take_along_axis(csl, endr, axis=2)
                 startm1 = jnp.arange(nb_)[None, None, :] - 1
@@ -865,12 +952,16 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, a_max: int = 42):
             )
             X = X.at[:, :, lo_:hi_].set(xn)
 
+        if stop_after == "bands":
+            return jnp.sum(X)
+
         # ---- anti-collapse ----
         ap = jnp.arange(a_max)[None, :]
         avalid = ap < n_acents[:, None]
-        abase = hdr_off[:, None] + 2 * n_leaves[:, None] + n_seeds[:, None] + 2 * ap
-        a0 = jnp.take(arena, jnp.where(avalid, abase, 0), mode="clip")
-        a1 = jnp.take(arena, jnp.where(avalid, abase + 1, 0), mode="clip")
+        abase = (hdr_off[:, None] + pvq_words[:, None] + 3 * n_fill[:, None]
+                 + 2 * ap)
+        a0 = jnp.take(arena, jnp.clip(jnp.where(avalid, abase, 0), 0, amax))
+        a1 = jnp.take(arena, jnp.clip(jnp.where(avalid, abase + 1, 0), 0, amax))
         ab = (a0 & 0x1F).astype(jnp.int32)
         ach = ((a0 >> 5) & 1).astype(jnp.int32)
         amask = ((a0 >> 8) & 0xFF).astype(jnp.int32)
@@ -929,6 +1020,14 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, a_max: int = 42):
     return executor
 
 
+def plan_executor_args(slot: dict):
+    """Assemble the jit executor's inputs from a decoded plan slot
+    (numpy; mirrors the device-side unpack in dsp/synthesis.py).
+    Returns (header [B,3], bands [B,29], meta [B,16], arena)."""
+    bands = np.concatenate([slot["bw0_p"], slot["beff_p"]], axis=1)
+    return slot["hdr_p"], bands, slot["meta"], slot["arena"]
+
+
 @functools.lru_cache(maxsize=None)
 def _plan_band_of_bin(lm: int) -> np.ndarray:
     m = 1 << lm
@@ -951,3 +1050,5 @@ def _f16_to_f32_j(h):
         (1.0 + man / 1024.0) * jnp.exp2((exp - 15).astype(jnp.float32)),
     )
     return jnp.where(sign == 1, -f, f)
+
+

@@ -680,26 +680,69 @@ def make_plan_serving_step(lm: int, batch: int, channels: int = 2,
 
     B = batch
     NBv = modes.NB_E_BANDS
+    # Plan-v2 packed fixed regions (frontend.py _pack_plan_fixed contract):
+    # header [B,3], ble Q9 pairs [B,21], dmeta [B,5], bands w0 [B,21],
+    # bands eff bit-stream [B,8], then the arena tail.
     o_hdr = 0
-    o_ble = o_hdr + B * 4
-    o_meta = o_ble + B * 2 * NBv
-    o_gains = o_meta + B * 16
-    o_bands = o_gains + B * 3
-    o_arena = o_bands + B * 2 * NBv
+    o_ble = o_hdr + B * 3
+    o_dmeta = o_ble + B * NBv
+    o_bw0 = o_dmeta + B * 5
+    o_beff = o_bw0 + B * NBv
+    o_arena = o_beff + B * 8
     executor = make_plan_executor(lm, batch)
     core = _make_serving_core(lm, batch, channels, downsample, pf_chunk,
                               pf_active, False)
 
     def unpack(buf):
-        header = buf[o_hdr:o_ble].reshape(B, 4)
-        ble = jax.lax.bitcast_convert_type(
-            buf[o_ble:o_meta], jnp.float32
-        ).reshape(B, 2, NBv)
-        meta = buf[o_meta:o_gains].reshape(B, 16)
-        gains = jax.lax.bitcast_convert_type(
-            buf[o_gains:o_bands], jnp.float32
-        ).reshape(B, 3)
-        bands = buf[o_bands:o_arena].reshape(B, NBv, 2)
+        header = buf[o_hdr:o_ble].reshape(B, 3)
+        blew = buf[o_ble:o_dmeta].reshape(B, NBv)
+        # Q9 int16 pairs -> f32 log-energies (int32 >> is arithmetic, so
+        # the << 16 >> 16 round-trip sign-extends the low half).
+        ble = jnp.stack(
+            [
+                ((blew << 16) >> 16).astype(jnp.float32),
+                (blew >> 16).astype(jnp.float32),
+            ],
+            axis=1,
+        ) * jnp.float32(1.0 / 512.0)
+        d = buf[o_dmeta:o_bw0].reshape(B, 5)
+        d0, d1 = d[:, 0], d[:, 1]
+        z = jnp.zeros((B,), jnp.int32)
+        meta = jnp.stack(
+            [
+                d0 & 1,                                  # 0 silence
+                (d0 >> 1) & 1,                           # 1 short blocks
+                jnp.full((B,), lm, jnp.int32),           # 2 lm
+                jnp.where(((d0 >> 2) & 1) == 1, 1, 2),   # 3 coded channels
+                jnp.where(((d0 >> 3) & 1) == 1, 17, 0),  # 4 start band
+                (d0 >> 8) & 0x1F,                        # 5 eff_end
+                d1 & 0x7FF,                              # 6 pf period0
+                (d1 >> 11) & 0x7FF,                      # 7 pf period1
+                (d0 >> 19) & 0x7FF,                      # 8 pf period2
+                (d0 >> 13) & 3,                          # 9 pf tapset0
+                (d0 >> 15) & 3,                          # 10 pf tapset1
+                (d0 >> 17) & 3,                          # 11 pf tapset2
+                z,                                       # 12 error
+                (d0 >> 6) & 3,                           # 13 spread
+                (d0 >> 4) & 3,                           # 14 plc flags
+                d[:, 4],                                 # 15 plc params
+            ],
+            axis=1,
+        )
+        d2u = jax.lax.bitcast_convert_type(d[:, 2], jnp.uint32)
+        d3u = jax.lax.bitcast_convert_type(d[:, 3], jnp.uint32)
+        gains = jnp.stack(
+            [
+                _f16_to_f32_j(d2u & 0xFFFF),
+                _f16_to_f32_j((d2u >> 16) & 0xFFFF),
+                _f16_to_f32_j(d3u & 0xFFFF),
+            ],
+            axis=1,
+        )
+        bands = jnp.concatenate(
+            [buf[o_bw0:o_beff].reshape(B, NBv), buf[o_beff:o_arena].reshape(B, 8)],
+            axis=1,
+        )
         arena = buf[o_arena:]
         return header, ble, meta, gains, bands, arena
 

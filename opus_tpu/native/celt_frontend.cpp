@@ -802,23 +802,25 @@ static uint32_t isqrt32(uint32_t v) {
 // Reference anchor: the PVQ decode contract /root/reference/src/celt/pvc.rs
 // :156-284 (cwrsi stays on host; everything after it moves on device).
 //
-// Record formats (contract shared with opus_tpu/dsp/plan_exec.py):
-//   leaf (2 words, sorted by (plane, dst)):
-//     w0: dst[0:11] | plane[11] | (n-1)[12:20] | type[20:22] | w[22:26]
-//         | (Bq-1)[26:30] | norm2[30]          (type: 0 pvq, 1 fold, 2 noise)
-//     w1: pvq:  (K-1)[0:8] | gain_f16[16:32]
-//         fold: srcrel[0:11] | gain_f16[16:32]
-//         noise:                gain_f16[16:32]
-//   band (2 words x 21):
+// Record formats, v2 (contract shared with opus_tpu/dsp/plan_exec.py):
+//   pvq leaf (2 words, sorted by (plane, dst)):
+//     w0: dst[0:11] | plane[11] | (n-1)[12:20] | w[20:24] | (Bq-1)[24:28]
+//     w1: (K-1)[0:8] | gain_f16[16:32]
+//   fill leaf (3 words, sorted by (plane, dst)):
+//     w0: dst[0:11] | plane[11] | (n-1)[12:20] | is_noise[20] | norm2[21]
+//     w1: srcrel[0:11] | gain_f16[16:32]  (srcrel only for folds)
+//     w2: lcg seed *before* the leaf's first lcg_rand call
+//   band (2 words x 21, STAGING only — the uploaded form packs w0 as-is
+//   and the eff fields as a 21x11-bit stream, see frontend.py):
 //     w0: recombine[0:2] | time_divide[2:4] | longblocks[4] | dual[5]
 //         | int_switch[6] | inv[7] | imid[8:23] | stereo[23]
 //     w1: cmask0[0:8] | cmask1[8:16] | eff_lowband[16:27] (0x7FF = none)
 //   acent (2 words): w0: band[0:5] | ch[5] | mask[8:16] | r_f16[16:32]
 //                    w1: lcg seed at this record's first draw
-//   seeds: one u32 per fold/noise leaf, in sorted leaf order (the seed
-//     value *before* the leaf's first lcg_rand call).
-// Per-stream arena layout: [leaves 2w][seeds 1w][acents 2w][iy words].
-// iy: little-endian bit stream of per-leaf w-bit offset-binary pulses.
+// Per-stream arena layout: [pvq 2w records][fill 3w records][acents 2w]
+//   [iy words].
+// iy: little-endian bit stream of per-leaf w-bit offset-binary pulses,
+//   in sorted pvq-leaf order.
 
 static uint32_t f32_to_f16_bits(float f) {
     uint32_t x;
@@ -840,15 +842,18 @@ static uint32_t f32_to_f16_bits(float f) {
 }
 
 struct PlanSink {
-    struct Leaf {
+    struct PvqLeaf {
         uint32_t w0, w1;
-        uint32_t seed;
-        bool has_seed;
-        int iy_off;  // offset into iy_store (pvq) or -1
+        int iy_off;    // offset into iy_store
         int n, w;
         int key;  // (plane << 11) | dst for sorting
     };
-    std::vector<Leaf> leaves;
+    struct FillLeaf {
+        uint32_t w0, w1, seed;
+        int key;
+    };
+    std::vector<PvqLeaf> pvq;
+    std::vector<FillLeaf> fills;
     std::vector<int32_t> iy_store;
     uint32_t bands_w0[NB_E_BANDS];
     uint32_t bands_w1[NB_E_BANDS];
@@ -860,7 +865,8 @@ struct PlanSink {
     bool overflow = false;
 
     void reset(const float* x, const float* y) {
-        leaves.clear();
+        pvq.clear();
+        fills.clear();
         iy_store.clear();
         acents.clear();
         std::memset(bands_w0, 0, sizeof(bands_w0));
@@ -898,18 +904,17 @@ struct PlanSink {
             overflow = true;
             return;
         }
-        Leaf lf;
-        lf.w0 = (uint32_t)dst | ((uint32_t)plane << 11) | ((uint32_t)(n - 1) << 12) |
-                (0u << 20) | ((uint32_t)w << 22) | ((uint32_t)(bq - 1) << 26);
+        PvqLeaf lf;
+        lf.w0 = (uint32_t)dst | ((uint32_t)plane << 11) |
+                ((uint32_t)(n - 1) << 12) | ((uint32_t)w << 20) |
+                ((uint32_t)(bq - 1) << 24);
         lf.w1 = (uint32_t)(k - 1) | (f32_to_f16_bits(gain) << 16);
-        lf.has_seed = false;
-        lf.seed = 0;
         lf.iy_off = (int)iy_store.size();
         lf.n = n;
         lf.w = w;
         lf.key = (plane << 11) | dst;
         iy_store.insert(iy_store.end(), iy, iy + n);
-        leaves.push_back(lf);
+        pvq.push_back(lf);
     }
 
     void emit_fill(const float* x, int n, float gain, const float* lowband,
@@ -919,30 +924,23 @@ struct PlanSink {
             overflow = true;
             return;
         }
-        Leaf lf;
-        int type;
+        FillLeaf lf;
         uint32_t w1 = f32_to_f16_bits(gain) << 16;
-        if (lowband) {
-            type = 1;
+        bool is_noise = lowband == nullptr;
+        if (!is_noise) {
             int srcrel = (int)(lowband - lb0);
             if (srcrel < 0 || srcrel >= 2048 || !lb0) {
                 overflow = true;
                 return;
             }
             w1 |= (uint32_t)srcrel;
-        } else {
-            type = 2;
         }
         lf.w0 = (uint32_t)dst | ((uint32_t)plane << 11) | ((uint32_t)(n - 1) << 12) |
-                ((uint32_t)type << 20) | (lb_norm2 ? (1u << 30) : 0u);
+                (is_noise ? (1u << 20) : 0u) | (lb_norm2 ? (1u << 21) : 0u);
         lf.w1 = w1;
-        lf.has_seed = true;
         lf.seed = seed_before;
-        lf.iy_off = -1;
-        lf.n = n;
-        lf.w = 0;
         lf.key = (plane << 11) | dst;
-        leaves.push_back(lf);
+        fills.push_back(lf);
     }
 
     void band_cfg(int band, int recombine, int time_divide, bool longblocks) {
@@ -968,43 +966,44 @@ struct PlanSink {
         acents.push_back(seed);
     }
 
-    int n_seeds() const {
-        int c = 0;
-        for (auto& l : leaves) c += l.has_seed ? 1 : 0;
-        return c;
-    }
+    int pvq_words() const { return 2 * (int)pvq.size(); }
     int iy_bits() const {
         int64_t bits = 0;
-        for (auto& l : leaves) bits += (int64_t)l.n * l.w;
+        for (auto& l : pvq) bits += (int64_t)l.n * l.w;
         return (int)bits;
     }
-    int arena_words() const {
-        return 2 * (int)leaves.size() + n_seeds() + (int)acents.size() +
-               (iy_bits() + 31) / 32;
+    int iy_rel_words() const {
+        return pvq_words() + 3 * (int)fills.size() + (int)acents.size();
     }
+    int arena_words() const { return iy_rel_words() + (iy_bits() + 31) / 32; }
 
-    // Pack into dst (arena_words() int32s).  Sorted by (plane, dst).
+    // Pack into dst (arena_words() int32s); each table sorted by
+    // (plane, dst) — the executor's scatter+cumsum position->leaf map
+    // requires position order within each table.
     void pack(int32_t* dst) {
-        std::vector<int> order(leaves.size());
+        std::vector<int> order(pvq.size());
         for (size_t i = 0; i < order.size(); i++) order[i] = (int)i;
         std::sort(order.begin(), order.end(),
-                  [&](int a, int b) { return leaves[a].key < leaves[b].key; });
-        int nl = (int)leaves.size();
+                  [&](int a, int b) { return pvq[a].key < pvq[b].key; });
+        std::sort(fills.begin(), fills.end(),
+                  [](const FillLeaf& a, const FillLeaf& b) { return a.key < b.key; });
+        int np = (int)pvq.size();
         int32_t* pw = dst;
-        for (int i = 0; i < nl; i++) {
-            pw[2 * i] = (int32_t)leaves[order[i]].w0;
-            pw[2 * i + 1] = (int32_t)leaves[order[i]].w1;
+        for (int i = 0; i < np; i++) {
+            *pw++ = (int32_t)pvq[order[i]].w0;
+            *pw++ = (int32_t)pvq[order[i]].w1;
         }
-        pw += 2 * nl;
-        for (int i = 0; i < nl; i++)
-            if (leaves[order[i]].has_seed) *pw++ = (int32_t)leaves[order[i]].seed;
+        for (auto& f : fills) {
+            *pw++ = (int32_t)f.w0;
+            *pw++ = (int32_t)f.w1;
+            *pw++ = (int32_t)f.seed;
+        }
         for (uint32_t a : acents) *pw++ = (int32_t)a;
-        // iy bit stream in sorted leaf order.
+        // iy bit stream in sorted pvq-leaf order.
         uint64_t cur = 0;
         int nbits = 0;
-        for (int i = 0; i < nl; i++) {
-            const Leaf& lf = leaves[order[i]];
-            if (lf.iy_off < 0) continue;
+        for (int i = 0; i < np; i++) {
+            const PvqLeaf& lf = pvq[order[i]];
             uint32_t bias = 1u << (lf.w - 1);
             uint32_t msk = (1u << lf.w) - 1;
             for (int j = 0; j < lf.n; j++) {
@@ -2224,8 +2223,9 @@ int celt_fe_decode_batch_packed(void** handles, const uint8_t* data, const int32
 extern "C" {
 
 // Plan-mode batch decode: emits the plan-executor slot regions instead of
-// a packed spectrum.  header [B,4] = {arena_word_off, n_leaves, n_acents,
-// iy_word_off_rel}; per-stream arena layout [leaves][seeds][acents][iy].
+// a packed spectrum.  header [B,4] = {arena_word_off,
+// n_pvq | n_fill<<9 | n_acents<<18, n_acents, iy_word_off_rel};
+// per-stream arena layout [pvq 48-bit][fill 3w][acents 2w][iy].
 // Returns n_packets, -(i+1) on a stream error, or -(n_packets+1) when the
 // arena capacity is exceeded (caller falls back to a spectral mode).
 // xdbg (optional, may be null): f32 debug spectra like the f32 batch path,
@@ -2293,14 +2293,14 @@ int celt_fe_decode_batch_plan(void** handles, const uint8_t* data, const int32_t
     int64_t total = 0;
     for (int i = 0; i < n_packets; i++) {
         PlanSink& sink = sinks[i];
-        int nl = (int)sink.leaves.size();
-        int ns = sink.n_seeds();
+        int np = (int)sink.pvq.size();
+        int nf = (int)sink.fills.size();
         int na = (int)sink.acents.size() / 2;
         int aw = sink.arena_words();
         header[i * 4 + 0] = (int32_t)total;
-        header[i * 4 + 1] = nl;
+        header[i * 4 + 1] = np | (nf << 9) | (na << 18);  // packed counts
         header[i * 4 + 2] = na;
-        header[i * 4 + 3] = 2 * nl + ns + 2 * na;  // iy offset rel to arena_off
+        header[i * 4 + 3] = sink.iy_rel_words();  // iy offset rel to arena_off
         total += aw;
     }
     if (total > arena_words) return -(n_packets + 1);

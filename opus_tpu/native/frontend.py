@@ -316,37 +316,100 @@ class NativeBatchFrontEnd:
             )
         return slots
 
+    #: Plan-v2 uploaded fixed-region words per stream: header 3 (off,
+    #: packed counts, iy_rel) + ble 21 (Q9 log-energy pairs) + dmeta 5
+    #: (packed flags/periods/gains/plc) + bands 29 (21 w0 words + 8 words
+    #: of 21x11-bit eff fields).
+    PLAN_FIXED_WORDS = 3 + 21 + 5 + 29
+
     def alloc_plan_slots(self, n_slots: int = 4, arena_words_per_stream: int = 512) -> list:
         """Plan-executor serving slots (opus_tpu/dsp/plan_exec.py contract).
 
-        One contiguous int32 buffer per slot: fixed regions (header [B,4],
-        ble [B,42] f32, meta [B,16], gains [B,3] f32, bands [B,21,2]) then
-        a shared variable-fill arena as the TAIL so only the used prefix
-        of the buffer needs to ship (`used_words` after each decode)."""
+        One contiguous int32 buffer per slot holds the UPLOADED form:
+        packed fixed regions (header [B,3], ble Q9 [B,21], dmeta [B,5],
+        bands [B,21]+[B,8]) then a shared variable-fill arena as the TAIL
+        so only the used prefix ships (`used_words` after each decode).
+        Full-precision staging arrays (header4/ble/meta/gains/bands) stay
+        host-side for pf_chunk_for() and the numpy oracle — they are NOT
+        uploaded."""
         B = self.batch
-        fixed = B * (4 + 42 + 16 + 3 + 42)
+        fixed = B * self.PLAN_FIXED_WORDS
         aw = B * arena_words_per_stream
         slots = []
         for _ in range(n_slots):
             buf = np.zeros(fixed + aw, np.int32)
             o = 0
-            header = buf[o : o + B * 4].reshape(B, 4); o += B * 4
-            ble = buf[o : o + B * 42].view(np.float32).reshape(B, 2, self.NB); o += B * 42
-            meta = buf[o : o + B * 16].reshape(B, 16); o += B * 16
-            gains = buf[o : o + B * 3].view(np.float32).reshape(B, 3); o += B * 3
-            bands = buf[o : o + B * 42].reshape(B, self.NB, 2); o += B * 42
+            hdr_p = buf[o : o + B * 3].reshape(B, 3); o += B * 3
+            ble_p = buf[o : o + B * 21].reshape(B, self.NB); o += B * 21
+            dmeta = buf[o : o + B * 5].reshape(B, 5); o += B * 5
+            bw0_p = buf[o : o + B * 21].reshape(B, self.NB); o += B * 21
+            beff_p = buf[o : o + B * 8].reshape(B, 8); o += B * 8
             slots.append(dict(
-                buf=buf, mode="plan", fixed_words=fixed, header=header, ble=ble,
-                meta=meta, gains=gains, bands=bands, arena=buf[o:],
+                buf=buf, mode="plan", fixed_words=fixed,
+                hdr_p=hdr_p, ble_p=ble_p, dmeta=dmeta, bw0_p=bw0_p,
+                beff_p=beff_p, arena=buf[o:],
+                # host staging (not uploaded)
+                header=np.zeros((B, 4), np.int32),
+                ble=np.zeros((B, 2, self.NB), np.float32),
+                meta=np.zeros((B, 16), np.int32),
+                gains=np.zeros((B, 3), np.float32),
+                bands=np.zeros((B, self.NB, 2), np.int32),
                 used_words=0,
             ))
         return slots
+
+    def _pack_plan_fixed(self, slot: dict) -> None:
+        """Assemble the uploaded fixed regions from the staging arrays
+        (vectorised numpy; [B]-sized work only)."""
+        B = self.batch
+        hdr4 = slot["header"]
+        slot["hdr_p"][:, 0] = hdr4[:, 0]
+        slot["hdr_p"][:, 1] = hdr4[:, 1]
+        slot["hdr_p"][:, 2] = hdr4[:, 3]
+        # ble: Q9 int16 pairs (step 1/512 in log2 — -63 dB energy class).
+        q = np.clip(np.rint(slot["ble"] * 512.0), -32768, 32767).astype(np.int32)
+        slot["ble_p"][:] = (q[:, 0] & 0xFFFF) | (q[:, 1] << 16)
+        # dmeta (contract mirrored in dsp/synthesis.py plan unpack):
+        # d0: sil|short<<1|mono<<2|hybrid<<3|plc<<4|plc1<<5|spread[6:8]
+        #     |eff_end[8:13]|ts0[13:15]|ts1[15:17]|ts2[17:19]|period2[19:30]
+        # d1: period0[0:11] | period1[11:22]
+        # d2: gain0_f16 | gain1_f16<<16;  d3: gain2_f16;  d4: plc params
+        meta = slot["meta"]
+        g16 = slot["gains"].astype(np.float16).view(np.uint16).astype(np.int64)
+        d = slot["dmeta"]
+        d[:, 0] = (
+            (meta[:, 0] & 1) | ((meta[:, 1] & 1) << 1)
+            | ((meta[:, 3] == 1).astype(np.int32) << 2)
+            | ((meta[:, 4] == 17).astype(np.int32) << 3)
+            | ((meta[:, 14] & 1) << 4) | (((meta[:, 14] >> 1) & 1) << 5)
+            | ((meta[:, 13] & 3) << 6) | ((meta[:, 5] & 0x1F) << 8)
+            | ((meta[:, 9] & 3) << 13) | ((meta[:, 10] & 3) << 15)
+            | ((meta[:, 11] & 3) << 17)
+            | (np.clip(meta[:, 8], 0, 0x7FF) << 19)
+        )
+        d[:, 1] = np.clip(meta[:, 6], 0, 0x7FF) | (np.clip(meta[:, 7], 0, 0x7FF) << 11)
+        d[:, 2] = (g16[:, 0] | (g16[:, 1] << 16)).astype(np.int64).astype(np.uint32).view(np.int32)
+        d[:, 3] = g16[:, 2].astype(np.int32)
+        d[:, 4] = meta[:, 15]
+        # bands: w0 verbatim; eff fields as a 21x11-bit little-endian
+        # stream in 8 words.
+        braw = slot["bands"]
+        slot["bw0_p"][:] = braw[:, :, 0]
+        eff = ((braw[:, :, 1] >> 16) & 0x7FF).astype(np.uint64)
+        out = np.zeros((B, 8), np.uint64)
+        for j in range(self.NB):
+            bitpos = 11 * j
+            w, s = bitpos >> 5, bitpos & 31
+            out[:, w] |= (eff[:, j] << s) & 0xFFFFFFFF
+            if s + 11 > 32:
+                out[:, w + 1] |= eff[:, j] >> (32 - s)
+        slot["beff_p"][:] = out.astype(np.uint32).view(np.int32)
 
     def decode_batch_plan_into(self, packets: list, frame_size: int, slot: dict,
                                stream_channels=None, want_xdbg: bool = False):
         """Plan-mode decode into a plan slot; None packets are concealed
         (noise-regime PLC emitted as plan noise leaves).  Returns the slot
-        with slot["used_words"] = header words + used arena prefix; raises
+        with slot["used_words"] = fixed words + used arena prefix; raises
         OverflowError on arena exhaustion (caller falls back to p10)."""
         B = self.batch
         blob = b"".join(p or b"" for p in packets)
@@ -379,9 +442,13 @@ class NativeBatchFrontEnd:
             raise OverflowError("plan arena capacity exceeded")
         if rc != B:
             raise ValueError(f"native plan decode failed at stream {-rc - 1}")
-        if int(slot["header"][:, 1].max(initial=0)) > 192:
-            # jit executor's leaf-table capacity (make_plan_executor p_max)
+        counts = slot["header"][:, 1]
+        if (int((counts & 0x1FF).max(initial=0)) > 192
+                or int(((counts >> 9) & 0x1FF).max(initial=0)) > 64
+                or int((counts >> 18).max(initial=0)) > 42):
+            # jit executor's table capacities (make_plan_executor p/f/a_max)
             raise OverflowError("plan leaf count exceeds executor capacity")
+        self._pack_plan_fixed(slot)
         slot["used_words"] = slot["fixed_words"] + int(used.value)
         slot["xdbg"] = xdbg
         return slot

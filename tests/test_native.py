@@ -310,7 +310,8 @@ def test_plan_executor_matches_reference_spectra():
     (haar/interleave undo + anti-collapse), stereo merge, and PLC noise
     leaves across bitrates."""
     from opus_tpu.native.frontend import NativeBatchFrontEnd
-    from opus_tpu.dsp.plan_exec import execute_plan_numpy, make_plan_executor
+    from opus_tpu.dsp.plan_exec import (execute_plan_numpy, make_plan_executor,
+                                        plan_executor_args)
     import jax
     import jax.numpy as jnp
 
@@ -337,10 +338,7 @@ def test_plan_executor_matches_reference_spectra():
             pkts[1] = None  # PLC noise-leaf path
         slot = fe.decode_batch_plan_into(pkts, F, slots[0], want_xdbg=True)
         xn = execute_plan_numpy(slot, 3)
-        xj = np.asarray(
-            exj(jnp.asarray(slot["header"]), jnp.asarray(slot["bands"]),
-                jnp.asarray(slot["meta"]), jnp.asarray(slot["arena"]))
-        )
+        xj = np.asarray(exj(*map(jnp.asarray, plan_executor_args(slot))))
         for b in range(B):
             c_ = int(slot["meta"][b, 3])
             ref = slot["xdbg"][b, : c_ * 960].reshape(c_, 960)
@@ -485,7 +483,8 @@ def test_plan_executor_dual_stereo_and_intensity():
     """Decorrelated stereo at low rates drives the dual-stereo and
     intensity-switch band paths through the plan executor."""
     from opus_tpu.native.frontend import NativeBatchFrontEnd
-    from opus_tpu.dsp.plan_exec import execute_plan_numpy, make_plan_executor
+    from opus_tpu.dsp.plan_exec import (execute_plan_numpy, make_plan_executor,
+                                        plan_executor_args)
     import jax
     import jax.numpy as jnp
 
@@ -512,10 +511,7 @@ def test_plan_executor_dual_stereo_and_intensity():
                                          slots[0], want_xdbg=True)
         saw_dual += int(((slot["bands"][:, :, 0].astype(np.uint32) >> 5) & 1).sum())
         xn = execute_plan_numpy(slot, 3)
-        xj = np.asarray(
-            exj(jnp.asarray(slot["header"]), jnp.asarray(slot["bands"]),
-                jnp.asarray(slot["meta"]), jnp.asarray(slot["arena"]))
-        )
+        xj = np.asarray(exj(*map(jnp.asarray, plan_executor_args(slot))))
         for b in range(B):
             c_ = int(slot["meta"][b, 3])
             ref = slot["xdbg"][b, : c_ * 960].reshape(c_, 960)

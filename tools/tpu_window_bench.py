@@ -14,6 +14,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 LOG = "/tmp/tpu_window_bench.jsonl"
 
 
@@ -100,11 +102,14 @@ def main():
             sstep = front._plan_serving_step(3, pf_chunk, pf_active, bucket)
             buf = jnp.asarray(slot["buf"][: slot["fixed_words"] + BATCH * bucket])
         else:
-            slots = front.native.alloc_packed_slots(1, "p10")
-            slot = front.native.decode_batch_q15_into(step_pk, FRAME, slots[0])
+            # _serving_step specialises its unpack on the front's transfer
+            # mode — a p10 slot needs a p10-mode front, not the plan one.
+            fp10 = BatchedCeltDecoder(BATCH, 2, use_native=True, transfer="p10")
+            slots = fp10.native.alloc_packed_slots(1, "p10")
+            slot = fp10.native.decode_batch_q15_into(step_pk, FRAME, slots[0])
             meta = slot["meta"]
             pf_chunk, pf_active = pf_chunk_for(meta[:, 6:9], slot["gains"])
-            sstep = front._serving_step(3, pf_chunk, pf_active)
+            sstep = fp10._serving_step(3, pf_chunk, pf_active)
             buf = jnp.asarray(slot["buf"])
         st = init_state(BATCH, 2)
         ring = jnp.zeros((BATCH, FRAME, 2), jnp.float32)
