@@ -10,8 +10,12 @@ batch and mixes the SILK PCM in (decoder.rs:722-729 semantics).
 
 Fast-path contract (steady-state serving): one Opus frame per packet
 (code 0/1 single-frame), no mode switches mid-stream, no redundancy
-frames, no PLC/FEC.  Streams that violate it raise with the stream index
-so the caller can route them to the scalar opus_tpu.Decoder.
+frames, no FEC.  Streams that violate it raise with the stream index so
+the caller can route them to the scalar opus_tpu.Decoder.  Packet LOSS
+is handled in plane A: pass None for a lost packet and the native layer
+conceals it from the stream's decoder state (exact silk/PLC.c + CNG.c
+port for SILK and hybrid, noise-regime CELT concealment for the CELT
+contribution — silk_frontend.cpp / opus_frontend.cpp).
 """
 
 from __future__ import annotations
@@ -129,6 +133,9 @@ class BatchedOpusDecoder:
         payloads = []
         frame48 = None
         for i, pkt in enumerate(packets):
+            if pkt is None:  # lost: plane A conceals from the stream's state
+                payloads.append(b"")
+                continue
             parsed = pkt_mod.parse_packet(pkt)
             if parsed.frame_count != 1:
                 raise ValueError(f"stream {i}: multi-frame packets use the scalar path")
@@ -141,6 +148,11 @@ class BatchedOpusDecoder:
             bws[i] = int(pkt_mod.query_packet_bandwidth(pkt)) - int(Bandwidth.NARROWBAND)
             schs[i] = 2 if (pkt[0] & 0x4) else 1
             payloads.append(pkt[parsed.payload_offset :])
+        if frame48 is None:  # every stream lost this step
+            frame48 = getattr(self, "_last_frame48", None)
+            if frame48 is None:
+                raise ValueError("a first step with every packet lost has no frame size")
+        self._last_frame48 = frame48
 
         slot = self._slots[self._slot]
         self._slot = 1 - self._slot
@@ -216,6 +228,9 @@ class BatchedOpusDecoder:
         payloads = []
         frame48 = None
         for i, pkt in enumerate(packets):
+            if pkt is None:  # lost: plane A conceals from the stream's state
+                payloads.append(b"")
+                continue
             parsed = pkt_mod.parse_packet(pkt)
             if parsed.frame_count != 1:
                 raise ValueError(f"stream {i}: multi-frame packets use the scalar path")
@@ -228,6 +243,11 @@ class BatchedOpusDecoder:
             bws[i] = int(pkt_mod.query_packet_bandwidth(pkt)) - int(Bandwidth.NARROWBAND)
             schs[i] = 2 if (pkt[0] & 0x4) else 1
             payloads.append(pkt[parsed.payload_offset :])
+        if frame48 is None:  # every stream lost this step
+            frame48 = getattr(self, "_last_frame48", None)
+            if frame48 is None:
+                raise ValueError("a first step with every packet lost has no frame size")
+        self._last_frame48 = frame48
         return frame48, modes_np, bws, schs, payloads
 
     def _alloc_mixed_slots(self, frame48: int, n_slots: int = 4) -> list:

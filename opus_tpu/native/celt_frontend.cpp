@@ -1984,6 +1984,15 @@ int celt_fe_decode_ec(void* h, void* ec, int frame_bytes, int frame_size48,
                            meta, pf_gains);
 }
 
+// Noise-regime loss concealment (plc.py decode_lost noise branch) for the
+// mixed serving loop's plane A; the CELT-only plan path conceals the
+// pitch-LPC regime on device instead (opus_tpu/dsp/plc_exec.py).
+int celt_fe_decode_lost(void* h, int frame_size48, float* x_out,
+                        float* band_log_e_out, int32_t* meta, double* pf_gains) {
+    return decode_lost_noise(*(FrontEnd*)h, frame_size48, x_out, band_log_e_out,
+                             meta, pf_gains);
+}
+
 }  // extern "C"
 
 extern "C" {

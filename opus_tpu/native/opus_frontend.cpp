@@ -29,11 +29,15 @@ uint32_t celt_fe_rng(void* h);
 int celt_fe_decode_ec(void* h, void* ec, int frame_bytes, int frame_size48,
                       int stream_channels, float* x_out, float* band_log_e_out,
                       int32_t* meta, double* pf_gains);
+int celt_fe_decode_lost(void* h, int frame_size48, float* x_out,
+                        float* band_log_e_out, int32_t* meta, double* pf_gains);
 // silk_frontend.cpp
 void* silk_dec_create();
 void silk_dec_destroy(void* h);
 int silk_dec_run(void* h, opusfe::RangeDec* dec, int internal_khz, int payload_ms,
                  int nci, int nca, int fs_api_hz, int16_t* out);
+int silk_dec_conceal(void* h, int internal_khz, int payload_ms,
+                     int nci, int nca, int fs_api_hz, int16_t* out);
 }
 
 namespace {
@@ -50,7 +54,27 @@ struct OpusFE {
     void* silk;
     int channels;   // API channels (1 or 2)
     int prev_mode;  // -1 until the first frame
+    int last_bw;    // ToC bandwidth of the last good frame (PLC params)
+    int last_sch;   // coded channels of the last good frame
 };
+
+// "Silent spectra" meta row: the device step's bound mask zeroes the
+// CELT plane for this stream.
+static void silent_celt_meta(int frame48, int sch, int32_t* meta, float* pf_gains_out) {
+    int lm = 3;
+    for (int l = 0; l <= 3; l++)
+        if ((120 << l) == frame48) lm = l;
+    meta[0] = 1;  // silence -> bound 0
+    meta[1] = 0;
+    meta[2] = lm;
+    meta[3] = sch;
+    meta[4] = 0;
+    meta[5] = 0;
+    meta[6] = meta[7] = meta[8] = 15;
+    meta[9] = meta[10] = meta[11] = 0;
+    meta[12] = 0;
+    pf_gains_out[0] = pf_gains_out[1] = pf_gains_out[2] = 0.0f;
+}
 
 }  // namespace
 
@@ -62,6 +86,8 @@ void* opus_fe_create(int channels) {
     st->silk = silk_dec_create();
     st->channels = channels;
     st->prev_mode = -1;
+    st->last_bw = 4;
+    st->last_sch = channels;
     return st;
 }
 
@@ -88,10 +114,46 @@ int opus_fe_decode(void* h, const uint8_t* payload, int len, int mode, int bw,
                    int32_t* meta, float* pf_gains_out, int16_t* silk48,
                    uint32_t* final_range) {
     OpusFE* st = (OpusFE*)h;
+    int cc = st->channels;
+    if (len == 0) {
+        // Packet loss: conceal from the previous mode's state (PLC).
+        // SILK extrapolation is the exact silk/PLC.c+CNG.c port in
+        // silk_frontend.cpp; the CELT contribution uses the noise-regime
+        // concealment (the CELT-only plan path conceals the pitch-LPC
+        // regime on device instead).
+        *final_range = 0;
+        int pm = st->prev_mode;
+        if (pm < 0) {  // nothing decoded yet: silence
+            std::memset(silk48, 0, (size_t)frame48 * cc * sizeof(int16_t));
+            silent_celt_meta(frame48, st->last_sch, meta, pf_gains_out);
+            return 0;
+        }
+        if (pm != MODE_CELT) {
+            int khz = pm == MODE_HYBRID
+                          ? 16
+                          : (st->last_bw == 0 ? 8 : st->last_bw == 1 ? 12 : 16);
+            int ms = frame48 / 48;
+            if (ms != 10 && ms != 20 && ms != 40 && ms != 60) return -3;
+            int rc = silk_dec_conceal(st->silk, khz, ms, st->last_sch, cc, 48000, silk48);
+            if (rc != 0) return rc;
+        } else {
+            std::memset(silk48, 0, (size_t)frame48 * cc * sizeof(int16_t));
+        }
+        if (pm != MODE_SILK) {
+            double g[3];
+            int rc = celt_fe_decode_lost(st->celt, frame48, x_out, ble_out, meta, g);
+            if (rc != 0) return rc;
+            for (int j = 0; j < 3; j++) pf_gains_out[j] = (float)g[j];
+        } else {
+            silent_celt_meta(frame48, st->last_sch, meta, pf_gains_out);
+        }
+        return 0;
+    }
     if (len < 1 || len > 1275 || bw < 0 || bw > 4) return -1;
     if (st->prev_mode >= 0 && mode != st->prev_mode) return -10;
     st->prev_mode = mode;
-    int cc = st->channels;
+    st->last_bw = bw;
+    st->last_sch = sch;
 
     opusfe::RangeDec dec;
     dec.init(payload, len);
@@ -176,7 +238,11 @@ int opus_fe_decode_batch_packed(void** handles, const uint8_t* data, const int32
                 bad = i + 1;
             } else {
                 int32_t* dst = xq_out + (int64_t)i * xq_stride;
-                if (modes[i] == MODE_SILK) {
+                // Lost packets conceal from the previous mode's state; a
+                // loss before any good frame behaves like silent SILK.
+                int eff_mode = lens[i] ? modes[i]
+                                       : std::max(((OpusFE*)handles[i])->prev_mode, 0);
+                if (eff_mode == MODE_SILK) {
                     std::memset(dst, 0, (size_t)xq_stride * sizeof(int32_t));
                     std::memset(ble, 0, 2 * 21 * sizeof(float));
                 } else {

@@ -365,6 +365,23 @@ struct SideInfo {
     int seed = 0;
 };
 
+// PLC state (opus_tpu/silk/plc.py PlcState; silk/PLC.c semantics).
+struct PlcC {
+    int32_t pitch_l_q8 = 0;
+    int32_t ltp_coef_q14[LTP_ORDER] = {0};
+    int16_t prev_lpc_q12[MAX_LPC_ORDER] = {0};
+    int last_frame_lost = 0;
+    int32_t rand_seed = 0;
+    int32_t rand_scale_q14 = 1 << 14;
+    int32_t conc_energy = 0;
+    int conc_energy_shift = 0;
+    int32_t prev_ltp_scale_q14 = 0;
+    int32_t prev_gain_q16[2] = {1 << 16, 1 << 16};
+    int fs_khz = 0;
+    int nb_subfr = 2;
+    int subfr_length = 20;
+};
+
 struct SilkState {
     int fs_khz = 0;   // 0 = unset; set_fs(16) runs at create time
     int nb_subfr = 4; // caller sets before set_fs (silk_decoder_set_fs contract)
@@ -388,6 +405,15 @@ struct SilkState {
     int32_t s_lpc_q14[MAX_LPC_ORDER] = {0};
     std::vector<int32_t> exc_q14;
     int vad_flag = 1;
+    // PLC + CNG state (plc.py).
+    PlcC plc;
+    bool plc_init = false;
+    int cng_fs_khz = 0;
+    int32_t cng_exc_buf_q14[4 * 5 * 16] = {0};
+    int cng_smth_nlsf_q15[MAX_LPC_ORDER] = {0};
+    int32_t cng_smth_gain_q16 = 0;
+    int32_t cng_rand_seed = 3176576;
+    int32_t cng_synth_state[MAX_LPC_ORDER] = {0};
     // Packet-level flags (driver path).
     int vad_flags[3] = {0, 0, 0};
     int lbrr_flag = 0;
@@ -698,6 +724,16 @@ static void decode_core(SilkState& st, Control& ctrl, SideInfo& ind, const int* 
         }
         st.prev_gain_q16 = ctrl.gains_q16[k];
 
+        // Avoid an abrupt transition from voiced PLC to unvoiced normal
+        // decoding (decoder.py:307; silk_decode_core lossCnt path).
+        static const int32_t plc_fade_b_q14[LTP_ORDER] = {0, 0, 4096, 0, 0};
+        if (st.loss_cnt && st.prev_signal_type == 2 && ind.signal_type != 2 &&
+            k < 4 / 2) {
+            b_q14 = plc_fade_b_q14;
+            signal_type = 2;
+            ctrl.pitch_l[k] = st.lag_prev;
+        }
+
         if (signal_type == 2) {
             lag = ctrl.pitch_l[k];
             if (k == 0 || (k == 2 && interp_flag)) {
@@ -755,6 +791,332 @@ static void decode_core(SilkState& st, Control& ctrl, SideInfo& ind, const int* 
         std::memmove(s_lpc.data(), &s_lpc[sub], MAX_LPC_ORDER * sizeof(int32_t));
     }
     std::memcpy(st.s_lpc_q14, s_lpc.data(), MAX_LPC_ORDER * sizeof(int32_t));
+}
+
+// ---------------------------------------------------------------------------
+// PLC + CNG (opus_tpu/silk/plc.py; silk/PLC.c + silk/CNG.c semantics; fills
+// the /root/reference/src/silk/decoder.rs stub's loss path for plane A).
+// ---------------------------------------------------------------------------
+
+constexpr int PLC_NB_ATT = 2;
+constexpr int32_t HARM_ATT_Q15[PLC_NB_ATT] = {32440, 31130};
+constexpr int32_t PLC_RAND_ATTENUATE_V_Q15[PLC_NB_ATT] = {31130, 26214};
+constexpr int32_t PLC_RAND_ATTENUATE_UV_Q15[PLC_NB_ATT] = {32440, 29491};
+constexpr int32_t V_PITCH_GAIN_START_MIN_Q14 = 11469;
+constexpr int32_t V_PITCH_GAIN_START_MAX_Q14 = 15565;
+constexpr int32_t PLC_BWE_COEF_Q16 = 64881;
+constexpr int32_t PITCH_DRIFT_FAC_Q16 = 655;
+constexpr int RAND_BUF_SIZE = 128;
+constexpr int RAND_BUF_MASK = RAND_BUF_SIZE - 1;
+constexpr int MAX_PITCH_LAG_MS = 18;
+constexpr int CNG_BUF_MASK_MAX = 255;
+constexpr int32_t CNG_GAIN_SMTH_Q16 = 4634;
+constexpr int32_t CNG_NLSF_SMTH_Q16 = 16348;
+
+// silk_sum_sqr_shift (plc.py sum_sqr_shift): two-pass wrap-faithful.
+static void sum_sqr_shift(const int16_t* x, int len, int32_t* nrg_out, int* shift_out) {
+    int shft = 31 - clz32i((uint32_t)len);
+    uint32_t nrg = 0;
+    for (int pass = 0; pass < 2; pass++) {
+        nrg = pass == 0 ? (uint32_t)len : 0u;
+        int i = 0;
+        for (; i < len - 1; i += 2) {
+            uint32_t t = (uint32_t)((int32_t)x[i] * x[i]) + (uint32_t)((int32_t)x[i + 1] * x[i + 1]);
+            nrg += t >> shft;
+        }
+        if (i < len) nrg += (uint32_t)((int32_t)x[i] * x[i]) >> shft;
+        if (pass == 0) shft = std::max(0, shft + 3 - clz32i(nrg));
+    }
+    *nrg_out = (int32_t)nrg;
+    *shift_out = shft;
+}
+
+static int32_t sqrt_approx(int32_t x) {
+    if (x <= 0) return 0;
+    int lz = clz32i((uint32_t)x);
+    int32_t frac_q7 = lz < 32 ? (int32_t)((((uint32_t)x << lz) >> 24) & 0x7F) : 0;
+    int32_t y = (lz & 1) ? 32768 : 46214;
+    y >>= (lz >> 1);
+    return smlawb(y, y, smulbb(213, frac_q7));
+}
+
+static PlcC& ensure_plc(SilkState& st) {
+    if (!st.plc_init || st.plc.fs_khz != st.fs_khz) {
+        st.plc = PlcC();
+        st.plc.pitch_l_q8 = st.frame_length << 7;
+        st.plc.fs_khz = st.fs_khz;
+        st.plc_init = true;
+    }
+    return st.plc;
+}
+
+// silk_PLC_update: remember the last good frame's parameters.
+static void plc_save(SilkState& st, const Control& ctrl, const SideInfo& ind) {
+    PlcC& plc = ensure_plc(st);
+    int32_t ltp_gain_q14 = 0;
+    if (ind.signal_type == 2) {
+        int j = 0;
+        while (j * st.subfr_length < ctrl.pitch_l[st.nb_subfr - 1]) {
+            if (j == st.nb_subfr) break;
+            int32_t temp = 0;
+            for (int i = 0; i < LTP_ORDER; i++)
+                temp += ctrl.ltp_coef_q14[(st.nb_subfr - 1 - j) * LTP_ORDER + i];
+            if (temp > ltp_gain_q14) {
+                ltp_gain_q14 = temp;
+                for (int i = 0; i < LTP_ORDER; i++)
+                    plc.ltp_coef_q14[i] = ctrl.ltp_coef_q14[(st.nb_subfr - 1 - j) * LTP_ORDER + i];
+                plc.pitch_l_q8 = ctrl.pitch_l[st.nb_subfr - 1 - j] << 8;
+            }
+            j++;
+        }
+        std::memset(plc.ltp_coef_q14, 0, sizeof(plc.ltp_coef_q14));
+        plc.ltp_coef_q14[LTP_ORDER / 2] = ltp_gain_q14;
+        if (ltp_gain_q14 < V_PITCH_GAIN_START_MIN_Q14) {
+            int32_t scale_q10 = (V_PITCH_GAIN_START_MIN_Q14 << 10) / std::max(ltp_gain_q14, 1);
+            for (int i = 0; i < LTP_ORDER; i++)
+                plc.ltp_coef_q14[i] = smulbb(plc.ltp_coef_q14[i], scale_q10) >> 10;
+        } else if (ltp_gain_q14 > V_PITCH_GAIN_START_MAX_Q14) {
+            int32_t scale_q14 = (V_PITCH_GAIN_START_MAX_Q14 << 14) / ltp_gain_q14;
+            for (int i = 0; i < LTP_ORDER; i++)
+                plc.ltp_coef_q14[i] = smulbb(plc.ltp_coef_q14[i], scale_q14) >> 14;
+        }
+    } else {
+        plc.pitch_l_q8 = (st.fs_khz * 18) << 8;
+        std::memset(plc.ltp_coef_q14, 0, sizeof(plc.ltp_coef_q14));
+    }
+    for (int i = 0; i < st.lpc_order; i++) plc.prev_lpc_q12[i] = ctrl.pred_coef_q12[1][i];
+    for (int i = st.lpc_order; i < MAX_LPC_ORDER; i++) plc.prev_lpc_q12[i] = 0;
+    plc.prev_ltp_scale_q14 = ctrl.ltp_scale_q14;
+    plc.prev_gain_q16[0] = ctrl.gains_q16[st.nb_subfr - 2];
+    plc.prev_gain_q16[1] = ctrl.gains_q16[st.nb_subfr - 1];
+    plc.subfr_length = st.subfr_length;
+    plc.nb_subfr = st.nb_subfr;
+}
+
+// silk_PLC_conceal: extrapolate one frame from the saved parameters.
+static void plc_conceal(SilkState& st, int16_t* frame) {
+    PlcC& plc = ensure_plc(st);
+    int L = st.frame_length, order = st.lpc_order;
+    int32_t prev_gain_q10[2] = {plc.prev_gain_q16[0] >> 6, plc.prev_gain_q16[1] >> 6};
+    if (st.first_frame_after_reset) std::memset(plc.prev_lpc_q12, 0, sizeof(plc.prev_lpc_q12));
+
+    // Energy of the last two excitation subframes -> noise source choice.
+    int exc_len = (int)st.exc_q14.size();
+    int16_t ebuf[2][5 * 16];
+    for (int k = 0; k < 2; k++) {
+        int base = (k + st.nb_subfr - 2) * st.subfr_length;
+        for (int i = 0; i < st.subfr_length; i++) {
+            int32_t e = (base + i < exc_len) ? st.exc_q14[base + i] : 0;
+            ebuf[k][i] = (int16_t)sat16i(smulww(e, prev_gain_q10[k]) >> 8);
+        }
+    }
+    int32_t e1, e2;
+    int s1, s2;
+    sum_sqr_shift(ebuf[0], st.subfr_length, &e1, &s1);
+    sum_sqr_shift(ebuf[1], st.subfr_length, &e2, &s2);
+    int rand_base;
+    if ((e1 >> s2) < (e2 >> s1))
+        rand_base = std::max(0, (plc.nb_subfr - 1) * plc.subfr_length - RAND_BUF_SIZE);
+    else
+        rand_base = std::max(0, plc.nb_subfr * plc.subfr_length - RAND_BUF_SIZE);
+    int32_t rand_ptr[RAND_BUF_SIZE];
+    for (int i = 0; i < RAND_BUF_SIZE; i++)
+        rand_ptr[i] = (rand_base + i < exc_len) ? st.exc_q14[rand_base + i] : 0;
+
+    int32_t* b_q14 = plc.ltp_coef_q14;  // aliased: decay persists in PLC state
+    int32_t rand_scale_q14 = plc.rand_scale_q14;
+    int32_t harm_gain_q15 = HARM_ATT_Q15[std::min(PLC_NB_ATT - 1, st.loss_cnt)];
+    int32_t rand_gain_q15 = st.prev_signal_type == 2
+                                ? PLC_RAND_ATTENUATE_V_Q15[std::min(PLC_NB_ATT - 1, st.loss_cnt)]
+                                : PLC_RAND_ATTENUATE_UV_Q15[std::min(PLC_NB_ATT - 1, st.loss_cnt)];
+
+    bwexpander_16(plc.prev_lpc_q12, order, PLC_BWE_COEF_Q16);
+    int16_t a_q12[MAX_LPC_ORDER] = {0};
+    std::memcpy(a_q12, plc.prev_lpc_q12, order * sizeof(int16_t));
+
+    if (st.loss_cnt == 0) {
+        rand_scale_q14 = 1 << 14;
+        if (st.prev_signal_type == 2) {
+            for (int i = 0; i < LTP_ORDER; i++) rand_scale_q14 -= b_q14[i];
+            rand_scale_q14 = std::max(3277, rand_scale_q14);
+            rand_scale_q14 = (int32_t)(int16_t)(smulbb(rand_scale_q14, plc.prev_ltp_scale_q14) >> 14);
+        } else {
+            int32_t inv_gain_q30 = lpc_inverse_pred_gain(a_q12, order);
+            int32_t down_scale_q30 = std::min((int32_t)((1 << 30) >> 3), inv_gain_q30);
+            down_scale_q30 = std::max((int32_t)((1 << 30) >> 8), down_scale_q30);
+            down_scale_q30 = (int32_t)((uint32_t)down_scale_q30 << 3);
+            rand_gain_q15 = smulwb(down_scale_q30, rand_gain_q15) >> 14;
+        }
+    }
+
+    int32_t rand_seed = plc.rand_seed;
+    int lag = rshift_round(plc.pitch_l_q8, 8);
+    int s_ltp_buf_idx = st.ltp_mem_length;
+    std::vector<int16_t> s_ltp(st.ltp_mem_length, 0);
+    std::vector<int32_t> s_ltp_q14(st.ltp_mem_length + L, 0);
+    int idx = st.ltp_mem_length - lag - order - LTP_ORDER / 2;
+    if (idx <= 0) idx = 1;
+    lpc_analysis_filter(s_ltp.data(), idx, st.out_buf, idx, a_q12, st.ltp_mem_length - idx, order);
+    int32_t inv_gain_q30 = inverse32_varq(plc.prev_gain_q16[1], 46);
+    inv_gain_q30 = std::min(inv_gain_q30, (int32_t)(0x7FFFFFFF >> 1));
+    for (int i = idx + order; i < st.ltp_mem_length; i++)
+        s_ltp_q14[i] = smulwb(inv_gain_q30, s_ltp[i]);
+
+    for (int k = 0; k < st.nb_subfr; k++) {
+        int pred_lag = s_ltp_buf_idx - lag + LTP_ORDER / 2;
+        for (int i = 0; i < st.subfr_length; i++) {
+            int32_t lp = 2;
+            lp = smlawb(lp, s_ltp_q14[pred_lag + 0], b_q14[0]);
+            lp = smlawb(lp, s_ltp_q14[pred_lag - 1], b_q14[1]);
+            lp = smlawb(lp, s_ltp_q14[pred_lag - 2], b_q14[2]);
+            lp = smlawb(lp, s_ltp_q14[pred_lag - 3], b_q14[3]);
+            lp = smlawb(lp, s_ltp_q14[pred_lag - 4], b_q14[4]);
+            pred_lag++;
+            rand_seed = silk_rand(rand_seed);
+            int ridx = (rand_seed >> 25) & RAND_BUF_MASK;
+            s_ltp_q14[s_ltp_buf_idx] =
+                (int32_t)((uint32_t)smlawb(lp, rand_ptr[ridx], rand_scale_q14) << 2);
+            s_ltp_buf_idx++;
+        }
+        for (int j = 0; j < LTP_ORDER; j++)
+            b_q14[j] = smulbb(harm_gain_q15, b_q14[j]) >> 15;
+        if (st.prev_signal_type != 0)
+            rand_scale_q14 = (int32_t)(int16_t)(smulbb(rand_scale_q14, rand_gain_q15) >> 15);
+        plc.pitch_l_q8 = smlawb(plc.pitch_l_q8, plc.pitch_l_q8, PITCH_DRIFT_FAC_Q16);
+        plc.pitch_l_q8 = std::min(plc.pitch_l_q8, (int32_t)((MAX_PITCH_LAG_MS * st.fs_khz) << 8));
+        lag = rshift_round(plc.pitch_l_q8, 8);
+    }
+
+    // LPC synthesis over the whole frame.
+    int base = st.ltp_mem_length - MAX_LPC_ORDER;
+    std::memcpy(&s_ltp_q14[base], st.s_lpc_q14, MAX_LPC_ORDER * sizeof(int32_t));
+    for (int i = 0; i < L; i++) {
+        int32_t lpc_pred_q10 = order >> 1;
+        for (int j = 0; j < order; j++)
+            lpc_pred_q10 = smlawb(lpc_pred_q10, s_ltp_q14[base + MAX_LPC_ORDER + i - 1 - j], a_q12[j]);
+        s_ltp_q14[base + MAX_LPC_ORDER + i] =
+            add_sat32i(s_ltp_q14[base + MAX_LPC_ORDER + i], lshift_sat32(lpc_pred_q10, 4));
+        frame[i] = (int16_t)sat16i(
+            rshift_round(smulww(s_ltp_q14[base + MAX_LPC_ORDER + i], prev_gain_q10[1]), 8));
+    }
+    std::memcpy(st.s_lpc_q14, &s_ltp_q14[base + L], MAX_LPC_ORDER * sizeof(int32_t));
+
+    plc.rand_seed = rand_seed;
+    plc.rand_scale_q14 = rand_scale_q14;
+    st.loss_cnt++;
+    st.lag_prev = lag;
+}
+
+// silk_PLC_glue_frames: fade-in after concealment.
+static void plc_glue(SilkState& st, int16_t* frame, int length) {
+    PlcC& plc = ensure_plc(st);
+    if (st.loss_cnt) {
+        sum_sqr_shift(frame, length, &plc.conc_energy, &plc.conc_energy_shift);
+        plc.last_frame_lost = 1;
+    } else {
+        if (plc.last_frame_lost) {
+            int32_t energy;
+            int energy_shift;
+            sum_sqr_shift(frame, length, &energy, &energy_shift);
+            if (energy_shift > plc.conc_energy_shift)
+                plc.conc_energy >>= (energy_shift - plc.conc_energy_shift);
+            else if (energy_shift < plc.conc_energy_shift)
+                energy >>= (plc.conc_energy_shift - energy_shift);
+            if (energy > plc.conc_energy) {
+                int lz = clz32i((uint32_t)plc.conc_energy) - 1;
+                plc.conc_energy = (int32_t)((uint32_t)plc.conc_energy << lz);
+                energy >>= std::max(24 - lz, 0);
+                int32_t frac_q24 = plc.conc_energy / std::max(energy, 1);
+                int32_t gain_q16 = (int32_t)((uint32_t)sqrt_approx(frac_q24) << 4);
+                int32_t slope_q16 = (int32_t)((uint32_t)(((1 << 16) - gain_q16) / length) << 2);
+                for (int i = 0; i < length; i++) {
+                    frame[i] = (int16_t)smulwb(gain_q16, frame[i]);
+                    gain_q16 += slope_q16;
+                    if (gain_q16 > (1 << 16)) break;
+                }
+            }
+        }
+        plc.last_frame_lost = 0;
+    }
+}
+
+// silk_CNG: update the noise estimate on clean no-activity frames; mix
+// comfort noise into concealed frames.  ctrl == nullptr on concealment.
+static void cng(SilkState& st, const Control* ctrl, int16_t* frame, int length) {
+    if (st.cng_fs_khz != st.fs_khz) {
+        // silk_CNG_Reset (plc.py cng_reset): exc buf is NOT cleared.
+        int step = 32767 / (st.lpc_order + 1);
+        int acc = 0;
+        for (int i = 0; i < st.lpc_order; i++) {
+            acc += step;
+            st.cng_smth_nlsf_q15[i] = acc;
+        }
+        st.cng_smth_gain_q16 = 0;
+        st.cng_rand_seed = 3176576;
+        st.cng_fs_khz = st.fs_khz;
+        std::memset(st.cng_synth_state, 0, sizeof(st.cng_synth_state));
+    }
+
+    if (st.loss_cnt == 0 && st.prev_signal_type == 0 && ctrl != nullptr) {
+        for (int i = 0; i < st.lpc_order; i++)
+            st.cng_smth_nlsf_q15[i] +=
+                smulwb(st.prev_nlsf_q15[i] - st.cng_smth_nlsf_q15[i], CNG_NLSF_SMTH_Q16);
+        int32_t max_gain = 0;
+        int subfr = 0;
+        for (int i = 0; i < st.nb_subfr; i++)
+            if (ctrl->gains_q16[i] > max_gain) {
+                max_gain = ctrl->gains_q16[i];
+                subfr = i;
+            }
+        int sl = st.subfr_length;
+        std::memmove(&st.cng_exc_buf_q14[sl], st.cng_exc_buf_q14,
+                     (size_t)(st.nb_subfr - 1) * sl * sizeof(int32_t));
+        std::memcpy(st.cng_exc_buf_q14, &st.exc_q14[(size_t)subfr * sl], sl * sizeof(int32_t));
+        for (int i = 0; i < st.nb_subfr; i++)
+            st.cng_smth_gain_q16 +=
+                smulwb(ctrl->gains_q16[i] - st.cng_smth_gain_q16, CNG_GAIN_SMTH_Q16);
+    }
+
+    if (st.loss_cnt) {
+        PlcC& plc = ensure_plc(st);
+        int32_t gain_q16 = smulww(plc.rand_scale_q14, plc.prev_gain_q16[1]);
+        if (gain_q16 >= (1 << 21) || st.cng_smth_gain_q16 > (1 << 23)) {
+            gain_q16 = (gain_q16 >> 16) * (gain_q16 >> 16);
+            gain_q16 = (int32_t)((uint32_t)((st.cng_smth_gain_q16 >> 16) * (st.cng_smth_gain_q16 >> 16)) -
+                                 ((uint32_t)gain_q16 << 5));
+            gain_q16 = (int32_t)((uint32_t)sqrt_approx(gain_q16) << 16);
+        } else {
+            gain_q16 = smulww(gain_q16, gain_q16);
+            gain_q16 = (int32_t)((uint32_t)smulww(st.cng_smth_gain_q16, st.cng_smth_gain_q16) -
+                                 ((uint32_t)gain_q16 << 5));
+            gain_q16 = (int32_t)((uint32_t)sqrt_approx(gain_q16) << 8);
+        }
+        int32_t gain_q10 = gain_q16 >> 6;
+        int exc_mask = CNG_BUF_MASK_MAX;
+        while (exc_mask > length) exc_mask >>= 1;
+        int32_t seed = st.cng_rand_seed;
+        std::vector<int32_t> sig_q14(MAX_LPC_ORDER + length);
+        for (int i = 0; i < length; i++) {
+            seed = silk_rand(seed);
+            sig_q14[MAX_LPC_ORDER + i] = st.cng_exc_buf_q14[(seed >> 24) & exc_mask];
+        }
+        st.cng_rand_seed = seed;
+        int16_t a_q12[MAX_LPC_ORDER];
+        nlsf2a(st.cng_smth_nlsf_q15, st.lpc_order, a_q12);
+        std::memcpy(sig_q14.data(), st.cng_synth_state, MAX_LPC_ORDER * sizeof(int32_t));
+        for (int i = 0; i < length; i++) {
+            int32_t lp = st.lpc_order >> 1;
+            for (int j = 0; j < st.lpc_order; j++)
+                lp = smlawb(lp, sig_q14[MAX_LPC_ORDER + i - 1 - j], a_q12[j]);
+            sig_q14[MAX_LPC_ORDER + i] = add_sat32i(sig_q14[MAX_LPC_ORDER + i], lshift_sat32(lp, 4));
+            frame[i] = (int16_t)sat16i(
+                (int32_t)frame[i] +
+                (int32_t)sat16i(rshift_round(smulww(sig_q14[MAX_LPC_ORDER + i], gain_q10), 8)));
+        }
+        std::memcpy(st.cng_synth_state, &sig_q14[length], MAX_LPC_ORDER * sizeof(int32_t));
+    } else {
+        std::memset(st.cng_synth_state, 0, sizeof(st.cng_synth_state));
+    }
 }
 
 }  // namespace
@@ -1173,6 +1535,7 @@ static int decode_channel_frame(SilkState& st, RangeDec& dec, bool vad, int cond
     Control ctrl;
     decode_parameters(st, ind, ctrl, cond);
     decode_core(st, ctrl, ind, pulses, xq);
+    plc_save(st, ctrl, ind);  // silk_PLC(lost=0)
     st.loss_cnt = 0;
     st.prev_signal_type = ind.signal_type;
     st.first_frame_after_reset = 0;
@@ -1181,8 +1544,21 @@ static int decode_channel_frame(SilkState& st, RangeDec& dec, bool vad, int cond
     int mv = st.ltp_mem_length - L;
     if (mv > 0) std::memmove(st.out_buf, &st.out_buf[L], mv * sizeof(int16_t));
     std::memcpy(&st.out_buf[std::max(mv, 0)], xq, std::min(L, st.ltp_mem_length) * sizeof(int16_t));
+    cng(st, &ctrl, xq, L);   // noise-estimate update (clean frames)
+    plc_glue(st, xq, L);     // fade-in after a concealment run
     st.lag_prev = ctrl.pitch_l[st.nb_subfr - 1];
     return 0;
+}
+
+// One concealed channel frame (api.py decode_frame, lost path).
+static void conceal_channel_frame(SilkState& st, int16_t* xq) {
+    plc_conceal(st, xq);
+    int L = st.frame_length;
+    int mv = st.ltp_mem_length - L;
+    if (mv > 0) std::memmove(st.out_buf, &st.out_buf[L], mv * sizeof(int16_t));
+    std::memcpy(&st.out_buf[std::max(mv, 0)], xq, std::min(L, st.ltp_mem_length) * sizeof(int16_t));
+    cng(st, nullptr, xq, L);  // mixes comfort noise into the concealed frame
+    plc_glue(st, xq, L);      // records concealment energy
 }
 
 // ----- silk_Decode-level driver (api.py SilkDecoder) ------------------------
@@ -1320,6 +1696,86 @@ static int silk_driver_decode(SilkDriver& d, RangeDec& dec, int internal_khz, in
     return dec.error ? -2 : 0;
 }
 
+// Conceal one whole lost SILK payload (api.py SilkDecoder.decode with
+// lost_flag=FLAG_PACKET_LOST, looped over the packet's frames): PLC
+// extrapolation per channel + CNG + stereo unmix with the previous
+// prediction weights + resampling.  Parameters (rate/duration/channels)
+// are the last good packet's, cached by the caller.
+static int silk_driver_conceal(SilkDriver& d, int internal_khz, int payload_ms,
+                               int nci, int nca, int fs_api_hz, int16_t* out) {
+    SilkState* cs = d.ch;
+    for (int n = 0; n < nci; n++) cs[n].n_frames_decoded = 0;
+    if (nci > d.n_channels_internal) cs[1] = SilkState();
+    int fpp = payload_ms <= 20 ? 1 : payload_ms == 40 ? 2 : 3;
+    int nb_subfr = payload_ms <= 10 ? 2 : 4;
+    for (int n = 0; n < nci; n++) {
+        cs[n].n_frames_per_packet = fpp;
+        cs[n].nb_subfr = nb_subfr;
+        cs[n].set_fs(internal_khz);
+        if (d.rs[n].fs_in_khz != internal_khz || d.rs[n].fs_out_khz * 1000 != fs_api_hz)
+            d.rs[n].init(internal_khz * 1000, fs_api_hz);
+    }
+    if (nca == 2 && nci == 2 && (d.n_channels_api == 1 || d.n_channels_internal == 1)) {
+        d.stereo.pred_prev_q13[0] = d.stereo.pred_prev_q13[1] = 0;
+        d.stereo.s_side[0] = d.stereo.s_side[1] = 0;
+        d.rs[1] = d.rs[0];
+    }
+    d.n_channels_api = nca;
+    d.n_channels_internal = nci;
+
+    int frame_len = cs[0].frame_length;
+    int out_per_frame = frame_len * (fs_api_hz / 1000) / internal_khz;
+    std::vector<int16_t> x1(frame_len + 2), x2(frame_len + 2);
+    std::vector<int16_t> res;
+    res.reserve(out_per_frame + 16);
+
+    for (int fi = 0; fi < fpp; fi++) {
+        // Loss keeps the previous stereo weights and mid-only choice.
+        int ms_pred_q13[2] = {d.stereo.pred_prev_q13[0], d.stereo.pred_prev_q13[1]};
+        if (nci == 2 && d.prev_decode_only_middle == 1) {
+            // decode_only_middle defaults to 0 on the lost path, so the
+            // side-state reset fires exactly as in api.py:200.
+            SilkState& s = cs[1];
+            std::memset(s.out_buf, 0, sizeof(s.out_buf));
+            std::memset(s.s_lpc_q14, 0, sizeof(s.s_lpc_q14));
+            s.lag_prev = 100;
+            s.last_gain_index = 10;
+            s.prev_signal_type = 0;
+            s.first_frame_after_reset = 1;
+        }
+        bool has_side = !d.prev_decode_only_middle;
+
+        std::fill(x1.begin(), x1.end(), 0);
+        std::fill(x2.begin(), x2.end(), 0);
+        for (int n = 0; n < nci; n++) {
+            if (n == 0 || has_side)
+                conceal_channel_frame(cs[n], (n == 0 ? x1.data() : x2.data()) + 2);
+            cs[n].n_frames_decoded += 1;
+        }
+
+        if (nca == 2 && nci == 2) {
+            stereo_ms_to_lr(d.stereo, x1.data(), x2.data(), ms_pred_q13,
+                            cs[0].fs_khz, frame_len);
+        } else {
+            x1[0] = d.stereo.s_mid[0];
+            x1[1] = d.stereo.s_mid[1];
+            d.stereo.s_mid[0] = x1[frame_len];
+            d.stereo.s_mid[1] = x1[frame_len + 1];
+        }
+
+        int16_t* out_f = out + (int64_t)fi * out_per_frame * nca;
+        for (int n = 0; n < std::min(nca, nci); n++) {
+            res.clear();
+            d.rs[n].process(res, (n == 0 ? x1.data() : x2.data()) + 1, frame_len);
+            for (int i = 0; i < out_per_frame; i++) out_f[i * nca + n] = res[i];
+        }
+        if (nca == 2 && nci == 1)
+            for (int i = 0; i < out_per_frame; i++) out_f[i * nca + 1] = out_f[i * nca];
+        // prev_decode_only_middle is NOT updated on loss (api.py:249).
+    }
+    return 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -1331,6 +1787,41 @@ int silk_dec_run(void* h, opusfe::RangeDec* dec, int internal_khz, int payload_m
                  int nci, int nca, int fs_api_hz, int16_t* out) {
     return silk_driver_decode(*(SilkDriver*)h, *dec, internal_khz, payload_ms,
                               nci, nca, fs_api_hz, out);
+}
+
+int silk_dec_conceal(void* h, int internal_khz, int payload_ms,
+                     int nci, int nca, int fs_api_hz, int16_t* out) {
+    return silk_driver_conceal(*(SilkDriver*)h, internal_khz, payload_ms,
+                               nci, nca, fs_api_hz, out);
+}
+
+// Debug: dump channel-0 decoder+PLC state for test-side comparison with
+// the Python SilkChannelState (tests only; not a stable ABI).
+void silk_dec_dump(void* h, int32_t* out) {
+    SilkState& st = ((SilkDriver*)h)->ch[0];
+    int k = 0;
+    out[k++] = st.loss_cnt;
+    out[k++] = st.lag_prev;
+    out[k++] = st.last_gain_index;
+    out[k++] = st.prev_gain_q16;
+    out[k++] = st.prev_signal_type;
+    out[k++] = st.first_frame_after_reset;
+    int32_t ob = 0;
+    for (int i = 0; i < st.ltp_mem_length; i++) ob = ob * 31 + st.out_buf[i];
+    out[k++] = ob;
+    for (int i = 0; i < MAX_LPC_ORDER; i++) out[k++] = st.s_lpc_q14[i];
+    PlcC& plc = st.plc;
+    out[k++] = plc.pitch_l_q8;
+    out[k++] = plc.rand_seed;
+    out[k++] = plc.rand_scale_q14;
+    out[k++] = plc.conc_energy;
+    out[k++] = plc.conc_energy_shift;
+    out[k++] = plc.last_frame_lost;
+    out[k++] = plc.prev_ltp_scale_q14;
+    out[k++] = plc.prev_gain_q16[0];
+    out[k++] = plc.prev_gain_q16[1];
+    for (int i = 0; i < LTP_ORDER; i++) out[k++] = plc.ltp_coef_q14[i];
+    for (int i = 0; i < MAX_LPC_ORDER; i++) out[k++] = plc.prev_lpc_q12[i];
 }
 
 }  // extern "C"
