@@ -222,16 +222,29 @@ def main() -> None:
     # tenants and vary >3x run-to-run (including multi-second transport
     # stalls); the minimum is the achievable steady-state rate, so the
     # headline gets the largest share of the wall-clock budget.
-    serve_mode = "plan"
-    try:
-        front = BatchedCeltDecoder(BATCH, 2, use_native=True, transfer="plan")
-        front.serve(batches[:2], FRAME)  # warm jit + buffers
-    except Exception:
-        serve_mode = "p10"
-        front = BatchedCeltDecoder(BATCH, 2, use_native=True, transfer="p10")
-        front.serve(batches[:2], FRAME)
-    best = float("inf")
-    for _ in range(12):
+    # Mode A/B first: the plan executor cuts upload bytes ~2.2x but costs
+    # device compute; the p10 packed spectrum is compute-cheap but
+    # byte-heavy.  Which wins depends on the link speed of the day (and on
+    # the executor's device cost), so take one timed pass of each and
+    # spend the best-of budget on the winner.
+    cand: dict = {}
+    for mode in ("p10", "plan"):
+        try:
+            fr = BatchedCeltDecoder(BATCH, 2, use_native=True, transfer=mode)
+            fr.serve(batches[:2], FRAME)  # warm jit + buffers
+            t0 = time.perf_counter()
+            fr.serve(batches, FRAME)
+            cand[mode] = (time.perf_counter() - t0, fr)
+        except Exception:
+            continue
+        if _left() < max(200.0, _BUDGET_S * 0.5) and cand:
+            break
+    serve_mode = min(cand, key=lambda m: cand[m][0])
+    best, front = cand[serve_mode]
+    for m, (_, fr) in cand.items():
+        if m != serve_mode:
+            del fr
+    for _ in range(11):
         t0 = time.perf_counter()
         front.serve(batches, FRAME)
         best = min(best, time.perf_counter() - t0)
@@ -285,17 +298,22 @@ def main() -> None:
     # regime as the batched conceal step; VERDICT criterion: <15% penalty.)
     lossy_rate = 0.0
     try:
-        if _left() < 150 or serve_mode != "plan":
+        if _left() < 150:
             raise TimeoutError("skip lossy section")
+        # Device-resident PLC lives on the plan path; if the headline
+        # winner was p10, stand up a plan front just for this row.
+        lfront = front
+        if serve_mode != "plan":
+            lfront = BatchedCeltDecoder(BATCH, 2, use_native=True, transfer="plan")
         lrng = np.random.default_rng(7)
         lossy = [
             [None if lrng.random() < 0.05 else pk for pk in b] for b in batches
         ]
-        front.serve(lossy[:2], FRAME)  # warm the PLC step variant
+        lfront.serve(lossy[:2], FRAME)  # warm the PLC step variant
         best = float("inf")
         for _ in range(3):
             t1 = time.perf_counter()
-            front.serve(lossy, FRAME)
+            lfront.serve(lossy, FRAME)
             best = min(best, time.perf_counter() - t1)
         lossy_rate = STEPS * BATCH * 0.02 / best
         _PARTIAL["extras"]["e2e_5pct_loss_audio_sec_per_sec"] = round(lossy_rate, 1)
@@ -391,7 +409,9 @@ def main() -> None:
         "speedup_vs_libopus_same_host": round(e2e_rate / libopus_rate, 2),
         "realtime_factor_per_chip": round(e2e_rate, 1),
         "serve_transfer_mode": serve_mode,
-        "upload_bytes_per_stream": round(bytes_per_stream, 1),
+        "upload_bytes_per_stream": round(
+            bytes_per_stream if serve_mode == "plan" else (600 + 42 + 16 + 3) * 4, 1
+        ),
         "e2e_5pct_loss_audio_sec_per_sec": round(lossy_rate, 1),
     }
     _PARTIAL["done"] = True

@@ -443,22 +443,43 @@ def execute_plan_numpy(slot: dict, lm: int) -> np.ndarray:
 #   norm emission) is a 21-iteration trace-time loop of masked ops, with
 #   the per-band orthogonal transform selected among the reachable
 #   (recombine, time_divide, longblocks) configs by masked matmuls;
-# * anti-collapse is one vectorised pass (LCG jump tables) plus a
-#   band-one-hot renormalisation matmul.
+# * anti-collapse is one vectorised pass (double-and-add LCG jumps) plus
+#   band-one-hot broadcast/renormalisation matmuls;
+# * NO scatters and no table gathers anywhere: XLA:TPU lowers scatters
+#   to serial while-loops and gathers to slow per-element fetches, so
+#   position maps and record accumulation are compare-reduces and the
+#   LCG jump tables are replaced by eleven fused u32 multiplies.
 
-#: LCG jump tables: seed after t steps = A_JUMP[t]*seed + C_JUMP[t] (mod 2^32).
+#: Bound on LCG jump distances appearing in any leaf/anti-collapse replay.
 _LCG_MAX = 1600
 
 
 @functools.lru_cache(maxsize=None)
-def _lcg_jump() -> tuple[np.ndarray, np.ndarray]:
-    a = np.zeros(_LCG_MAX, np.uint32)
-    c = np.zeros(_LCG_MAX, np.uint32)
-    a[0], c[0] = 1, 0
-    for t in range(1, _LCG_MAX):
-        a[t] = (1664525 * int(a[t - 1])) & 0xFFFFFFFF
-        c[t] = (1664525 * int(c[t - 1]) + 1013904223) & 0xFFFFFFFF
-    return a, c
+def _lcg_pow2() -> tuple[tuple[int, ...], tuple[int, ...]]:
+    """(a_k, c_k) of the 2^k-step LCG jump, k = 0..10 (covers _LCG_MAX)."""
+    a, c = 1664525, 1013904223
+    aa, cc = [], []
+    for _ in range(11):
+        aa.append(a)
+        cc.append(c)
+        c = ((a + 1) * c) & 0xFFFFFFFF
+        a = (a * a) & 0xFFFFFFFF
+    return tuple(aa), tuple(cc)
+
+
+def _lcg_jump_j(t):
+    """seed-after-t-steps coefficients (A, C) as uint32 arrays: the jump
+    seed = A*seed0 + C (mod 2^32), computed by double-and-add instead of
+    a table gather — TPU gathers serialize, eleven fused u32 multiplies
+    do not.  t int32 in [0, 2048)."""
+    aa, cc = _lcg_pow2()
+    A = jnp.full(t.shape, 1, jnp.uint32)
+    C = jnp.zeros(t.shape, jnp.uint32)
+    for k in range(11):
+        bit = ((t >> k) & 1) == 1
+        A = jnp.where(bit, jnp.uint32(aa[k]) * A, A)
+        C = jnp.where(bit, jnp.uint32(aa[k]) * C + jnp.uint32(cc[k]), C)
+    return A, C
 
 
 #: Reachable (recombine, time_divide) pairs by longblocks, per lm, from
@@ -502,7 +523,6 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, f_max: int = 64,
     e = (modes.E_BANDS.astype(np.int64) * m).astype(np.int32)
     norm_len = int(e[NB - 1])
     n2 = 2 * n
-    aj_np, cj_np = _lcg_jump()
 
     # Transform matrices for every reachable config, per band.
     cfgs = []  # (rec, td, lb) global list; identity (0,0,True) excluded
@@ -574,7 +594,6 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, f_max: int = 64,
         iy_rel = header[:, 2]
         spread = meta[:, 13]
         c2 = meta[:, 3] == 2  # frame coded stereo
-        bidx = jnp.arange(B)[:, None]
         pos = jnp.arange(n2)[None, :]
         amax = arena.shape[0] - 1
 
@@ -622,9 +641,14 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, f_max: int = 64,
 
         # ---- per-position planes [B, n2], one per table ----
         def position_map(flat, count_mask):
+            # lid[pos] = (#leaf starts <= pos) - 1, as a fused compare-
+            # reduce over the leaf axis: XLA:TPU lowers scatters to a
+            # serial while-loop over updates (the original formulation),
+            # while this reduce vectorises on the VPU.
             flatc = jnp.where(count_mask, flat, n2)
-            marks = jnp.zeros((B, n2 + 1), jnp.int32).at[bidx, flatc].add(1)
-            lid = jnp.cumsum(marks[:, :n2], axis=1) - 1
+            lid = jnp.sum(
+                (flatc[:, None, :] <= pos[:, :, None]).astype(jnp.int32), axis=-1
+            ) - 1
             return flatc, lid
 
         flatdst, lid = position_map(plane * n + dst, valid)
@@ -698,11 +722,10 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, f_max: int = 64,
             return jnp.sum(x) + jnp.sum(fcov) + jnp.sum(fln_p.astype(jnp.float32))
 
         # ---- noise leaves ----
-        aj = jnp.asarray(aj_np)
-        cj = jnp.asarray(cj_np)
         seed_p = gf(fseed)
         t1 = jnp.clip(frel + 1, 0, _LCG_MAX - 1)
-        sv = jnp.take(aj, t1) * seed_p + jnp.take(cj, t1)
+        A1, C1 = _lcg_jump_j(t1)
+        sv = A1 * seed_p + C1
         noise = (
             jax.lax.shift_right_arithmetic(
                 jax.lax.bitcast_convert_type(sv, jnp.int32), 20
@@ -830,9 +853,13 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, f_max: int = 64,
         src_v = gf(fsrc).reshape(B, 2, n)
         n2_v = gf(fnorm2).reshape(B, 2, n)
         gain_v = gf(fgain).reshape(B, 2, n)
-        seed_v = gf(fseed).reshape(B, 2, n)
         rel_v = frel.reshape(B, 2, n)
         fln_v = fln_p.reshape(B, 2, n)
+        # Fold dither reuses the noise section's jumped LCG draws (same
+        # t=frel+1 seeds); garbage outside fold leaves is masked by fm.
+        dith_v = jnp.where(
+            (sv & 0x8000) != 0, jnp.float32(1.0 / 256.0), jnp.float32(-1.0 / 256.0)
+        ).reshape(B, 2, n)
 
         norm = jnp.zeros((B, 2, norm_len), jnp.float32)
 
@@ -879,11 +906,7 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, f_max: int = 64,
                 lval = jnp.take_along_axis(
                     ld[:, None, :].repeat(2, axis=1), sr, axis=2
                 )
-                t1f = jnp.clip(rel_v[:, :, lo_:hi_] + 1, 0, _LCG_MAX - 1)
-                sval = jnp.take(jnp.asarray(aj_np), t1f) * seed_v[:, :, lo_:hi_] + jnp.take(
-                    jnp.asarray(cj_np), t1f
-                )
-                dith = jnp.where((sval & 0x8000) != 0, 1.0 / 256.0, -1.0 / 256.0)
+                dith = dith_v[:, :, lo_:hi_]
                 fm = has_fold & (n2_v[:, :, lo_:hi_] == npl)
                 fill = jnp.where(fm, lval + dith, 0.0)
                 # per-leaf renorm of the fold fill (cumsum per plane so
@@ -966,35 +989,40 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, f_max: int = 64,
         ach = ((a0 >> 5) & 1).astype(jnp.int32)
         amask = ((a0 >> 8) & 0xFF).astype(jnp.int32)
         ar = _f16_to_f32_j((a0 >> 16) & 0xFFFF)
-        # scatter into [B, NB, 2]
-        ab_c = jnp.where(avalid, ab, NB)
-        r_bc = jnp.zeros((B, NB + 1, 2), jnp.float32).at[bidx, ab_c, ach].set(
-            jnp.where(avalid, ar, 0.0)
-        )[:, :NB]
-        s_bc = jnp.zeros((B, NB + 1, 2), jnp.uint32).at[bidx, ab_c, ach].set(
-            jnp.where(avalid, a1, 0)
-        )[:, :NB]
-        m_bc = jnp.zeros((B, NB + 1, 2), jnp.int32).at[bidx, ab_c, ach].set(
-            jnp.where(avalid, amask, 0)
-        )[:, :NB]
-        has_bc = jnp.zeros((B, NB + 1, 2), jnp.bool_).at[bidx, ab_c, ach].set(
-            avalid
-        )[:, :NB]
+        # Accumulate records into [B, NB, 2] by compare-reduce over the
+        # record axis (at most one record per (band, ch); scatters would
+        # serialize on TPU).  Seeds are u32: sum the masked values with a
+        # wrapping u32 reduce, exact because at most one term is nonzero.
+        eb = jnp.arange(NB)[None, :, None, None]
+        cb = jnp.arange(2)[None, None, :, None]
+        m4 = (avalid[:, None, None, :] & (ab[:, None, None, :] == eb)
+              & (ach[:, None, None, :] == cb))  # [B, NB, 2, A]
+        r_bc = jnp.sum(jnp.where(m4, ar[:, None, None, :], 0.0), axis=-1)
+        s_bc = jnp.sum(jnp.where(m4, a1[:, None, None, :], jnp.uint32(0)), axis=-1)
+        m_bc = jnp.sum(jnp.where(m4, amask[:, None, None, :], 0), axis=-1)
+        has_bc = jnp.any(m4, axis=-1)
 
-        band_of = jnp.asarray(_plan_band_of_bin(lm))  # [n]
         posn = jnp.arange(n)[None, :]
-        bb = band_of[None, :]
+        bb = jnp.asarray(_plan_band_of_bin(lm))[None, :]
         base_b = jnp.take(jnp.asarray(e[:NB]), bb)
         off_in = posn - base_b
         kblk = off_in & (m - 1)
         jj = off_in >> lm
         n0_b = jnp.take(jnp.asarray((modes.E_BANDS[1:] - modes.E_BANDS[:-1]).astype(np.int32)), bb)
+        oh = band_onehot_j[:, :n]  # [NB, n]
+
+        def bcast(tbl_f32):  # [B, NB] -> [B, n]: per-bin band broadcast on MXU
+            return tbl_f32 @ oh
 
         def ac_channel(ch):
-            msk = jnp.take_along_axis(m_bc[:, :, ch], bb.repeat(B, 0), axis=1)
-            has = jnp.take_along_axis(has_bc[:, :, ch], bb.repeat(B, 0), axis=1)
-            rr = jnp.take_along_axis(r_bc[:, :, ch], bb.repeat(B, 0), axis=1)
-            sd = jnp.take_along_axis(s_bc[:, :, ch], bb.repeat(B, 0), axis=1)
+            msk = bcast(m_bc[:, :, ch].astype(jnp.float32)).astype(jnp.int32)
+            has = bcast(has_bc[:, :, ch].astype(jnp.float32)) > 0.5
+            rr = bcast(r_bc[:, :, ch])
+            # u32 seeds broadcast exactly via two 16-bit float matmuls.
+            sd_lo = bcast((s_bc[:, :, ch] & jnp.uint32(0xFFFF)).astype(jnp.float32))
+            sd_hi = bcast((s_bc[:, :, ch] >> 16).astype(jnp.float32))
+            sd = (sd_lo.astype(jnp.uint32)
+                  | (sd_hi.astype(jnp.uint32) << 16))
             cleared = ((msk >> kblk) & 1) == 0
             # rank of cleared block k = cleared bits below k
             rank = jnp.zeros_like(kblk)
@@ -1003,15 +1031,16 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, f_max: int = 64,
                     (kb < kblk) & (((msk >> kb) & 1) == 0), 1, 0
                 )
             t_ = jnp.clip(rank * n0_b + jj + 1, 0, _LCG_MAX - 1)
-            sv = jnp.take(jnp.asarray(aj_np), t_) * sd + jnp.take(jnp.asarray(cj_np), t_)
-            val = jnp.where((sv & 0x8000) != 0, rr, -rr)
+            At, Ct = _lcg_jump_j(t_)
+            sv_ = At * sd + Ct
+            val = jnp.where((sv_ & 0x8000) != 0, rr, -rr)
             apply = has & cleared
             newx = jnp.where(apply, val, X[:, ch])
             # renorm bands with any record
-            s2 = jnp.einsum("bn,en->be", newx * newx, band_onehot_j)
+            s2 = jnp.einsum("bn,en->be", newx * newx, oh)
             anyr = has_bc[:, :, ch]
             scl = jnp.where(anyr, 1.0 / jnp.sqrt(EPSILON + s2), 1.0)
-            sclb = jnp.einsum("be,en->bn", scl, band_onehot_j)
+            sclb = jnp.einsum("be,en->bn", scl, oh)
             return newx * sclb
 
         X = jnp.stack([ac_channel(0), ac_channel(1)], axis=1)

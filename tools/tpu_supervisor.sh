@@ -1,0 +1,27 @@
+#!/bin/bash
+# Patient TPU measurement supervisor: loop the round-3 tools whenever a
+# usable tunnel window opens.  Each tool probes first and aborts fast on
+# a dead/trickle tunnel; fresh interpreter per attempt because the axon
+# client can wedge an interpreter permanently.
+#
+#   TPU_SUP_BUDGET_S  total budget (default 10h)
+#   order: exec bisect (the 766 ms executor question) > window bench
+#          (plan/p10/pallas A-B) > batch sweep (B=8192 regression)
+
+cd "$(dirname "$0")/.."
+BUDGET=${TPU_SUP_BUDGET_S:-36000}
+END=$(( $(date +%s) + BUDGET ))
+while [ "$(date +%s)" -lt "$END" ]; do
+  timeout 2400 python tools/tpu_exec_bisect.py >> /tmp/tpu_sup.out 2>&1
+  if tail -20 /tmp/tpu_exec_bisect.jsonl 2>/dev/null | grep -q '"phase": "done"'; then
+    # TPU_PROBE_BUDGET_S=1 -> the bench's internal supervisor makes
+    # exactly one attempt
+    TPU_PROBE_BUDGET_S=1 timeout 2400 python tools/tpu_window_bench.py >> /tmp/tpu_sup.out 2>&1
+    timeout 3000 python tools/tpu_bsweep.py >> /tmp/tpu_sup.out 2>&1
+    if tail -5 /tmp/tpu_bsweep.jsonl 2>/dev/null | grep -q '"phase": "done"'; then
+      echo "{\"supervisor\": \"all_done\"}" >> /tmp/tpu_sup.out
+      exit 0
+    fi
+  fi
+  sleep 240
+done
