@@ -320,7 +320,10 @@ class BatchedOpusDecoder:
         SILK-only frames never touch the device — use decode_frames).
         Returns the final step's digest; the last PCM stays on device in
         self._serve_ring."""
-        frame48 = pkt_mod.query_packet_samples_per_frame(batches[0][0], 48000)
+        first = next((p for row in batches for p in row if p is not None), None)
+        if first is None:
+            raise ValueError("serve(): every packet in every step is lost")
+        frame48 = pkt_mod.query_packet_samples_per_frame(first, 48000)
         if frame48 > 960:
             raise ValueError("serve() handles <=20 ms frames; use decode_frames")
         if (not hasattr(self, "_mixed_slots")

@@ -639,41 +639,84 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, f_max: int = 64,
                                ).astype(jnp.float32))
                     + jnp.sum(fseed.astype(jnp.float32)))
 
-        # ---- per-position planes [B, n2], one per table ----
-        def position_map(flat, count_mask):
-            # lid[pos] = (#leaf starts <= pos) - 1, as a fused compare-
-            # reduce over the leaf axis: XLA:TPU lowers scatters to a
-            # serial while-loop over updates (the original formulation),
-            # while this reduce vectorises on the VPU.
-            flatc = jnp.where(count_mask, flat, n2)
-            lid = jnp.sum(
-                (flatc[:, None, :] <= pos[:, :, None]).astype(jnp.int32), axis=-1
-            ) - 1
-            return flatc, lid
+        # ---- per-position field planes via interval one-hot matmuls ----
+        # Leaves tile each plane without overlap, so hitting the in-leaf
+        # membership mask with the field table on the MXU
+        # (Σ_p mask[b,pos,p]·field[b,p,f]) reproduces every per-position
+        # field in one batched matmul — replacing ~20 take_along_axis
+        # gathers (slow per-element fetches on TPU) AND the scatter-based
+        # position->leaf map.  Zero-adds are exact in f32, every integer
+        # field is < 2^24, and u32 seeds ride as two 16-bit halves.
+        sp_f = spread[:, None].astype(jnp.int32)
+        factor = jnp.take(
+            jnp.asarray(np.array([15, 15, 10, 5], np.int32)), jnp.clip(sp_f, 0, 3)
+        )
+        active = (2 * kk < ln) & (sp_f > 0) & valid
+        gr = ln.astype(jnp.float32) / (ln + factor * kk).astype(jnp.float32)
+        th = 0.5 * gr * gr
+        c_l = jnp.cos(0.5 * jnp.pi * th)
+        s_l = jnp.cos(0.5 * jnp.pi * (1.0 - th))
+        L_l = ln // bq
+        st2 = jnp.ones_like(ln)
+        for t in range(1, 15):
+            st2 = st2 + (((t * t + t) * bq + (bq >> 2)) < ln).astype(jnp.int32)
+        st2 = jnp.where(ln >= 8 * bq, st2, 0)
 
-        flatdst, lid = position_map(plane * n + dst, valid)
-        lidc = jnp.clip(lid, 0, p_max - 1)
-
-        def g(t):  # gather pvq leaf field to positions
-            return jnp.take_along_axis(t, lidc, axis=1)
-
-        fd_p = g(flatdst)
-        ln_p = g(ln)
+        f32 = lambda t: t.astype(jnp.float32)  # noqa: E731
+        pos3 = jnp.arange(n2)[None, :, None]
+        flatdst = jnp.where(valid, plane * n + dst, n2)
+        startP = flatdst[:, None, :]
+        inP = ((startP <= pos3) & (pos3 < startP + ln[:, None, :])).astype(
+            jnp.float32
+        )
+        fieldsP = jnp.stack(
+            [f32(flatdst), f32(ln), f32(wid), f32(iybase), gain,
+             f32(active), f32(L_l), f32(st2), c_l, s_l, f32(bq),
+             jnp.ones_like(gain)],
+            axis=-1,
+        )
+        valsP = jnp.einsum("bnp,bpf->bnf", inP, fieldsP,
+                           preferred_element_type=jnp.float32)
+        i32v = lambda k: valsP[:, :, k].astype(jnp.int32)  # noqa: E731
+        fd_p = i32v(0)
+        ln_p = i32v(1)
+        wid_p = i32v(2)
+        iyb_p = i32v(3)
+        gain_p = valsP[:, :, 4]
+        act_p = valsP[:, :, 5] > 0.5
+        L_p = jnp.maximum(i32v(6), 1)
+        st2_p = i32v(7)
+        c_p = valsP[:, :, 8]
+        s_p = valsP[:, :, 9]
+        bq_p = jnp.maximum(i32v(10), 1)
+        cov = valsP[:, :, 11] > 0.5
         rel = pos - fd_p
-        cov = (lid >= 0) & (rel < ln_p)
-        wid_p = g(wid)
-        gain_p = g(gain)
 
-        fflat, flid = position_map(fplane * n + fdst, fvalid)
-        flidc = jnp.clip(flid, 0, f_max - 1)
-
-        def gf(t):  # gather fill leaf field to positions
-            return jnp.take_along_axis(t, flidc, axis=1)
-
-        ffd_p = gf(fflat)
-        fln_p = gf(fln)
+        fflat = jnp.where(fvalid, fplane * n + fdst, n2)
+        startF = fflat[:, None, :]
+        inF = ((startF <= pos3) & (pos3 < startF + fln[:, None, :])).astype(
+            jnp.float32
+        )
+        fieldsF = jnp.stack(
+            [f32(fflat), f32(fln), f32(fsrc), f32(fnorm2), fgain,
+             (fseed & jnp.uint32(0xFFFF)).astype(jnp.float32),
+             (fseed >> 16).astype(jnp.float32),
+             f32(fnoise), jnp.ones_like(fgain)],
+            axis=-1,
+        )
+        valsF = jnp.einsum("bnp,bpf->bnf", inF, fieldsF,
+                           preferred_element_type=jnp.float32)
+        fi32 = lambda k: valsF[:, :, k].astype(jnp.int32)  # noqa: E731
+        ffd_p = fi32(0)
+        fln_p = fi32(1)
+        fsrc_p = fi32(2)
+        fnorm2_p = fi32(3)
+        fgain_p = valsF[:, :, 4]
+        seed_p = (valsF[:, :, 5].astype(jnp.uint32)
+                  | (valsF[:, :, 6].astype(jnp.uint32) << 16))
+        fnoise_p = fi32(7)
+        fcov = valsF[:, :, 8] > 0.5
         frel = pos - ffd_p
-        fcov = (flid >= 0) & (frel < fln_p)
 
         if stop_after == "posmap":
             return (jnp.sum((fd_p + ln_p + wid_p + ffd_p + fln_p
@@ -681,7 +724,7 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, f_max: int = 64,
                     + jnp.sum(gain_p) + jnp.sum(cov) + jnp.sum(fcov))
 
         # ---- iy unpack ----
-        bit = g(iybase) + rel * wid_p
+        bit = iyb_p + rel * wid_p
         word = iy_w0[:, None] + (bit >> 5)
         sh = (bit & 31).astype(jnp.uint32)
         lo = jnp.take(arena, jnp.clip(word, 0, amax)) >> sh
@@ -716,13 +759,13 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, f_max: int = 64,
         )
         ryy = (at_end - at_start).astype(jnp.float32)  # [B, P]
         gl = gain / jnp.sqrt(jnp.maximum(ryy, 1e-30))
-        x = iyf * g(gl)
+        x = iyf * jnp.einsum("bnp,bp->bn", inP, gl,
+                             preferred_element_type=jnp.float32)
 
         if stop_after == "norm":
             return jnp.sum(x) + jnp.sum(fcov) + jnp.sum(fln_p.astype(jnp.float32))
 
         # ---- noise leaves ----
-        seed_p = gf(fseed)
         t1 = jnp.clip(frel + 1, 0, _LCG_MAX - 1)
         A1, C1 = _lcg_jump_j(t1)
         sv = A1 * seed_p + C1
@@ -731,7 +774,7 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, f_max: int = 64,
                 jax.lax.bitcast_convert_type(sv, jnp.int32), 20
             )
         ).astype(jnp.float32)
-        is_noise = fcov & (gf(fnoise) == 1)
+        is_noise = fcov & (fnoise_p == 1)
         # Noise values are integers (seed >> 20); the plane-wide cumsum may
         # wrap int32, but two's-complement differences stay exact modulo
         # 2^32 and every true per-leaf sum fits in 31 bits (176 * 2048^2),
@@ -757,36 +800,23 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, f_max: int = 64,
             nat_end - nat_start, jnp.uint32
         ).astype(jnp.float32)
         nscale = fgain / jnp.sqrt(EPSILON + nsum)
-        x = jnp.where(is_noise, nz * gf(nscale), x)
+        x = jnp.where(
+            is_noise,
+            nz * jnp.einsum("bnp,bp->bn", inF, nscale,
+                            preferred_element_type=jnp.float32),
+            x,
+        )
 
         if stop_after == "noise":
             return jnp.sum(x)
 
         # ---- rotation ----
-        sp_f = spread[:, None].astype(jnp.int32)
-        factor = jnp.take(
-            jnp.asarray(np.array([15, 15, 10, 5], np.int32)), jnp.clip(sp_f, 0, 3)
-        )
-        active = (2 * kk < ln) & (sp_f > 0) & valid
-        gr = ln.astype(jnp.float32) / (ln + factor * kk).astype(jnp.float32)
-        th = 0.5 * gr * gr
-        c_l = jnp.cos(0.5 * jnp.pi * th)
-        s_l = jnp.cos(0.5 * jnp.pi * (1.0 - th))
-        L_l = ln // bq
-        st2 = jnp.ones_like(ln)
-        for t in range(1, 15):
-            st2 = st2 + (((t * t + t) * bq + (bq >> 2)) < ln).astype(jnp.int32)
-        st2 = jnp.where(ln >= 8 * bq, st2, 0)
-
-        act_p = g(active.astype(jnp.int32)) == 1
-        act_p = act_p & cov
-        L_p = jnp.maximum(g(L_l), 1)
-        st2_p = g(st2)
-        c_p = g(c_l)
-        s_p = g(s_l)
-        seg = jnp.minimum(rel // L_p, jnp.maximum(g(bq) - 1, 0))
+        # (leaf-level rotation parameters were computed before the field
+        # einsums and arrived here as *_p per-position planes)
+        act_pp = act_p & cov
+        seg = jnp.minimum(rel // L_p, jnp.maximum(bq_p - 1, 0))
         rel2 = rel - seg * L_p
-        in_rot = act_p & (rel < g(bq) * L_p)
+        in_rot = act_pp & (rel < bq_p * L_p)
         segbase = fd_p + seg * L_p
 
         # pass A (stride2): chain-permute gather, scan, inverse gather.
@@ -849,10 +879,10 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, f_max: int = 64,
             return (v & 0x7FF).astype(jnp.int32)
 
         # per-position fold fields on the [B, 2, n] view
-        ftyp_v = (fcov & (gf(fnoise) == 0)).reshape(B, 2, n)  # fold coverage
-        src_v = gf(fsrc).reshape(B, 2, n)
-        n2_v = gf(fnorm2).reshape(B, 2, n)
-        gain_v = gf(fgain).reshape(B, 2, n)
+        ftyp_v = (fcov & (fnoise_p == 0)).reshape(B, 2, n)  # fold coverage
+        src_v = fsrc_p.reshape(B, 2, n)
+        n2_v = fnorm2_p.reshape(B, 2, n)
+        gain_v = fgain_p.reshape(B, 2, n)
         rel_v = frel.reshape(B, 2, n)
         fln_v = fln_p.reshape(B, 2, n)
         # Fold dither reuses the noise section's jumped LCG draws (same
