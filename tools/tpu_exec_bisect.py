@@ -105,19 +105,13 @@ def main():
             best = min(best, time.perf_counter() - t1)
         return best / iters * 1e3
 
-    # --- stage bisect ---
-    stages = ["leaves", "posmap", "iy", "norm", "noise", "rot", "bands", None]
-    prev = 0.0
-    for s in stages:
-        label = s or "full"
-        try:
-            fn = jax.jit(make_plan_executor(3, B, stop_after=s))
-            ms = guarded(lambda: timeit(fn, (header, bands, meta, arena)), 600)
-            log({"phase": f"stage_{label}", "ms": round(ms, 2),
-                 "delta_ms": round(ms - prev, 2)})
-            prev = ms
-        except Exception as e:  # noqa: BLE001
-            log({"phase": f"stage_{label}", "error": str(e)[:200]})
+    # --- headline first: the full executor (one compile) ---
+    try:
+        fn = jax.jit(make_plan_executor(3, B))
+        ms = guarded(lambda: timeit(fn, (header, bands, meta, arena)), 600)
+        log({"phase": "executor_full", "ms": round(ms, 2)})
+    except Exception as e:  # noqa: BLE001
+        log({"phase": "executor_full", "error": str(e)[:200]})
 
     # --- primitive microbenches at serving shapes ---
     n2, P, F = 1920, 192, 12
@@ -150,6 +144,16 @@ def main():
              ).astype(jnp.bfloat16),
             f.astype(jnp.bfloat16),
             preferred_element_type=jnp.float32).sum()),
+        # the executor's actual field einsum (f32 masks)
+        "interval_einsum_f32": jax.jit(lambda d, l, f: jnp.einsum(
+            "bnp,bpf->bnf",
+            ((d[:, None, :] <= jnp.arange(n2)[None, :, None])
+             & (jnp.arange(n2)[None, :, None] < d[:, None, :] + l[:, None, :])
+             ).astype(jnp.float32),
+            f, preferred_element_type=jnp.float32).sum()),
+        # same-shape batched permutation gather (rotation chain permute)
+        "taa_same_shape": jax.jit(lambda x, i: jnp.take_along_axis(
+            x, (i * 7919) % n2, axis=1).sum()),
         # flat-arena gather (iy word fetch shape)
         "flat_gather_2M": jax.jit(lambda i: jnp.take(arena, i).astype(jnp.float32).sum()),
         # first-order segmented scan (rotation passes)
@@ -162,6 +166,8 @@ def main():
         "marks_cmpreduce": (flatd,),
         "taa_B_n2_from_P": (tbl, lidc),
         "interval_einsum": (flatd, lnj, fields),
+        "interval_einsum_f32": (flatd, lnj, fields),
+        "taa_same_shape": (xplane, lidc),
         "flat_gather_2M": (fidx,),
         "assoc_scan_pair": (xplane,),
         "cumsum_int": (lidc,),
@@ -172,6 +178,19 @@ def main():
             log({"phase": f"prim_{name}", "ms": round(ms, 3)})
         except Exception as e:  # noqa: BLE001
             log({"phase": f"prim_{name}", "error": str(e)[:200]})
+
+    # --- stage bisect last (eight slow compiles; a short window still
+    # yields the headline + primitive numbers above) ---
+    prev = 0.0
+    for s in ["leaves", "posmap", "iy", "norm", "noise", "rot", "bands"]:
+        try:
+            fn = jax.jit(make_plan_executor(3, B, stop_after=s))
+            ms = guarded(lambda: timeit(fn, (header, bands, meta, arena)), 600)
+            log({"phase": f"stage_{s}", "ms": round(ms, 2),
+                 "delta_ms": round(ms - prev, 2)})
+            prev = ms
+        except Exception as e:  # noqa: BLE001
+            log({"phase": f"stage_{s}", "error": str(e)[:200]})
 
     log({"phase": "done"})
 
