@@ -351,7 +351,9 @@ def main() -> None:
             }
             keys = ["celt", "silk", "hybrid"]
             mixed_steps.append([per_mode[keys[i % 3]] for i in range(BATCH)])
-        odec = BatchedOpusDecoder(BATCH, 2)
+        # The mixed pipeline serves on the headline A/B's winning mode
+        # (it has plan + packed paths too, tests/test_mixed_plan.py).
+        odec = BatchedOpusDecoder(BATCH, 2, transfer=serve_mode)
         odec.serve(mixed_steps[:2])  # warm jit + slots
         el = _best(lambda: odec.serve(mixed_steps), 3)
         mixed_rate = STEPS * BATCH * 0.02 / el

@@ -55,7 +55,7 @@ class BatchedOpusDecoder:
 
     NB = 21
 
-    def __init__(self, batch: int, channels: int = 2):
+    def __init__(self, batch: int, channels: int = 2, transfer: str = "p10"):
         lib = _load()
         lib.opus_fe_create.restype = ctypes.c_void_p
         lib.opus_fe_create.argtypes = [ctypes.c_int]
@@ -84,11 +84,29 @@ class BatchedOpusDecoder:
             ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32),
         ]
+        lib.opus_fe_decode_batch_plan.restype = ctypes.c_int
+        lib.opus_fe_decode_batch_plan.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p), ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),  # header [B,4]
+            ctypes.POINTER(ctypes.c_float),  # ble [B,2,21]
+            ctypes.POINTER(ctypes.c_int32),  # meta [B,16]
+            ctypes.POINTER(ctypes.c_float),  # gains [B,3]
+            ctypes.POINTER(ctypes.c_int32),  # bands [B,21,2]
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,  # arena, capacity
+            ctypes.POINTER(ctypes.c_int64),  # used_words out
+            ctypes.POINTER(ctypes.c_int16), ctypes.c_int64,  # silk48, stride
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32),
+        ]
         self.lib = lib
         self.batch = batch
         self.channels = channels
-        #: serving transfer mode for the packed serve() loop.
-        self.transfer = "p10"
+        #: serving transfer mode for the serve() loop: "plan" (pulse
+        #: vectors + band plan, spectra rebuilt on device) with per-step
+        #: packed fallback, or a packed spectral mode ("p12"/"p10"/"p8").
+        self.transfer = transfer
         self.handles = (ctypes.c_void_p * batch)(
             *[lib.opus_fe_create(channels) for _ in range(batch)]
         )
@@ -252,10 +270,10 @@ class BatchedOpusDecoder:
 
     def _alloc_mixed_slots(self, frame48: int, n_slots: int = 4) -> list:
         B = self.batch
-        w = int(self.transfer[1:])
+        w = int(self._packed_mode()[1:])
         xq_words = 2 * 30 * w  # two channels
         silk_words = (frame48 * self.channels + 1) // 2
-        off = packed_offsets(B, self.transfer, silk_words)
+        off = packed_offsets(B, self._packed_mode(), silk_words)
         slots = []
         for _ in range(n_slots):
             buf = np.zeros(off["end"], np.int32)
@@ -286,7 +304,7 @@ class BatchedOpusDecoder:
         rc = self.lib.opus_fe_decode_batch_packed(
             self.handles, blob, lens.ctypes.data_as(i32p), B,
             modes_np.ctypes.data_as(i32p), bws.ctypes.data_as(i32p),
-            frame48, schs.ctypes.data_as(i32p), int(self.transfer[1:]),
+            frame48, schs.ctypes.data_as(i32p), int(self._packed_mode()[1:]),
             slot["xq"].ctypes.data_as(i32p), slot["xq"].shape[1],
             slot["silk"].ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
             slot["silk"].shape[1],
@@ -302,15 +320,89 @@ class BatchedOpusDecoder:
             reason = _FALLBACK_REASON.get(code, f"codec error {code}")
             raise ValueError(f"stream {i}: {reason}")
 
+    def _packed_mode(self) -> str:
+        """Spectral transfer mode for the packed path (also the plan
+        loop's per-step fallback)."""
+        return self.transfer if self.transfer in ("p12", "p10", "p8") else "p10"
+
     def _mixed_serving_step(self, lm: int, pf_chunk: int, pf_active: bool):
         key = ("serve", lm, pf_chunk, pf_active)
         if key not in self._steps:
             self._steps[key] = make_serving_step(
                 lm, self.batch, self.channels, 1,
                 pf_chunk=pf_chunk, pf_active=pf_active,
-                transfer=self.transfer, silk_mix=True,
+                transfer=self._packed_mode(), silk_mix=True,
             )
         return self._steps[key]
+
+    # --- plan-mode serving (transfer="plan") ------------------------------
+
+    #: Plan-mode arena upload buckets, as BatchedCeltDecoder.PLAN_BUCKETS.
+    PLAN_BUCKETS = (64, 96, 128, 160, 192, 224, 256, 320, 384, 512)
+
+    def _mixed_plan_serving_step(self, lm: int, pf_chunk: int, pf_active: bool,
+                                 bucket_words: int):
+        from ..dsp.synthesis import make_plan_serving_step
+
+        key = ("plan", lm, pf_chunk, pf_active, bucket_words)
+        if key not in self._steps:
+            self._steps[key] = make_plan_serving_step(
+                lm, self.batch, self.channels, 1,
+                pf_chunk=pf_chunk, pf_active=pf_active,
+                arena_words=bucket_words, silk_mix=True,
+            )
+        return self._steps[key]
+
+    def _plane_a_plan(self, packets: list, slot: dict):
+        """Plan-mode mixed decode into a plan slot (opus_fe_decode_batch_plan):
+        SILK PCM + the CELT contribution as a plan; raises OverflowError
+        when the arena or executor capacities are exceeded (the serve loop
+        falls back to the packed path for that step)."""
+        B = self.batch
+        frame48, modes_np, bws, schs, payloads = self._toc_arrays(packets)
+        if frame48 != slot["frame48"]:
+            raise ValueError("frame duration changed mid-serve")
+        blob = b"".join(payloads)
+        lens = np.array([len(p) for p in payloads], np.int32)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        rcs = np.zeros(B, np.int32)
+        used = ctypes.c_int64(0)
+        rc = self.lib.opus_fe_decode_batch_plan(
+            self.handles, blob, lens.ctypes.data_as(i32p), B,
+            modes_np.ctypes.data_as(i32p), bws.ctypes.data_as(i32p),
+            frame48, schs.ctypes.data_as(i32p),
+            slot["header"].ctypes.data_as(i32p),
+            slot["ble"].ctypes.data_as(f32p),
+            slot["meta"].ctypes.data_as(i32p),
+            slot["gains"].ctypes.data_as(f32p),
+            slot["bands"].ctypes.data_as(i32p),
+            slot["arena"].ctypes.data_as(i32p), slot["arena"].shape[0],
+            ctypes.byref(used),
+            slot["silk"].ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            slot["silk"].shape[1],
+            self._ranges.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            rcs.ctypes.data_as(i32p),
+        )
+        if rc == -(B + 1):
+            raise OverflowError("plan arena capacity exceeded")
+        if rc != B:
+            i = -rc - 1
+            code = int(rcs[i])
+            if code == -30:
+                raise OverflowError(f"stream {i}: plan sink overflow")
+            reason = _FALLBACK_REASON.get(code, f"codec error {code}")
+            raise ValueError(f"stream {i}: {reason}")
+        counts = slot["header"][:, 1]
+        if (int((counts & 0x1FF).max(initial=0)) > 192
+                or int(((counts >> 9) & 0x1FF).max(initial=0)) > 64
+                or int((counts >> 18).max(initial=0)) > 42):
+            raise OverflowError("plan leaf count exceeds executor capacity")
+        from ..native.frontend import pack_plan_fixed
+
+        pack_plan_fixed(slot)
+        slot["used_words"] = slot["fixed_words"] + int(used.value)
+        return slot
 
     def serve(self, batches: list[list[bytes]], n_slots: int = 4):
         """Packed single-upload mixed-mode serving loop (CELT+SILK+hybrid
@@ -326,6 +418,8 @@ class BatchedOpusDecoder:
         frame48 = pkt_mod.query_packet_samples_per_frame(first, 48000)
         if frame48 > 960:
             raise ValueError("serve() handles <=20 ms frames; use decode_frames")
+        if self.transfer == "plan":
+            return self._serve_plan(batches, frame48, n_slots)
         if (not hasattr(self, "_mixed_slots")
                 or self._mixed_slots[0]["frame48"] != frame48
                 or len(self._mixed_slots) != n_slots):
@@ -373,6 +467,110 @@ class BatchedOpusDecoder:
             for packets in batches:
                 slot = get_slot(free, err)
                 self._plane_a_packed(packets, slot)
+                meta = slot["meta"]
+                pf_chunk, pf_active = pf_chunk_for(meta[:, 6:9], slot["gains"])
+                work.put((slot, pf_chunk, pf_active))
+        finally:
+            work.put(None)
+            th.join()
+        if err:
+            raise err[0]
+        return np.asarray(done["digest"])
+
+    def _serve_plan(self, batches: list, frame48: int, n_slots: int = 4):
+        """Plan-mode mixed serving loop: same single-upload/single-execute
+        shape as serve(), but the upload is the plan slot's used prefix
+        (bucketed) + the SILK PCM region, and the device rebuilds the
+        CELT spectra with the plan executor.  A step whose plan overflows
+        a capacity falls back to the packed spectral path for just that
+        step (SynthState is shared between step kinds)."""
+        from ..native.frontend import alloc_plan_slots
+
+        B = self.batch
+        silk_words = (frame48 * self.channels + 1) // 2
+        if (not hasattr(self, "_plan_slots")
+                or self._plan_slots[0]["frame48"] != frame48
+                or len(self._plan_slots) != n_slots):
+            self._plan_slots = alloc_plan_slots(
+                B, n_slots, self.PLAN_BUCKETS[-1], silk_words=silk_words
+            )
+            for s in self._plan_slots:
+                s["frame48"] = frame48
+        if (not hasattr(self, "_plan_pk_slots")
+                or self._plan_pk_slots[0]["frame48"] != frame48):
+            self._plan_pk_slots = self._alloc_mixed_slots(frame48, 2)
+            for s in self._plan_pk_slots:
+                s["mode"] = "packed"
+        lm = int(np.log2(frame48 // 120))
+        free: queue.Queue = queue.Queue()
+        for s in self._plan_slots:
+            free.put(s)
+        free_pk: queue.Queue = queue.Queue()
+        for s in self._plan_pk_slots:
+            free_pk.put(s)
+        work: queue.Queue = queue.Queue()
+        err: list = []
+        done: dict = {}
+
+        def release(slot):
+            (free if slot.get("mode") == "plan" else free_pk).put(slot)
+
+        def uploader():
+            try:
+                state = getattr(self, "_serve_state", None)
+                if state is None:
+                    state = init_state(self.batch, self.channels)
+                ring = getattr(self, "_serve_ring", None)
+                if ring is None or ring.shape[1] != frame48:
+                    ring = jnp.zeros((self.batch, frame48, self.channels), jnp.float32)
+                digest = None
+                held = None
+                while True:
+                    item = work.get()
+                    if item is None:
+                        if held is not None:
+                            release(held)
+                        break
+                    slot, pf_chunk, pf_active = item
+                    if slot.get("mode") == "plan":
+                        used = slot["used_words"] - slot["fixed_words"]
+                        per = -(-used // B) if used > 0 else 1
+                        bucket = next(
+                            (bw for bw in self.PLAN_BUCKETS if bw >= per),
+                            self.PLAN_BUCKETS[-1],
+                        )
+                        step = self._mixed_plan_serving_step(
+                            lm, pf_chunk, pf_active, bucket
+                        )
+                        buf = jnp.asarray(
+                            slot["buf"][: slot["fixed_words"] + B * bucket]
+                        )
+                    else:
+                        step = self._mixed_serving_step(lm, pf_chunk, pf_active)
+                        buf = jnp.asarray(slot["buf"])
+                    if held is not None:
+                        release(held)
+                    held = slot
+                    state, ring, digest = step(state, ring, buf)
+                self._serve_state = state
+                self._serve_ring = ring
+                done["digest"] = digest
+            except Exception as e:  # pragma: no cover - propagated below
+                err.append(e)
+
+        th = threading.Thread(target=uploader, daemon=True)
+        th.start()
+        try:
+            for packets in batches:
+                slot = get_slot(free, err)
+                try:
+                    self._plane_a_plan(packets, slot)
+                except OverflowError:
+                    # Pathological content: ship this step as a packed
+                    # spectrum instead of killing the serving session.
+                    free.put(slot)
+                    slot = get_slot(free_pk, err)
+                    self._plane_a_packed(packets, slot)
                 meta = slot["meta"]
                 pf_chunk, pf_active = pf_chunk_for(meta[:, 6:9], slot["gains"])
                 work.put((slot, pf_chunk, pf_active))

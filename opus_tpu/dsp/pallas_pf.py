@@ -98,6 +98,12 @@ def _pf_kernel(y_ref, par_ref, w2_ref, gt_ref, out_ref, *, n, lm, hist, channels
                     + taps[:, 1][:, None] * s1
                     + taps[:, 2][:, None] * s2)
 
+        # .at[].add lowers to scatter-add, which Mosaic does not
+        # implement; an explicit read + dynamic_update_slice does.
+        def add_at(y, i0, contrib):
+            cur = y[:, i0 : i0 + chunk] + contrib
+            return jax.lax.dynamic_update_slice(y, cur, (0, i0))
+
         ncf = min(ln, OVERLAP) // chunk
         for ci in range(ncf):  # static unroll: all slices static
             i0 = off + ci * chunk
@@ -107,13 +113,13 @@ def _pf_kernel(y_ref, par_ref, w2_ref, gt_ref, out_ref, *, n, lm, hist, channels
                 window(y, i0, pb), gb
             )
             contrib = jnp.where(zero[:, None], 0.0, contrib)
-            y = y.at[:, i0 : i0 + chunk].add(contrib)
+            y = add_at(y, i0, contrib)
         ntail = (ln - ncf * chunk) // chunk
         for ci in range(ntail):
             i0 = off + ncf * chunk + ci * chunk
             contrib = tap5(window(y, i0, pb), gb)
             contrib = jnp.where(zero_b[:, None], 0.0, contrib)
-            y = y.at[:, i0 : i0 + chunk].add(contrib)
+            y = add_at(y, i0, contrib)
         return y
 
     y = seg(y, hist, modes.SHORT_MDCT_SIZE,

@@ -300,6 +300,7 @@ def execute_plan_numpy(slot: dict, lm: int) -> np.ndarray:
         mt = meta[bi]
         c_ = int(mt[3])
         spread = int(mt[13])
+        hyb = int(mt[4]) == 17  # hybrid: eff offsets are e[17]-relative
         lv = parse_leaves(arena, header[bi])
         iys = unpack_iy(lv)
         X = np.zeros((2, n_total), np.float64)
@@ -346,6 +347,18 @@ def execute_plan_numpy(slot: dict, lm: int) -> np.ndarray:
             imid = (w0 >> 8) & 0x7FFF
             stereo = bool(w0 & (1 << 23))
             eff = (w1 >> 16) & 0x7FF
+            if hyb:
+                if eff != 0x7FF:
+                    eff += int(e[17])
+                if i == 18:
+                    # special_hybrid_folding (bands.py:605), absolute form
+                    n1h = int(e[18] - e[17])
+                    n2h = int(e[19] - e[18])
+                    a0 = int(e[17]) + 2 * n1h - n2h
+                    b0, b1 = int(e[17]) + n1h, int(e[17]) + n2h
+                    norm[0, b0:b1] = norm[0, a0 : a0 + (b1 - b0)]
+                    if bool(int(band_w0[17]) & 0x20):  # dual at band 17
+                        norm[1, b0:b1] = norm[1, a0 : a0 + (b1 - b0)]
             if int_switch:
                 norm[0, :base] = 0.5 * (norm[0, :base] + norm[1, :base])
             # fold leaves of this band
@@ -893,9 +906,32 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, f_max: int = 64,
 
         norm = jnp.zeros((B, 2, norm_len), jnp.float32)
 
+        # Hybrid streams (start band 17): plane A emits eff fold offsets
+        # relative to ITS norm buffer (which starts at e[17]); the
+        # executor's norm is absolute, so hybrid streams shift eff by
+        # e[17].  Bands below 17 carry no records and stay zero, which
+        # also makes the absolute-prefix intensity averaging equivalent.
+        hyb = meta[:, 4] == 17
+        e17m = int(e[17])
+
         for i in range(NB):
             lo_, hi_ = int(e[i]), int(e[i + 1])
             nb_ = hi_ - lo_
+            if i == 18:
+                # special_hybrid_folding (bands.py:605): duplicate band
+                # 17's folding data so band 18 can fold; plane 1 only
+                # while dual stereo was still on at band 17.
+                n1h = int(e[18] - e[17])
+                n2h = int(e[19] - e[18])
+                a0 = e17m + 2 * n1h - n2h
+                b0, b1 = e17m + n1h, e17m + n2h
+                hmask = jnp.stack(
+                    [hyb, hyb & (dual_b[:, 17] == 1)], axis=1
+                )[:, :, None]
+                norm = norm.at[:, :, b0:b1].set(
+                    jnp.where(hmask, norm[:, :, a0 : a0 + (b1 - b0)],
+                              norm[:, :, b0:b1])
+                )
             cfg_masks = []
             for ci, (rec, td, lb) in enumerate(cfgs):
                 if (i, ci) not in t_und:
@@ -915,7 +951,9 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, f_max: int = 64,
 
             # fold sources: gather norm slice at eff, apply T_fwd
             has_fold = ftyp_v[:, :, lo_:hi_]
-            eff = jnp.clip(eff_field(i), 0, max(norm_len - nb_, 0))[:, None]
+            eff = jnp.clip(
+                eff_field(i) + jnp.where(hyb, e17m, 0), 0, max(norm_len - nb_, 0)
+            )[:, None]
             offs = jnp.arange(nb_)[None, :]
             nrm_flat = norm.reshape(B, 2 * norm_len)
             for npl in (0, 1):

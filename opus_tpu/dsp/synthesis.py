@@ -659,7 +659,7 @@ def make_serving_step(lm: int, batch: int, channels: int = 2, downsample: int = 
 def make_plan_serving_step(lm: int, batch: int, channels: int = 2,
                            downsample: int = 1, pf_chunk: int = _CHUNK,
                            pf_active: bool = True, arena_words: int = 0,
-                           with_plc: bool = False):
+                           with_plc: bool = False, silk_mix: bool = False):
     """Serving step over a plan-executor slot (opus_tpu/dsp/plan_exec.py).
 
     Same contract as make_serving_step, but the uploaded buffer holds
@@ -667,6 +667,12 @@ def make_plan_serving_step(lm: int, batch: int, channels: int = 2,
     variable-fill arena whose used prefix is bucketed by the caller)
     instead of a packed spectrum; the band spectra are rebuilt on device
     by the plan executor before the shared synthesis core runs.
+
+    silk_mix=True adds the mixed pipeline's SILK int16 PCM region between
+    the fixed regions and the arena (frontend.alloc_plan_slots
+    silk_words); the core mixes it after synthesis (decoder.rs:722-729).
+    Mixed losses need no device PLC: plane A conceals SILK exactly and
+    emits the CELT concealment as plan noise leaves.
 
     with_plc=True compiles the device pitch-regime loss concealment
     (opus_tpu/dsp/plc_exec.py) into the step: lost streams flagged in
@@ -683,15 +689,19 @@ def make_plan_serving_step(lm: int, batch: int, channels: int = 2,
     # Plan-v2 packed fixed regions (frontend.py _pack_plan_fixed contract):
     # header [B,3], ble Q9 pairs [B,21], dmeta [B,5], bands w0 [B,21],
     # bands eff bit-stream [B,8], then the arena tail.
+    n_ = (1 << lm) * modes.SHORT_MDCT_SIZE
+    assert not (silk_mix and downsample != 1), "mixed serving mixes at 48 kHz"
+    silk_words = (n_ * channels + 1) // 2 if silk_mix else 0
     o_hdr = 0
     o_ble = o_hdr + B * 3
     o_dmeta = o_ble + B * NBv
     o_bw0 = o_dmeta + B * 5
     o_beff = o_bw0 + B * NBv
-    o_arena = o_beff + B * 8
+    o_silk = o_beff + B * 8
+    o_arena = o_silk + B * silk_words
     executor = make_plan_executor(lm, batch)
     core = _make_serving_core(lm, batch, channels, downsample, pf_chunk,
-                              pf_active, False)
+                              pf_active, silk_mix)
 
     def unpack(buf):
         header = buf[o_hdr:o_ble].reshape(B, 3)
@@ -740,26 +750,37 @@ def make_plan_serving_step(lm: int, batch: int, channels: int = 2,
             axis=1,
         )
         bands = jnp.concatenate(
-            [buf[o_bw0:o_beff].reshape(B, NBv), buf[o_beff:o_arena].reshape(B, 8)],
+            [buf[o_bw0:o_beff].reshape(B, NBv), buf[o_beff:o_silk].reshape(B, 8)],
             axis=1,
         )
+        silk = None
+        if silk_mix:
+            silk = jax.lax.bitcast_convert_type(
+                buf[o_silk:o_arena].reshape(B, silk_words), jnp.int16
+            ).reshape(B, 2 * silk_words)[:, : n_ * channels].reshape(
+                B, n_, channels
+            )
         arena = buf[o_arena:]
-        return header, ble, meta, gains, bands, arena
+        return header, ble, meta, gains, bands, silk, arena
 
     if not with_plc:
         def step(state: SynthState, ring, buf):
-            header, ble, meta, gains, bands, arena = unpack(buf)
+            header, ble, meta, gains, bands, silk, arena = unpack(buf)
             xs = executor(header, bands, meta, arena)
-            return core(state, xs, ble, meta, gains, None)
+            return core(state, xs, ble, meta, gains, silk)
 
         return _maybe_checkify(step, donate=(0, 1))
 
     from .plc_exec import LPC_ORDER, make_plc_conceal
 
+    # The mixed (silk_mix) loop conceals everything in plane A — SILK
+    # exactly, CELT as plan noise leaves — so it never compiles this
+    # device pitch-regime variant.
+    assert not silk_mix, "with_plc is the CELT-only pipeline's variant"
     conceal = make_plc_conceal(lm, batch, channels)
 
     def step_plc(state: SynthState, ring, buf, plc_lpc, plc_pitch):
-        header, ble, meta, gains, bands, arena = unpack(buf)
+        header, ble, meta, gains, bands, _silk, arena = unpack(buf)
         xs = executor(header, bands, meta, arena)
         plc_mask = (meta[:, 14] & 1) == 1
         first = ((meta[:, 14] >> 1) & 1) == 1

@@ -1752,7 +1752,10 @@ static int decode_frame_ec(FrontEnd& st, RangeDec& dec, int frame_bytes, int fra
     if (!skip) std::memset(x_out, 0, (size_t)c_ * n * sizeof(float));
     float* y_ = c_ == 2 ? x_out + n : nullptr;
 
-    if (plan && (start != 0 || end != NB_E_BANDS)) return -3;  // plan: full-band only
+    // Plan emission handles start 0 (CELT) and 17 (hybrid high bands) at
+    // any end band; the executor's bands beyond `end` simply carry no
+    // records (opus_tpu/dsp/plan_exec.py).
+    if (plan && start != 0 && start != 17) return -3;
     st.rng = quant_all_bands_dec(start, end, x_out, y_, collapse_masks, alloc.pulses,
                                  short_blocks, spread_decision, alloc.dual_stereo,
                                  alloc.intensity, tf_res,
@@ -2318,6 +2321,76 @@ int celt_fe_decode_batch_plan(void** handles, const uint8_t* data, const int32_t
     for (int i = 0; i < n_packets; i++)
         sinks[i].pack(arena + header[i * 4 + 0]);
     return n_packets;
+}
+
+// --- plan-sink pool helpers for the mixed-mode plan path -------------------
+// opus_frontend.cpp drives per-stream plan emission behind the shared
+// range decoder (SILK first, then the CELT plan), reusing this TU's
+// static sink pool: prepare -> per-stream decode/clear -> headers -> pack.
+
+void celt_fe_plan_prepare(int n) { plan_sinks(n); }
+
+// Zero-leaf plan (SILK-only streams): identity band configs, no records.
+void celt_fe_plan_clear(int sink_idx) {
+    plan_sinks(sink_idx + 1)[sink_idx].reset(nullptr, nullptr);
+}
+
+int celt_fe_decode_ec_plan(void* h, void* ec, int frame_bytes, int frame_size48,
+                           int stream_channels, int sink_idx, float* ble_out,
+                           int32_t* meta, double* pf_gains) {
+    PlanSink& sink = plan_sinks(sink_idx + 1)[sink_idx];
+    static thread_local std::vector<float> scratch(2 * 960);
+    int rc = decode_frame_ec(*(FrontEnd*)h, *(opusfe::RangeDec*)ec, frame_bytes,
+                             frame_size48, stream_channels, scratch.data(),
+                             ble_out, meta, pf_gains, &sink, /*plan_skip=*/true);
+    if (rc == 0 && sink.overflow) rc = -30;  // caller falls back to p10
+    return rc;
+}
+
+// Noise-regime loss concealment as a plan (the mixed path's conceal
+// semantics — see opus_fe_decode; hybrid is always noise-based).
+int celt_fe_plan_lost(void* h, int frame_size48, int sink_idx, float* ble_out,
+                      int32_t* meta, double* pf_gains) {
+    PlanSink& sink = plan_sinks(sink_idx + 1)[sink_idx];
+    static thread_local std::vector<float> scratch(2 * 960);
+    int rc = decode_lost_noise(*(FrontEnd*)h, frame_size48, scratch.data(),
+                               ble_out, meta, pf_gains, &sink);
+    if (rc == 0 && sink.overflow) rc = -30;
+    return rc;
+}
+
+// Serial prefix over per-stream arena sizes -> 4-word headers; returns
+// the total arena words (or -1 if it exceeds capacity).
+int64_t celt_fe_plan_headers(int n, int32_t* header, int64_t arena_words) {
+    auto& sinks = plan_sinks(n);
+    int64_t total = 0;
+    for (int i = 0; i < n; i++) {
+        PlanSink& sink = sinks[i];
+        int np = (int)sink.pvq.size();
+        int nf = (int)sink.fills.size();
+        int na = (int)sink.acents.size() / 2;
+        header[i * 4 + 0] = (int32_t)total;
+        header[i * 4 + 1] = np | (nf << 9) | (na << 18);
+        header[i * 4 + 2] = na;
+        header[i * 4 + 3] = sink.iy_rel_words();
+        total += sink.arena_words();
+    }
+    return total > arena_words ? -1 : total;
+}
+
+void celt_fe_plan_pack(int n, int32_t* arena, const int32_t* header) {
+    auto& sinks = plan_sinks(n);
+#pragma omp parallel for schedule(dynamic, 8)
+    for (int i = 0; i < n; i++) sinks[i].pack(arena + header[i * 4 + 0]);
+}
+
+// Per-stream band words (w0 + staging w1) after a plan decode.
+void celt_fe_plan_bands(int sink_idx, int32_t* bands_out) {
+    PlanSink& sink = plan_sinks(sink_idx + 1)[sink_idx];
+    for (int j = 0; j < NB_E_BANDS; j++) {
+        bands_out[j * 2] = (int32_t)sink.bands_w0[j];
+        bands_out[j * 2 + 1] = (int32_t)sink.bands_w1[j];
+    }
 }
 
 // Q14 int16 output variant: halves the host->device transfer for the

@@ -323,87 +323,10 @@ class NativeBatchFrontEnd:
     PLAN_FIXED_WORDS = 3 + 21 + 5 + 29
 
     def alloc_plan_slots(self, n_slots: int = 4, arena_words_per_stream: int = 512) -> list:
-        """Plan-executor serving slots (opus_tpu/dsp/plan_exec.py contract).
-
-        One contiguous int32 buffer per slot holds the UPLOADED form:
-        packed fixed regions (header [B,3], ble Q9 [B,21], dmeta [B,5],
-        bands [B,21]+[B,8]) then a shared variable-fill arena as the TAIL
-        so only the used prefix ships (`used_words` after each decode).
-        Full-precision staging arrays (header4/ble/meta/gains/bands) stay
-        host-side for pf_chunk_for() and the numpy oracle — they are NOT
-        uploaded."""
-        B = self.batch
-        fixed = B * self.PLAN_FIXED_WORDS
-        aw = B * arena_words_per_stream
-        slots = []
-        for _ in range(n_slots):
-            buf = np.zeros(fixed + aw, np.int32)
-            o = 0
-            hdr_p = buf[o : o + B * 3].reshape(B, 3); o += B * 3
-            ble_p = buf[o : o + B * 21].reshape(B, self.NB); o += B * 21
-            dmeta = buf[o : o + B * 5].reshape(B, 5); o += B * 5
-            bw0_p = buf[o : o + B * 21].reshape(B, self.NB); o += B * 21
-            beff_p = buf[o : o + B * 8].reshape(B, 8); o += B * 8
-            slots.append(dict(
-                buf=buf, mode="plan", fixed_words=fixed,
-                hdr_p=hdr_p, ble_p=ble_p, dmeta=dmeta, bw0_p=bw0_p,
-                beff_p=beff_p, arena=buf[o:],
-                # host staging (not uploaded)
-                header=np.zeros((B, 4), np.int32),
-                ble=np.zeros((B, 2, self.NB), np.float32),
-                meta=np.zeros((B, 16), np.int32),
-                gains=np.zeros((B, 3), np.float32),
-                bands=np.zeros((B, self.NB, 2), np.int32),
-                used_words=0,
-            ))
-        return slots
+        return alloc_plan_slots(self.batch, n_slots, arena_words_per_stream)
 
     def _pack_plan_fixed(self, slot: dict) -> None:
-        """Assemble the uploaded fixed regions from the staging arrays
-        (vectorised numpy; [B]-sized work only)."""
-        B = self.batch
-        hdr4 = slot["header"]
-        slot["hdr_p"][:, 0] = hdr4[:, 0]
-        slot["hdr_p"][:, 1] = hdr4[:, 1]
-        slot["hdr_p"][:, 2] = hdr4[:, 3]
-        # ble: Q9 int16 pairs (step 1/512 in log2 — -63 dB energy class).
-        q = np.clip(np.rint(slot["ble"] * 512.0), -32768, 32767).astype(np.int32)
-        slot["ble_p"][:] = (q[:, 0] & 0xFFFF) | (q[:, 1] << 16)
-        # dmeta (contract mirrored in dsp/synthesis.py plan unpack):
-        # d0: sil|short<<1|mono<<2|hybrid<<3|plc<<4|plc1<<5|spread[6:8]
-        #     |eff_end[8:13]|ts0[13:15]|ts1[15:17]|ts2[17:19]|period2[19:30]
-        # d1: period0[0:11] | period1[11:22]
-        # d2: gain0_f16 | gain1_f16<<16;  d3: gain2_f16;  d4: plc params
-        meta = slot["meta"]
-        g16 = slot["gains"].astype(np.float16).view(np.uint16).astype(np.int64)
-        d = slot["dmeta"]
-        d[:, 0] = (
-            (meta[:, 0] & 1) | ((meta[:, 1] & 1) << 1)
-            | ((meta[:, 3] == 1).astype(np.int32) << 2)
-            | ((meta[:, 4] == 17).astype(np.int32) << 3)
-            | ((meta[:, 14] & 1) << 4) | (((meta[:, 14] >> 1) & 1) << 5)
-            | ((meta[:, 13] & 3) << 6) | ((meta[:, 5] & 0x1F) << 8)
-            | ((meta[:, 9] & 3) << 13) | ((meta[:, 10] & 3) << 15)
-            | ((meta[:, 11] & 3) << 17)
-            | (np.clip(meta[:, 8], 0, 0x7FF) << 19)
-        )
-        d[:, 1] = np.clip(meta[:, 6], 0, 0x7FF) | (np.clip(meta[:, 7], 0, 0x7FF) << 11)
-        d[:, 2] = (g16[:, 0] | (g16[:, 1] << 16)).astype(np.int64).astype(np.uint32).view(np.int32)
-        d[:, 3] = g16[:, 2].astype(np.int32)
-        d[:, 4] = meta[:, 15]
-        # bands: w0 verbatim; eff fields as a 21x11-bit little-endian
-        # stream in 8 words.
-        braw = slot["bands"]
-        slot["bw0_p"][:] = braw[:, :, 0]
-        eff = ((braw[:, :, 1] >> 16) & 0x7FF).astype(np.uint64)
-        out = np.zeros((B, 8), np.uint64)
-        for j in range(self.NB):
-            bitpos = 11 * j
-            w, s = bitpos >> 5, bitpos & 31
-            out[:, w] |= (eff[:, j] << s) & 0xFFFFFFFF
-            if s + 11 > 32:
-                out[:, w + 1] |= eff[:, j] >> (32 - s)
-        slot["beff_p"][:] = out.astype(np.uint32).view(np.int32)
+        pack_plan_fixed(slot)
 
     def decode_batch_plan_into(self, packets: list, frame_size: int, slot: dict,
                                stream_channels=None, want_xdbg: bool = False):
@@ -725,3 +648,107 @@ class NativeSilkBatch:
         if rc != self.batch:
             raise ValueError(f"native silk batch failed at {-rc - 1}")
         return xq, rngs
+
+
+# ---------------------------------------------------------------------------
+# Plan-slot buffers (shared by the CELT-only and mixed-mode pipelines).
+# ---------------------------------------------------------------------------
+
+#: Plan-v2 uploaded fixed-region words per stream (see
+#: NativeBatchFrontEnd.PLAN_FIXED_WORDS).
+PLAN_FIXED_WORDS = 3 + 21 + 5 + 29
+_NB = 21
+
+
+def alloc_plan_slots(batch: int, n_slots: int = 4,
+                     arena_words_per_stream: int = 512,
+                     silk_words: int = 0) -> list:
+    """Plan-executor serving slots (opus_tpu/dsp/plan_exec.py contract).
+
+    One contiguous int32 buffer per slot holds the UPLOADED form: packed
+    fixed regions (header [B,3], ble Q9 [B,21], dmeta [B,5], bands
+    [B,21]+[B,8]), an optional SILK int16 PCM region (the mixed
+    pipeline's device-side mix input; silk_words int32 words/stream),
+    then a shared variable-fill arena as the TAIL so only the used
+    prefix ships (`used_words` after each decode).  Full-precision
+    staging arrays (header4/ble/meta/gains/bands) stay host-side for
+    pf_chunk_for() and the numpy oracle — they are NOT uploaded."""
+    B = batch
+    fixed = B * (PLAN_FIXED_WORDS + silk_words)
+    aw = B * arena_words_per_stream
+    slots = []
+    for _ in range(n_slots):
+        buf = np.zeros(fixed + aw, np.int32)
+        o = 0
+        hdr_p = buf[o : o + B * 3].reshape(B, 3); o += B * 3
+        ble_p = buf[o : o + B * 21].reshape(B, _NB); o += B * 21
+        dmeta = buf[o : o + B * 5].reshape(B, 5); o += B * 5
+        bw0_p = buf[o : o + B * 21].reshape(B, _NB); o += B * 21
+        beff_p = buf[o : o + B * 8].reshape(B, 8); o += B * 8
+        silk = None
+        if silk_words:
+            silk = buf[o : o + B * silk_words].view(np.int16).reshape(
+                B, 2 * silk_words
+            )
+            o += B * silk_words
+        slots.append(dict(
+            buf=buf, mode="plan", fixed_words=fixed,
+            hdr_p=hdr_p, ble_p=ble_p, dmeta=dmeta, bw0_p=bw0_p,
+            beff_p=beff_p, silk=silk, arena=buf[o:],
+            # host staging (not uploaded)
+            header=np.zeros((B, 4), np.int32),
+            ble=np.zeros((B, 2, _NB), np.float32),
+            meta=np.zeros((B, 16), np.int32),
+            gains=np.zeros((B, 3), np.float32),
+            bands=np.zeros((B, _NB, 2), np.int32),
+            used_words=0,
+        ))
+    return slots
+
+
+def pack_plan_fixed(slot: dict) -> None:
+    """Assemble the uploaded fixed regions from the staging arrays
+    (vectorised numpy; [B]-sized work only)."""
+    hdr4 = slot["header"]
+    B = hdr4.shape[0]
+    slot["hdr_p"][:, 0] = hdr4[:, 0]
+    slot["hdr_p"][:, 1] = hdr4[:, 1]
+    slot["hdr_p"][:, 2] = hdr4[:, 3]
+    # ble: Q9 int16 pairs (step 1/512 in log2 — -63 dB energy class).
+    q = np.clip(np.rint(slot["ble"] * 512.0), -32768, 32767).astype(np.int32)
+    slot["ble_p"][:] = (q[:, 0] & 0xFFFF) | (q[:, 1] << 16)
+    # dmeta (contract mirrored in dsp/synthesis.py plan unpack):
+    # d0: sil|short<<1|mono<<2|hybrid<<3|plc<<4|plc1<<5|spread[6:8]
+    #     |eff_end[8:13]|ts0[13:15]|ts1[15:17]|ts2[17:19]|period2[19:30]
+    # d1: period0[0:11] | period1[11:22]
+    # d2: gain0_f16 | gain1_f16<<16;  d3: gain2_f16;  d4: plc params
+    meta = slot["meta"]
+    g16 = slot["gains"].astype(np.float16).view(np.uint16).astype(np.int64)
+    d = slot["dmeta"]
+    d[:, 0] = (
+        (meta[:, 0] & 1) | ((meta[:, 1] & 1) << 1)
+        | ((meta[:, 3] == 1).astype(np.int32) << 2)
+        | ((meta[:, 4] == 17).astype(np.int32) << 3)
+        | ((meta[:, 14] & 1) << 4) | (((meta[:, 14] >> 1) & 1) << 5)
+        | ((meta[:, 13] & 3) << 6) | ((meta[:, 5] & 0x1F) << 8)
+        | ((meta[:, 9] & 3) << 13) | ((meta[:, 10] & 3) << 15)
+        | ((meta[:, 11] & 3) << 17)
+        | (np.clip(meta[:, 8], 0, 0x7FF) << 19)
+    )
+    d[:, 1] = np.clip(meta[:, 6], 0, 0x7FF) | (np.clip(meta[:, 7], 0, 0x7FF) << 11)
+    d[:, 2] = (g16[:, 0] | (g16[:, 1] << 16)).astype(np.int64).astype(np.uint32).view(np.int32)
+    d[:, 3] = g16[:, 2].astype(np.int32)
+    d[:, 4] = meta[:, 15]
+    # bands: w0 verbatim; eff fields as a 21x11-bit little-endian
+    # stream in 8 words.
+    braw = slot["bands"]
+    slot["bw0_p"][:] = braw[:, :, 0]
+    eff = ((braw[:, :, 1] >> 16) & 0x7FF).astype(np.uint64)
+    out = np.zeros((B, 8), np.uint64)
+    for j in range(_NB):
+        bitpos = 11 * j
+        w, s = bitpos >> 5, bitpos & 31
+        out[:, w] |= (eff[:, j] << s) & 0xFFFFFFFF
+        if s + 11 > 32:
+            out[:, w + 1] |= eff[:, j] >> (32 - s)
+    slot["beff_p"][:] = out.astype(np.uint32).view(np.int32)

@@ -31,6 +31,17 @@ int celt_fe_decode_ec(void* h, void* ec, int frame_bytes, int frame_size48,
                       int32_t* meta, double* pf_gains);
 int celt_fe_decode_lost(void* h, int frame_size48, float* x_out,
                         float* band_log_e_out, int32_t* meta, double* pf_gains);
+// plan-sink pool (celt_frontend.cpp; the mixed plan serving path)
+void celt_fe_plan_prepare(int n);
+void celt_fe_plan_clear(int sink_idx);
+int celt_fe_decode_ec_plan(void* h, void* ec, int frame_bytes, int frame_size48,
+                           int stream_channels, int sink_idx, float* ble_out,
+                           int32_t* meta, double* pf_gains);
+int celt_fe_plan_lost(void* h, int frame_size48, int sink_idx, float* ble_out,
+                      int32_t* meta, double* pf_gains);
+int64_t celt_fe_plan_headers(int n, int32_t* header, int64_t arena_words);
+void celt_fe_plan_pack(int n, int32_t* arena, const int32_t* header);
+void celt_fe_plan_bands(int sink_idx, int32_t* bands_out);
 // silk_frontend.cpp
 void* silk_dec_create();
 void silk_dec_destroy(void* h);
@@ -257,6 +268,123 @@ int opus_fe_decode_batch_packed(void** handles, const uint8_t* data, const int32
         }
     }
     return bad ? -bad : n;
+}
+
+// Plan-mode batch entry for the mixed single-upload serving loop: the
+// CELT contribution of CELT/hybrid streams ships as a plan (pulse
+// vectors + band plan, spectra rebuilt on device by the executor —
+// opus_tpu/dsp/plan_exec.py, now start/end aware), SILK PCM as int16 at
+// 48 kHz; SILK-only streams carry a zero-leaf plan.  Losses conceal in
+// plane A (exact SILK PLC + noise-regime CELT, as opus_fe_decode).
+// Returns n, -(i+1) on stream i failing (rc in rcs[i]; -30 = plan
+// overflow -> caller falls back to the packed path), or -(n+1) if the
+// shared arena is exhausted.
+int opus_fe_decode_batch_plan(void** handles, const uint8_t* data, const int32_t* lens,
+                              int n, const int32_t* modes, const int32_t* bws,
+                              int frame48, const int32_t* schs,
+                              int32_t* header, float* ble_out, int32_t* meta_out,
+                              float* gains_out, int32_t* bands_out,
+                              int32_t* arena, int64_t arena_words, int64_t* used_words_out,
+                              int16_t* silk48_out, int64_t silk_stride,
+                              uint32_t* ranges, int32_t* rcs) {
+    std::vector<int64_t> offs(n + 1, 0);
+    for (int i = 0; i < n; i++) offs[i + 1] = offs[i] + lens[i];
+    celt_fe_plan_prepare(n);
+    int bad = 0;
+#pragma omp parallel for schedule(dynamic, 8)
+    for (int i = 0; i < n; i++) {
+        OpusFE* st = (OpusFE*)handles[i];
+        int cc = st->channels;
+        float* ble = ble_out + i * 2 * 21;
+        int32_t* meta = meta_out + i * 16;
+        float* gains = gains_out + i * 3;
+        int16_t* silk48 = silk48_out + (int64_t)i * silk_stride;
+        double g[3] = {0.0, 0.0, 0.0};
+        int rc = 0;
+        int mode = modes[i];
+        if (lens[i] == 0) {
+            // Loss: conceal from the previous mode's state.
+            ranges[i] = 0;
+            int pm = st->prev_mode;
+            if (pm != MODE_CELT)
+                std::memset(silk48, 0, (size_t)frame48 * cc * sizeof(int16_t));
+            if (pm >= 0 && pm != MODE_CELT) {
+                int khz = pm == MODE_HYBRID
+                              ? 16
+                              : (st->last_bw == 0 ? 8 : st->last_bw == 1 ? 12 : 16);
+                rc = silk_dec_conceal(st->silk, khz, frame48 / 48, st->last_sch, cc,
+                                      48000, silk48);
+            } else if (pm == MODE_CELT) {
+                std::memset(silk48, 0, (size_t)frame48 * cc * sizeof(int16_t));
+            }
+            if (rc == 0 && pm > MODE_SILK) {
+                rc = celt_fe_plan_lost(st->celt, frame48, i, ble, meta, g);
+            } else {
+                std::memset(ble, 0, 2 * 21 * sizeof(float));
+                silent_celt_meta(frame48, st->last_sch, meta, gains);
+                celt_fe_plan_clear(i);
+            }
+        } else if (lens[i] < 1 || lens[i] > 1275 || bws[i] < 0 || bws[i] > 4) {
+            rc = -1;
+        } else if (st->prev_mode >= 0 && mode != st->prev_mode) {
+            rc = -10;
+        } else {
+            st->prev_mode = mode;
+            st->last_bw = bws[i];
+            st->last_sch = schs[i];
+            opusfe::RangeDec dec;
+            dec.init(data + offs[i], lens[i]);
+            if (mode != MODE_CELT) {
+                int khz = mode == MODE_HYBRID
+                              ? 16
+                              : (bws[i] == 0 ? 8 : bws[i] == 1 ? 12 : 16);
+                int ms = frame48 / 48;
+                if (ms != 10 && ms != 20) rc = -3;  // serve path: <=20 ms
+                if (rc == 0)
+                    rc = silk_dec_run(st->silk, &dec, khz, ms, schs[i], cc, 48000,
+                                      silk48);
+                if (rc == 0) {
+                    if (mode == MODE_HYBRID) {
+                        if (dec.tell() + 17 + 20 <= 8 * lens[i] &&
+                            dec.decode_bit_logp(12))
+                            rc = -11;
+                    } else if (dec.tell() + 17 <= 8 * lens[i]) {
+                        rc = -12;
+                    }
+                }
+            } else {
+                std::memset(silk48, 0, (size_t)frame48 * cc * sizeof(int16_t));
+            }
+            if (rc == 0 && mode != MODE_SILK) {
+                celt_fe_config(st->celt, mode == MODE_HYBRID ? 17 : 0,
+                               CELT_END_BAND[bws[i]], -1);
+                rc = celt_fe_decode_ec_plan(st->celt, &dec, lens[i], frame48,
+                                            schs[i], i, ble, meta, g);
+            } else if (rc == 0) {
+                std::memset(ble, 0, 2 * 21 * sizeof(float));
+                silent_celt_meta(frame48, schs[i], meta, gains);
+                celt_fe_plan_clear(i);
+            }
+            if (rc == 0) ranges[i] = dec.rng;
+        }
+        if (rc == 0) {
+            for (int j = 0; j < 3; j++) gains[j] = (float)g[j];
+            if (mode == MODE_SILK && lens[i] != 0)
+                gains[0] = gains[1] = gains[2] = 0.0f;
+            celt_fe_plan_bands(i, bands_out + i * 21 * 2);
+        }
+        rcs[i] = rc;
+        if (rc != 0) {
+#pragma omp critical
+            bad = i + 1;
+        }
+    }
+    if (bad) return -bad;
+    int64_t total = celt_fe_plan_headers(n, header, arena_words);
+    if (total < 0) return -(n + 1);
+    *used_words_out = total;
+    celt_fe_plan_pack(n, arena, header);
+    return n;
 }
 
 // Batch entry: one call decodes every stream (OpenMP across streams).

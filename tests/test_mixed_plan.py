@@ -1,0 +1,176 @@
+"""Plan-mode mixed serving (BatchedOpusDecoder transfer="plan").
+
+The CELT contribution of CELT/hybrid streams ships as a plan (pulse
+vectors + band plan) and the device executor rebuilds the spectra —
+now start/end aware: hybrid streams run start=17 with e[17]-relative
+fold offsets and the special band-18 folding duplication
+(bands.py:605), and narrow/wide-band CELT streams (end < 21) emit
+plans too.  SILK PCM ships exactly (int16); losses are concealed in
+plane A (exact SILK PLC + CELT noise leaves IN the plan), so the plan
+step needs no device-side PLC variant.
+
+Oracle: the scalar opus_tpu.Decoder (loss-tested sample-exactly vs
+libopus).  Reference anchor for the mode mux contract:
+/root/reference/src/decoder.rs:603-729.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from opus_tpu import Decoder, oracle
+
+jax = pytest.importorskip("jax")
+
+F = 960
+
+
+def _content(nf: int):
+    rng = np.random.default_rng(5)
+    t = np.arange(F * nf) / 48000
+    ph = np.cumsum(2 * np.pi * (130 + 25 * np.sin(2 * np.pi * 2.5 * t)) / 48000.0)
+    voice = (0.35 * np.sign(np.sin(ph)) + 0.02 * rng.standard_normal(t.size)).astype(np.float32)
+    music = (0.4 * np.sin(2 * np.pi * 440 * t) + 0.2 * np.sin(2 * np.pi * 1763 * t)
+             + 0.05 * rng.standard_normal(t.size)).astype(np.float32)
+    return voice, music
+
+
+def _encoders(celt_kbps=96, hybrid_kbps=64, celt_bw=None):
+    e = {}
+    e["celt"] = oracle.Encoder(48000, 2)
+    e["celt"].ctl(oracle.SET_FORCE_MODE, oracle.MODE_CELT_ONLY)
+    e["celt"].ctl(oracle.SET_BITRATE, celt_kbps * 1000)
+    if celt_bw:
+        e["celt"].ctl(oracle.SET_MAX_BANDWIDTH, celt_bw)
+    e["silk"] = oracle.Encoder(48000, 1)
+    e["silk"].ctl(oracle.SET_FORCE_MODE, oracle.MODE_SILK_ONLY)
+    e["silk"].ctl(oracle.SET_BITRATE, 24000)
+    e["silk"].ctl(oracle.SET_MAX_BANDWIDTH, 1103)
+    e["hybrid"] = oracle.Encoder(48000, 2)
+    e["hybrid"].ctl(oracle.SET_FORCE_MODE, oracle.MODE_HYBRID)
+    e["hybrid"].ctl(oracle.SET_BITRATE, hybrid_kbps * 1000)
+    return e
+
+
+def _run(kinds, lost=frozenset(), nf=8, tol=1e-3, **enc_kw):
+    from opus_tpu.batch.opus_pipeline import BatchedOpusDecoder
+
+    voice, music = _content(nf)
+    v2 = np.stack([voice, np.roll(voice, 13) * 0.7], -1).astype(np.float32)
+    m2 = np.stack([music, np.roll(music, 7) * 0.8], -1).astype(np.float32)
+    encs = _encoders(**enc_kw)
+    pks = {"celt": [], "silk": [], "hybrid": []}
+    for f in range(nf):
+        pks["celt"].append(encs["celt"].encode_float(
+            np.ascontiguousarray(m2[f * F : (f + 1) * F]).ravel(), F))
+        pks["silk"].append(encs["silk"].encode_float(voice[f * F : (f + 1) * F], F))
+        pks["hybrid"].append(encs["hybrid"].encode_float(
+            np.ascontiguousarray(v2[f * F : (f + 1) * F]).ravel(), F))
+    B = len(kinds)
+    steps = [[None if (f, b) in lost else pks[kinds[b]][f] for b in range(B)]
+             for f in range(nf)]
+
+    refs = []
+    for b in range(B):
+        d = Decoder()
+        refs.append(np.stack([np.asarray(d.decode_float(steps[f][b], F)).reshape(F, 2)
+                              for f in range(nf)]))
+
+    dec = BatchedOpusDecoder(B, 2, transfer="plan")
+    for f in range(nf):  # per-step serve: every frame's PCM is compared
+        dec.serve([steps[f]])
+        got = np.asarray(dec._serve_ring)
+        for b in range(B):
+            err = float(np.abs(got[b] - refs[b][f]).max())
+            assert err < tol, (f, b, kinds[b], err)
+    return dec
+
+
+def test_mixed_plan_serve_with_losses():
+    # Parity losses hit SILK and hybrid streams, where plane-A
+    # concealment matches the scalar decoder exactly; CELT-only losses
+    # in a MIXED batch use noise-regime concealment while the scalar
+    # path may run the pitch regime (docs/KNOWN_GAPS.md), so they get a
+    # recovery test instead (below).
+    _run(["celt", "silk", "hybrid"] * 2,
+         lost={(2, 1), (3, 1), (5, 4), (6, 2)})
+
+
+def test_mixed_plan_celt_loss_matches_packed():
+    """A lost CELT packet in the mixed batch conceals with the noise
+    regime on BOTH mixed transfer modes (the scalar decoder may run the
+    pitch regime instead — docs/KNOWN_GAPS.md — and its rng trajectory
+    then differs forever), so the packed mixed path is the oracle: the
+    plan path must track it within the transfer-precision class."""
+    from opus_tpu.batch.opus_pipeline import BatchedOpusDecoder
+
+    nf = 8
+    voice, music = _content(nf)
+    m2 = np.stack([music, np.roll(music, 7) * 0.8], -1).astype(np.float32)
+    encs = _encoders()
+    pkts = [encs["celt"].encode_float(
+        np.ascontiguousarray(m2[f * F : (f + 1) * F]).ravel(), F) for f in range(nf)]
+    steps = [[None if (f, b) == (3, 0) else pkts[f] for b in range(2)] for f in range(nf)]
+
+    ref_dec = BatchedOpusDecoder(2, 2, transfer="p10")
+    plan_dec = BatchedOpusDecoder(2, 2, transfer="plan")
+    for f in range(nf):
+        ref_dec.serve([steps[f]])
+        plan_dec.serve([steps[f]])
+        want = np.asarray(ref_dec._serve_ring)
+        got = np.asarray(plan_dec._serve_ring)
+        err = float(np.abs(got - want).max())
+        assert err < 5e-3, (f, err)
+
+
+def test_mixed_plan_low_rate_hybrid_folding():
+    # 32 kbps hybrid folds heavily in the high bands: drives the
+    # e[17]-relative eff offsets and the special band-18 folding copy.
+    _run(["hybrid"] * 4, hybrid_kbps=32, tol=2e-3)
+
+
+def test_mixed_plan_narrowband_celt():
+    # CELT streams below fullband (end < 21) now emit plans too.
+    _run(["celt", "celt", "silk"], celt_kbps=48, celt_bw=1103, tol=2e-3)
+
+
+def test_mixed_plan_overflow_falls_back_per_step():
+    from opus_tpu.batch.opus_pipeline import BatchedOpusDecoder
+
+    nf = 6
+    kinds = ["celt", "silk", "hybrid"]
+    voice, music = _content(nf)
+    v2 = np.stack([voice, np.roll(voice, 13) * 0.7], -1).astype(np.float32)
+    m2 = np.stack([music, np.roll(music, 7) * 0.8], -1).astype(np.float32)
+    encs = _encoders()
+    steps = []
+    for f in range(nf):
+        steps.append([
+            encs["celt"].encode_float(np.ascontiguousarray(m2[f * F : (f + 1) * F]).ravel(), F),
+            encs["silk"].encode_float(voice[f * F : (f + 1) * F], F),
+            encs["hybrid"].encode_float(np.ascontiguousarray(v2[f * F : (f + 1) * F]).ravel(), F),
+        ])
+    refs = []
+    for b in range(3):
+        d = Decoder()
+        refs.append(np.stack([np.asarray(d.decode_float(steps[f][b], F)).reshape(F, 2)
+                              for f in range(nf)]))
+
+    dec = BatchedOpusDecoder(3, 2, transfer="plan")
+    orig = dec._plane_a_plan
+    calls = {"n": 0}
+
+    def patched(packets, slot):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise OverflowError("synthetic plan overflow")
+        return orig(packets, slot)
+
+    dec._plane_a_plan = patched
+    dec.serve(steps)
+    assert calls["n"] == nf
+    got = np.asarray(dec._serve_ring)
+    for b in range(3):
+        err = float(np.abs(got[b] - refs[b][-1]).max())
+        assert err < 2e-3, (b, err)
