@@ -361,36 +361,46 @@ def main() -> None:
         pass
 
     # --- device-plane scaling (throughput-bound regime) ---------------------
+    # The 8/17 batch sweep (DEVICE_PROFILE.md) found the throughput
+    # optimum at B=4096 (8192 halves it: HBM working set); measure both.
+    device_rate_4k = 0.0
     device_rate_8k = 0.0
     try:
-        if _left() < 90:
-            raise TimeoutError("budget spent; skipping 8192-stream section")
         from opus_tpu.dsp.synthesis import make_serving_step, packed_offsets
 
-        B8 = 8192
-        reps = B8 // BATCH
         off1 = packed_offsets(BATCH, "p10")
-        off8 = packed_offsets(B8, "p10")
         b1 = slots[0]["buf"]
-        buf8 = np.empty(off8["end"], np.int32)
-        for reg, nxt in (("xq", "ble"), ("ble", "meta"), ("meta", "gains"), ("gains", "end")):
-            w = off1[nxt] - off1[reg]
-            buf8[off8[reg] : off8[reg] + reps * w] = np.tile(b1[off1[reg] : off1[nxt]], reps)
-        step8 = make_serving_step(lm, B8, 2, 1, pf_chunk=pf_chunk, pf_active=pf_active,
-                                  transfer="p10")
-        jb8 = jnp.asarray(buf8)
-        st8 = init_state(B8, 2)
-        rg8 = jnp.zeros((B8, FRAME, 2), jnp.float32)
-        st8, rg8, d8 = step8(st8, rg8, jb8)
-        _ = np.asarray(d8)
-        best = float("inf")
-        for _ in range(3):
-            t1 = time.perf_counter()
-            for _ in range(10):
-                st8, rg8, d8 = step8(st8, rg8, jb8)
-            _ = np.asarray(d8)
-            best = min(best, time.perf_counter() - t1)
-        device_rate_8k = 10 * B8 * 0.02 / best
+        for Bx in (4096, 8192):
+            if _left() < 90:
+                raise TimeoutError("budget spent; skipping scaling section")
+            reps = Bx // BATCH
+            offx = packed_offsets(Bx, "p10")
+            bufx = np.empty(offx["end"], np.int32)
+            for reg, nxt in (("xq", "ble"), ("ble", "meta"), ("meta", "gains"),
+                             ("gains", "end")):
+                w = off1[nxt] - off1[reg]
+                bufx[offx[reg] : offx[reg] + reps * w] = np.tile(
+                    b1[off1[reg] : off1[nxt]], reps)
+            stepx = make_serving_step(lm, Bx, 2, 1, pf_chunk=pf_chunk,
+                                      pf_active=pf_active, transfer="p10")
+            jbx = jnp.asarray(bufx)
+            stx = init_state(Bx, 2)
+            rgx = jnp.zeros((Bx, FRAME, 2), jnp.float32)
+            stx, rgx, dx = stepx(stx, rgx, jbx)
+            _ = np.asarray(dx)
+            best = float("inf")
+            for _ in range(3):
+                t1 = time.perf_counter()
+                for _ in range(10):
+                    stx, rgx, dx = stepx(stx, rgx, jbx)
+                _ = np.asarray(dx)
+                best = min(best, time.perf_counter() - t1)
+            rate = 10 * Bx * 0.02 / best
+            if Bx == 4096:
+                device_rate_4k = rate
+            else:
+                device_rate_8k = rate
+            del stepx, jbx, stx, rgx
     except Exception:
         pass
 
@@ -402,6 +412,7 @@ def main() -> None:
         "vs_baseline": round(e2e_rate / 5000.0, 3),
         "mixed_celt_silk_hybrid_audio_sec_per_sec": round(mixed_rate, 1),
         "device_plane_audio_sec_per_sec": round(device_rate, 1),
+        "device_plane_4096_streams_audio_sec_per_sec": round(device_rate_4k, 1),
         "device_plane_8192_streams_audio_sec_per_sec": round(device_rate_8k, 1),
         "p50_step_ms": round(p50 * 1e3, 3),
         "host_plane_native_audio_sec_per_sec_per_core": round(host_rate, 1),

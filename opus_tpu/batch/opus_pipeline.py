@@ -449,7 +449,7 @@ class BatchedOpusDecoder:
                             free.put(held)
                         break
                     slot, pf_chunk, pf_active = item
-                    buf = jnp.asarray(slot["buf"])
+                    buf = jnp.array(slot["buf"], copy=True)
                     if held is not None:
                         free.put(held)
                     held = slot
@@ -542,12 +542,13 @@ class BatchedOpusDecoder:
                         step = self._mixed_plan_serving_step(
                             lm, pf_chunk, pf_active, bucket
                         )
-                        buf = jnp.asarray(
-                            slot["buf"][: slot["fixed_words"] + B * bucket]
+                        buf = jnp.array(
+                            slot["buf"][: slot["fixed_words"] + B * bucket],
+                            copy=True,
                         )
                     else:
                         step = self._mixed_serving_step(lm, pf_chunk, pf_active)
-                        buf = jnp.asarray(slot["buf"])
+                        buf = jnp.array(slot["buf"], copy=True)
                     if held is not None:
                         release(held)
                     held = slot

@@ -264,9 +264,9 @@ class BatchedCeltDecoder:
                         # p10 fallback step (arena overflow on this frame):
                         # SynthState is shared between the two step kinds,
                         # so a spectral step mid-stream keeps continuity.
-                        buf = jnp.asarray(slot["buf"])
+                        buf = jnp.array(slot["buf"], copy=True)
                     else:
-                        buf = jnp.asarray(slot["buf"][: slot["fixed_words"] + B * bucket])
+                        buf = jnp.array(slot["buf"][: slot["fixed_words"] + B * bucket], copy=True)
                     if held is not None:
                         release(held)
                     held = slot
@@ -386,7 +386,7 @@ class BatchedCeltDecoder:
                             free.put(held)
                         break
                     slot, lm, pf_chunk, pf_active = item
-                    buf = jnp.asarray(slot["buf"])
+                    buf = jnp.array(slot["buf"], copy=True)
                     if held is not None:
                         free.put(held)
                     held = slot

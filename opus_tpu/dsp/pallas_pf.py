@@ -57,11 +57,14 @@ def _pf_kernel(y_ref, par_ref, w2_ref, gt_ref, out_ref, *, n, lm, hist, channels
     gains_tbl = gt_ref[...]
 
     chunk = _CHUNK
-    y3 = y_ref[...]
-    bs = y3.shape[0]
-    W = y3.shape[2]
+    bs = y_ref.shape[0]
+    W = y_ref.shape[2]
     R = bs * channels
-    y = y3.reshape(R, W)
+    # Mosaic TC kernels implement neither scatter nor value-level
+    # dynamic_update_slice: the running plane lives in out_ref and every
+    # chunk update is a static-slice REF store (the loop re-reads the
+    # full plane from VMEM each iteration — bandwidth there is free).
+    out_ref[...] = y_ref[...]
     par = par_ref[...]
     rep = lambda v: jnp.repeat(v, channels, axis=0)  # [BS,k] -> [R,k]
     p = rep(par[:, 0:3]).astype(jnp.int32)
@@ -74,7 +77,7 @@ def _pf_kernel(y_ref, par_ref, w2_ref, gt_ref, out_ref, *, n, lm, hist, channels
             out = out + jnp.where((t == k)[:, None], gains_tbl[k][None, :], 0.0)
         return out
 
-    def seg(y, off, ln, pa_, ga_, ta_, pb_, gb_, tb_):
+    def seg(off, ln, pa_, ga_, ta_, pb_, gb_, tb_):
         ga = taps_of(ta_) * ga_[:, None]
         gb = taps_of(tb_) * gb_[:, None]
         same = (ga_ == gb_) & (pa_ == pb_) & (ta_ == tb_)
@@ -98,36 +101,32 @@ def _pf_kernel(y_ref, par_ref, w2_ref, gt_ref, out_ref, *, n, lm, hist, channels
                     + taps[:, 1][:, None] * s1
                     + taps[:, 2][:, None] * s2)
 
-        # .at[].add lowers to scatter-add, which Mosaic does not
-        # implement; an explicit read + dynamic_update_slice does.
-        def add_at(y, i0, contrib):
-            cur = y[:, i0 : i0 + chunk] + contrib
-            return jax.lax.dynamic_update_slice(y, cur, (0, i0))
-
         ncf = min(ln, OVERLAP) // chunk
         for ci in range(ncf):  # static unroll: all slices static
             i0 = off + ci * chunk
+            y = out_ref[...].reshape(R, W)
             wh = w2[ci * chunk : (ci + 1) * chunk][None, :]
             wh = jnp.where(same[:, None], 1.0, wh)
             contrib = (1.0 - wh) * tap5(window(y, i0, pa), ga) + wh * tap5(
                 window(y, i0, pb), gb
             )
             contrib = jnp.where(zero[:, None], 0.0, contrib)
-            y = add_at(y, i0, contrib)
+            upd = (y[:, i0 : i0 + chunk] + contrib).reshape(bs, channels, chunk)
+            out_ref[:, :, i0 : i0 + chunk] = upd
         ntail = (ln - ncf * chunk) // chunk
         for ci in range(ntail):
             i0 = off + ncf * chunk + ci * chunk
+            y = out_ref[...].reshape(R, W)
             contrib = tap5(window(y, i0, pb), gb)
             contrib = jnp.where(zero_b[:, None], 0.0, contrib)
-            y = add_at(y, i0, contrib)
-        return y
+            upd = (y[:, i0 : i0 + chunk] + contrib).reshape(bs, channels, chunk)
+            out_ref[:, :, i0 : i0 + chunk] = upd
 
-    y = seg(y, hist, modes.SHORT_MDCT_SIZE,
-            p[:, 0], g[:, 0], ts[:, 0], p[:, 1], g[:, 1], ts[:, 1])
+    seg(hist, modes.SHORT_MDCT_SIZE,
+        p[:, 0], g[:, 0], ts[:, 0], p[:, 1], g[:, 1], ts[:, 1])
     if lm != 0:
-        y = seg(y, hist + modes.SHORT_MDCT_SIZE, n - modes.SHORT_MDCT_SIZE,
-                p[:, 1], g[:, 1], ts[:, 1], p[:, 2], g[:, 2], ts[:, 2])
-    out_ref[...] = y.reshape(bs, channels, W)
+        seg(hist + modes.SHORT_MDCT_SIZE, n - modes.SHORT_MDCT_SIZE,
+            p[:, 1], g[:, 1], ts[:, 1], p[:, 2], g[:, 2], ts[:, 2])
 
 
 def pallas_postfilter(y, hist, n, lm, pf_periods, pf_gains, pf_tapsets,

@@ -689,7 +689,8 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, f_max: int = 64,
             axis=-1,
         )
         valsP = jnp.einsum("bnp,bpf->bnf", inP, fieldsP,
-                           preferred_element_type=jnp.float32)
+                           preferred_element_type=jnp.float32,
+                   precision="highest")
         i32v = lambda k: valsP[:, :, k].astype(jnp.int32)  # noqa: E731
         fd_p = i32v(0)
         ln_p = i32v(1)
@@ -718,7 +719,8 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, f_max: int = 64,
             axis=-1,
         )
         valsF = jnp.einsum("bnp,bpf->bnf", inF, fieldsF,
-                           preferred_element_type=jnp.float32)
+                           preferred_element_type=jnp.float32,
+                   precision="highest")
         fi32 = lambda k: valsF[:, :, k].astype(jnp.int32)  # noqa: E731
         ffd_p = fi32(0)
         fln_p = fi32(1)
@@ -737,15 +739,48 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, f_max: int = 64,
                     + jnp.sum(gain_p) + jnp.sum(cov) + jnp.sum(fcov))
 
         # ---- iy unpack ----
+        # One ragged row copy per stream (the iy bit-stream is contiguous
+        # in the arena), then a chunked one-hot einsum fetches each
+        # position's word pair: two flat 2M-element gathers (~17 ms each
+        # on TPU) become one 0.5M gather plus MXU work.  Words are full
+        # u32, so they ride the matmul as two exact 16-bit halves.
+        IYW = 512
+        QCH = IYW // 16
+        kidx = iy_w0[:, None] + jnp.arange(IYW)[None, :]
+        rows = jnp.take(arena, jnp.clip(kidx, 0, amax))  # [B, IYW] u32
+        rows_pad = jnp.pad(rows, ((0, 0), (0, 32)))
+        rows_w = jnp.stack(
+            [rows_pad[:, 16 * q : 16 * q + 17] for q in range(QCH)], axis=1
+        )
+        rw_lh = jnp.stack(
+            [(rows_w & jnp.uint32(0xFFFF)).astype(jnp.float32),
+             (rows_w >> 16).astype(jnp.float32)],
+            axis=-1,
+        )  # [B, QCH, 17, 2]
         bit = iyb_p + rel * wid_p
-        word = iy_w0[:, None] + (bit >> 5)
+        wloc = jnp.clip(bit >> 5, 0, IYW - 1)
+        OHW = (jnp.arange(QCH)[None, None, :]
+               == (wloc >> 4)[:, :, None]).astype(jnp.float32)
+        wpair = jnp.einsum("bnq,bqxh->bnxh", OHW, rw_lh,
+                           preferred_element_type=jnp.float32,
+                           precision="highest")
+        rsel = wloc & 15
+        w0f = jnp.zeros((B, n2, 2), jnp.float32)
+        w1f = jnp.zeros((B, n2, 2), jnp.float32)
+        for rr in range(16):
+            mrr = (rsel == rr)[:, :, None]
+            w0f = w0f + jnp.where(mrr, wpair[:, :, rr], 0.0)
+            w1f = w1f + jnp.where(mrr, wpair[:, :, rr + 1], 0.0)
+        wordv = (w0f[..., 0].astype(jnp.uint32)
+                 | (w0f[..., 1].astype(jnp.uint32) << 16))
+        word1v = (w1f[..., 0].astype(jnp.uint32)
+                  | (w1f[..., 1].astype(jnp.uint32) << 16))
         sh = (bit & 31).astype(jnp.uint32)
-        lo = jnp.take(arena, jnp.clip(word, 0, amax)) >> sh
+        lo = wordv >> sh
         hi = jnp.where(
             sh == 0,
             jnp.uint32(0),
-            jnp.take(arena, jnp.clip(word + 1, 0, amax))
-            << (32 - jnp.maximum(sh, 1)),
+            word1v << (32 - jnp.maximum(sh, 1)),
         )
         wp_c = jnp.maximum(wid_p, 1)  # avoid negative shifts off-leaf
         msk = (jnp.uint32(1) << wp_c.astype(jnp.uint32)) - 1
@@ -757,23 +792,17 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, f_max: int = 64,
                     + jnp.sum(fcov) + jnp.sum(fln_p.astype(jnp.float32)))
 
         # ---- pvq normalise ----
-        # Ryy is a sum of integer squares (<= K^2 = 16384 per leaf): an
-        # int32 cumsum keeps the segmented differences EXACT — a float32
-        # cumsum over the whole plane loses ~1e-3 relative on small
-        # late-plane leaves to cancellation.
+        # Per-leaf Ryy via the interval masks: sums of integer squares
+        # (<= K^2 = 16384 per leaf) are EXACT in a true-f32 matmul (every
+        # partial sum < 2^24) — no cumsum, no gathers.
         iyf = iy.astype(jnp.float32)
-        csum = jnp.cumsum(iy * iy, axis=1)
-        end_i = jnp.clip(flatdst + ln - 1, 0, n2 - 1)
-        start_i = flatdst - 1
-        at_end = jnp.take_along_axis(csum, jnp.clip(end_i, 0, n2 - 1), axis=1)
-        at_start = jnp.where(
-            start_i < 0, 0,
-            jnp.take_along_axis(csum, jnp.clip(start_i, 0, n2 - 1), axis=1),
-        )
-        ryy = (at_end - at_start).astype(jnp.float32)  # [B, P]
+        ryy = jnp.einsum("bn,bnp->bp", iyf * iyf, inP,
+                         preferred_element_type=jnp.float32,
+                         precision="highest")
         gl = gain / jnp.sqrt(jnp.maximum(ryy, 1e-30))
         x = iyf * jnp.einsum("bnp,bp->bn", inP, gl,
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32,
+                   precision="highest")
 
         if stop_after == "norm":
             return jnp.sum(x) + jnp.sum(fcov) + jnp.sum(fln_p.astype(jnp.float32))
@@ -816,7 +845,8 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, f_max: int = 64,
         x = jnp.where(
             is_noise,
             nz * jnp.einsum("bnp,bp->bn", inF, nscale,
-                            preferred_element_type=jnp.float32),
+                            preferred_element_type=jnp.float32,
+                   precision="highest"),
             x,
         )
 
@@ -832,6 +862,22 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, f_max: int = 64,
         in_rot = act_pp & (rel < bq_p * L_p)
         segbase = fd_p + seg * L_p
 
+        # Banded permutation transport: both chain-permute steps move
+        # values strictly within their leaf (|idx - pos| < 176), so a
+        # fused shift-select replaces the two ~23 ms take_along_axis
+        # gathers with ~1.4 G VPU ops.
+        BAND_D = int(e[NB] - e[NB - 1])  # widest band = max leaf length
+
+        def banded_permute(xsrc, idx, active_m):
+            delta = jnp.where(active_m, idx - pos, 0)
+            xp_ = jnp.pad(xsrc, ((0, 0), (BAND_D, BAND_D)))
+            out = jnp.zeros_like(xsrc)
+            for d in range(-BAND_D + 1, BAND_D):
+                out = out + jnp.where(
+                    delta == d, xp_[:, BAND_D + d : BAND_D + d + n2], 0.0
+                )
+            return out
+
         # pass A (stride2): chain-permute gather, scan, inverse gather.
         stA = jnp.where(in_rot & (st2_p >= 2), st2_p, 1)
         q_ = L_p // stA
@@ -842,8 +888,7 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, f_max: int = 64,
         row = jnp.where(big, t_ // jnp.maximum(q_ + 1, 1), r0 + (t_ - r0 * (q_ + 1)) // jnp.maximum(q_, 1))
         col = jnp.where(big, t_ % jnp.maximum(q_ + 1, 1), (t_ - r0 * (q_ + 1)) % jnp.maximum(q_, 1))
         nat = col * stA + row
-        idx_nat = jnp.clip(segbase + nat, 0, n2 - 1)
-        xa = jnp.where(in_rot, jnp.take_along_axis(x, idx_nat, axis=1), x)
+        xa = banded_permute(x, segbase + nat, in_rot)
         mA = jnp.where(in_rot, jnp.where(big, q_ + 1, q_), 1)
         kA = jnp.where(in_rot, col, 0)
         # pass A coefficients are swapped: exp_rotation1(seg, L, st2, s, c)
@@ -857,8 +902,7 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, f_max: int = 64,
         rowI = p_ % jnp.maximum(stA, 1)
         colI = p_ // jnp.maximum(stA, 1)
         tI = rowI * q_ + jnp.minimum(rowI, r0) + colI
-        idx_chain = jnp.clip(segbase + tI, 0, n2 - 1)
-        x = jnp.where(in_rot, jnp.take_along_axis(xa, idx_chain, axis=1), x)
+        x = banded_permute(xa, segbase + tI, in_rot)
 
         # pass B (stride 1): contiguous chains of length L.
         ccB = jnp.where(in_rot, c_p, 1.0)
@@ -949,66 +993,81 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, f_max: int = 64,
                     jnp.where(swm, pref, norm[:, 0, :lo_])
                 )
 
-            # fold sources: gather norm slice at eff, apply T_fwd
+            # Fold sources, gather-free (take_along_axis costs ~1 ms FLAT
+            # per call on TPU; these one-hot matmuls ride the MXU):
+            #   * the norm window at eff via a two-level chunked one-hot
+            #     (chunk-of-16 select, then intra-chunk shift select),
+            #   * the per-cfg forward/undo transforms collapsed into ONE
+            #     per-stream selected matrix (masks are one-hot per
+            #     stream, so the sum IS the selected transform),
+            #   * the in-band fold copy as an in-band one-hot matmul over
+            #     both source planes at once,
+            #   * the per-leaf renorm from the fill-leaf interval masks
+            #     instead of cumsum + three gathers.
             has_fold = ftyp_v[:, :, lo_:hi_]
-            eff = jnp.clip(
+            effv = jnp.clip(
                 eff_field(i) + jnp.where(hyb, e17m, 0), 0, max(norm_len - nb_, 0)
-            )[:, None]
-            offs = jnp.arange(nb_)[None, :]
-            nrm_flat = norm.reshape(B, 2 * norm_len)
-            for npl in (0, 1):
-                src_idx = npl * norm_len + eff + offs
-                lbnd = jnp.take_along_axis(nrm_flat, src_idx, axis=1)  # [B, nb]
-                ld = jnp.where(ident[:, None], lbnd, 0.0)
-                for ci in range(len(cfgs)):
-                    if cfg_masks[ci] is None:
-                        continue
-                    ld = ld + jnp.where(
-                        cfg_masks[ci][:, None],
-                        lbnd @ t_fwd[(i, ci)].T,
-                        0.0,
-                    )
-                # fold fill: value = ld[srcrel + rel] + dither
-                sr = src_v[:, :, lo_:hi_] + rel_v[:, :, lo_:hi_]
-                sr = jnp.clip(sr, 0, nb_ - 1)
-                lval = jnp.take_along_axis(
-                    ld[:, None, :].repeat(2, axis=1), sr, axis=2
-                )
-                dith = dith_v[:, :, lo_:hi_]
-                fm = has_fold & (n2_v[:, :, lo_:hi_] == npl)
-                fill = jnp.where(fm, lval + dith, 0.0)
-                # per-leaf renorm of the fold fill (cumsum per plane so
-                # plane 0 sums never leak into plane 1 leaves)
-                csl = jnp.cumsum(fill * fill, axis=2)
-                relb = rel_v[:, :, lo_:hi_]
-                # gather sum over each leaf: end = start + ln - 1
-                lnb = fln_v[:, :, lo_:hi_]
-                endr = jnp.clip(jnp.arange(nb_)[None, None, :] + lnb - 1, 0, nb_ - 1)
-                cs_end = jnp.take_along_axis(csl, endr, axis=2)
-                startm1 = jnp.arange(nb_)[None, None, :] - 1
-                cs_sm1 = jnp.where(
-                    startm1 < 0, 0.0,
-                    jnp.take_along_axis(csl, jnp.clip(startm1, 0, nb_ - 1), axis=2),
-                )
-                leafsum = cs_end - cs_sm1  # valid at leaf-start positions
-                scale_at_start = gain_v[:, :, lo_:hi_] / jnp.sqrt(EPSILON + leafsum)
-                # propagate the start's scale across the leaf
-                startpos = jnp.arange(nb_)[None, None, :] - relb
-                startpos = jnp.clip(startpos, 0, nb_ - 1)
-                scale = jnp.take_along_axis(scale_at_start, startpos, axis=2)
-                X = X.at[:, :, lo_:hi_].set(
-                    jnp.where(fm, fill * scale, X[:, :, lo_:hi_])
-                )
-
-            # undo transform
-            xb = X[:, :, lo_:hi_]
-            xn = jnp.where(ident[:, None, None], xb, 0.0)
+            )
+            qc = effv >> 4
+            rc_ = effv & 15
+            K = nb_ // 16 + 2
+            nl16 = -(-norm_len // 16) * 16
+            nch = nl16 // 16
+            NC = jnp.pad(norm, ((0, 0), (0, 0), (0, nl16 - norm_len + K * 16))
+                         ).reshape(B, 2, nch + K, 16)
+            NCk = jnp.stack([NC[:, :, k : k + nch] for k in range(K)], axis=3)
+            OHq = (jnp.arange(nch)[None, :] == qc[:, None]).astype(jnp.float32)
+            W = jnp.einsum("bq,bcqkx->bckx", OHq, NCk,
+                           preferred_element_type=jnp.float32,
+                   precision="highest")
+            win = W.reshape(B, 2, K * 16)
+            wins = jnp.stack([win[:, :, s : s + nb_] for s in range(16)], axis=-1)
+            OHr = (jnp.arange(16)[None, :] == rc_[:, None]).astype(jnp.float32)
+            lbnd2 = jnp.einsum("bs,bcjs->bcj", OHr, wins,
+                               preferred_element_type=jnp.float32,
+                   precision="highest")
+            eye = jnp.eye(nb_, dtype=jnp.float32)[None]
+            tsel = ident[:, None, None].astype(jnp.float32) * eye
+            usel = ident[:, None, None].astype(jnp.float32) * eye
             for ci in range(len(cfgs)):
                 if cfg_masks[ci] is None:
                     continue
-                xn = xn + jnp.where(
-                    cfg_masks[ci][:, None, None], xb @ t_und[(i, ci)].T, 0.0
-                )
+                mkf = cfg_masks[ci][:, None, None].astype(jnp.float32)
+                tsel = tsel + mkf * t_fwd[(i, ci)][None]
+                usel = usel + mkf * t_und[(i, ci)][None]
+            ld2 = jnp.einsum("bcw,bjw->bcj", lbnd2, tsel,
+                             preferred_element_type=jnp.float32,
+                   precision="highest")
+            # fold fill: value = ld2[srcplane][srcrel + rel] + dither
+            sr = jnp.clip(src_v[:, :, lo_:hi_] + rel_v[:, :, lo_:hi_], 0, nb_ - 1)
+            srcw = jnp.clip(n2_v[:, :, lo_:hi_], 0, 1) * nb_ + sr
+            OHs = (jnp.arange(2 * nb_)[None, None, None, :]
+                   == srcw[..., None]).astype(jnp.float32)
+            lval = jnp.einsum("bcjw,bw->bcj", OHs, ld2.reshape(B, 2 * nb_),
+                              preferred_element_type=jnp.float32,
+                   precision="highest")
+            fill = jnp.where(has_fold, lval + dith_v[:, :, lo_:hi_], 0.0)
+            # per-leaf renorm via the fill-leaf interval masks (noise
+            # leaves contribute zero fill, so their sums are inert)
+            inFb = jnp.stack(
+                [inF[:, lo_:hi_, :], inF[:, n + lo_ : n + hi_, :]], axis=1
+            )
+            leafsum = jnp.einsum("bcj,bcjp->bcp", fill * fill, inFb,
+                                 preferred_element_type=jnp.float32,
+                   precision="highest")
+            scale_leaf = fgain[:, None, :] / jnp.sqrt(EPSILON + leafsum)
+            scale = jnp.einsum("bcp,bcjp->bcj", scale_leaf, inFb,
+                               preferred_element_type=jnp.float32,
+                   precision="highest")
+            X = X.at[:, :, lo_:hi_].set(
+                jnp.where(has_fold, fill * scale, X[:, :, lo_:hi_])
+            )
+
+            # undo transform via the per-stream selected matrix
+            xb = X[:, :, lo_:hi_]
+            xn = jnp.einsum("bcw,bjw->bcj", xb, usel,
+                            preferred_element_type=jnp.float32,
+                   precision="highest")
             # norm write (pre-merge)
             if i < NB - 1 and hi_ <= norm_len:
                 sc = np.float32(math.sqrt(nb_))
@@ -1079,40 +1138,36 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, f_max: int = 64,
         n0_b = jnp.take(jnp.asarray((modes.E_BANDS[1:] - modes.E_BANDS[:-1]).astype(np.int32)), bb)
         oh = band_onehot_j[:, :n]  # [NB, n]
 
-        def bcast(tbl_f32):  # [B, NB] -> [B, n]: per-bin band broadcast on MXU
-            return tbl_f32 @ oh
+        # Both channels ride every op at once ([B, 2, ...]); highest
+        # precision everywhere a 16-bit seed half or an energy rides the
+        # matmul (the default bf16 passes round ints above 256).
+        def bcast2(tbl_f32):  # [B, NB, 2] -> [B, 2, n]
+            return jnp.einsum("bec,en->bcn", tbl_f32, oh, precision="highest")
 
-        def ac_channel(ch):
-            msk = bcast(m_bc[:, :, ch].astype(jnp.float32)).astype(jnp.int32)
-            has = bcast(has_bc[:, :, ch].astype(jnp.float32)) > 0.5
-            rr = bcast(r_bc[:, :, ch])
-            # u32 seeds broadcast exactly via two 16-bit float matmuls.
-            sd_lo = bcast((s_bc[:, :, ch] & jnp.uint32(0xFFFF)).astype(jnp.float32))
-            sd_hi = bcast((s_bc[:, :, ch] >> 16).astype(jnp.float32))
-            sd = (sd_lo.astype(jnp.uint32)
-                  | (sd_hi.astype(jnp.uint32) << 16))
-            cleared = ((msk >> kblk) & 1) == 0
-            # rank of cleared block k = cleared bits below k
-            rank = jnp.zeros_like(kblk)
-            for kb in range(m):
-                rank = rank + jnp.where(
-                    (kb < kblk) & (((msk >> kb) & 1) == 0), 1, 0
-                )
-            t_ = jnp.clip(rank * n0_b + jj + 1, 0, _LCG_MAX - 1)
-            At, Ct = _lcg_jump_j(t_)
-            sv_ = At * sd + Ct
-            val = jnp.where((sv_ & 0x8000) != 0, rr, -rr)
-            apply = has & cleared
-            newx = jnp.where(apply, val, X[:, ch])
-            # renorm bands with any record
-            s2 = jnp.einsum("bn,en->be", newx * newx, oh)
-            anyr = has_bc[:, :, ch]
-            scl = jnp.where(anyr, 1.0 / jnp.sqrt(EPSILON + s2), 1.0)
-            sclb = jnp.einsum("be,en->bn", scl, oh)
-            return newx * sclb
-
-        X = jnp.stack([ac_channel(0), ac_channel(1)], axis=1)
-        return X
+        msk = bcast2(m_bc.astype(jnp.float32)).astype(jnp.int32)
+        has = bcast2(has_bc.astype(jnp.float32)) > 0.5
+        rr = bcast2(r_bc)
+        sd_lo = bcast2((s_bc & jnp.uint32(0xFFFF)).astype(jnp.float32))
+        sd_hi = bcast2((s_bc >> 16).astype(jnp.float32))
+        sd = sd_lo.astype(jnp.uint32) | (sd_hi.astype(jnp.uint32) << 16)
+        kblk2 = kblk[:, None, :]
+        cleared = ((msk >> kblk2) & 1) == 0
+        # rank of cleared block k = cleared bits below k
+        rank = jnp.zeros_like(msk)
+        for kb in range(m):
+            rank = rank + jnp.where(
+                (kb < kblk2) & (((msk >> kb) & 1) == 0), 1, 0
+            )
+        t_ = jnp.clip(rank * n0_b[:, None, :] + jj[:, None, :] + 1, 0, _LCG_MAX - 1)
+        At, Ct = _lcg_jump_j(t_)
+        sv_ = At * sd + Ct
+        val = jnp.where((sv_ & 0x8000) != 0, rr, -rr)
+        newx = jnp.where(has & cleared, val, X)
+        # renorm bands with any record
+        s2 = jnp.einsum("bcn,en->bec", newx * newx, oh, precision="highest")
+        scl = jnp.where(has_bc, 1.0 / jnp.sqrt(EPSILON + s2), 1.0)
+        sclb = jnp.einsum("bec,en->bcn", scl, oh, precision="highest")
+        return newx * sclb
 
     return executor
 

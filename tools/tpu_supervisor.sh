@@ -9,6 +9,11 @@
 #          (plan/p10/pallas A-B) > batch sweep (B=8192 regression)
 
 cd "$(dirname "$0")/.."
+# Stale "done" lines from a previous run would satisfy the exit checks
+# below immediately; rotate the logs at start.
+for f in /tmp/tpu_exec_bisect.jsonl /tmp/tpu_bsweep.jsonl /tmp/tpu_window_bench.jsonl; do
+  [ -f "$f" ] && mv "$f" "$f.$(date +%H%M%S).old"
+done
 BUDGET=${TPU_SUP_BUDGET_S:-36000}
 END=$(( $(date +%s) + BUDGET ))
 while [ "$(date +%s)" -lt "$END" ]; do
