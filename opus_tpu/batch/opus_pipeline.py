@@ -398,8 +398,9 @@ class BatchedOpusDecoder:
                 or int(((counts >> 9) & 0x1FF).max(initial=0)) > 64
                 or int((counts >> 18).max(initial=0)) > 42):
             raise OverflowError("plan leaf count exceeds executor capacity")
-        from ..native.frontend import pack_plan_fixed
+        from ..native.frontend import check_plan_iy_span, pack_plan_fixed
 
+        check_plan_iy_span(slot)
         pack_plan_fixed(slot)
         slot["used_words"] = slot["fixed_words"] + int(used.value)
         return slot

@@ -42,6 +42,13 @@ from ..celt import modes
 
 NB = modes.NB_E_BANDS
 EPSILON = 1e-15
+
+#: iy bit-stream fetch window, in u32 words per stream.  Real content
+#: peaks ~141 words at 128 kbps stereo (see docs/DEVICE_PROFILE.md);
+#: plane A rejects plans whose iy span exceeds PLAN_IYW - 1 (the
+#: executor may touch one word past the last started one) and the serve
+#: loops fall back to a spectral step for that frame.
+PLAN_IYW = 192
 _SPREAD_FACTOR = (15, 10, 5)
 
 # Merged-view leaf types (oracle; the wire format splits the tables).
@@ -561,10 +568,19 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, f_max: int = 64,
     band_onehot_j = jnp.asarray(band_onehot)
 
     def _seg_scan(a, b):
-        def op(l, r):
-            return (r[0] * l[0], r[0] * l[1] + r[1])
-
-        return jax.lax.associative_scan(op, (a, b), axis=-1)[1]
+        # Inclusive scan of v[t] = a[t]*v[t-1] + b[t] as Hillis-Steele
+        # over the linear-function monoid.  Chains never exceed the
+        # widest band (176 samples at any LM) and a==0 at every chain
+        # head, so 8 doubling levels (span 256) suffice — vs the ~22
+        # strided passes lax.associative_scan emits for the full axis.
+        A, Bv = a, b
+        span = 1
+        while span < 256:
+            Ash = jnp.pad(A, ((0, 0), (span, 0)), constant_values=1.0)[:, :-span]
+            Bsh = jnp.pad(Bv, ((0, 0), (span, 0)))[:, :-span]
+            A, Bv = A * Ash, A * Bsh + Bv
+            span *= 2
+        return Bv
 
     def _rot_pass(x, cc, ss, k_pos, m_pos):
         """One exp_rotation1 pass over contiguous chains in x [B, n2].
@@ -611,18 +627,27 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, f_max: int = 64,
         amax = arena.shape[0] - 1
 
         # ---- pvq leaf table [B, P] (2-word records) ----
+        # One contiguous row fetch per stream covers every pvq record
+        # (TPU gathers charge ~8.5 ms/M elements + ~1 ms/call; merging
+        # the w0/w1 takes halves the calls for the same elements).
+        # Rows read past a stream's records into neighbours' data; every
+        # downstream use is masked by `valid` / flatdst>=n2, and the f16
+        # gain is zeroed explicitly (garbage halfwords can decode to NaN).
         p = jnp.arange(p_max)[None, :]
         valid = p < n_pvq[:, None]
-        wbase = hdr_off[:, None] + 2 * p
-        w0 = jnp.take(arena, jnp.clip(jnp.where(valid, wbase, 0), 0, amax))
-        w1 = jnp.take(arena, jnp.clip(jnp.where(valid, wbase + 1, 0), 0, amax))
+        rec = jnp.take(
+            arena,
+            jnp.clip(hdr_off[:, None] + jnp.arange(2 * p_max)[None, :], 0, amax),
+        ).reshape(B, p_max, 2)
+        w0 = rec[:, :, 0]
+        w1 = rec[:, :, 1]
         dst = (w0 & 0x7FF).astype(jnp.int32)
         plane = ((w0 >> 11) & 1).astype(jnp.int32)
         ln = ((w0 >> 12) & 0xFF).astype(jnp.int32) + 1
         wid = ((w0 >> 20) & 0xF).astype(jnp.int32)
         bq = ((w0 >> 24) & 0xF).astype(jnp.int32) + 1
         kk = (w1 & 0xFF).astype(jnp.int32) + 1
-        gain = _f16_to_f32_j((w1 >> 16) & 0xFFFF)
+        gain = jnp.where(valid, _f16_to_f32_j((w1 >> 16) & 0xFFFF), 0.0)
 
         iyb = jnp.where(valid, ln * wid, 0)
         iybase = jnp.cumsum(iyb, axis=1) - iyb
@@ -632,17 +657,21 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, f_max: int = 64,
         pvq_words = 2 * n_pvq
         f = jnp.arange(f_max)[None, :]
         fvalid = f < n_fill[:, None]
-        fbase = hdr_off[:, None] + pvq_words[:, None] + 3 * f
-        fw0 = jnp.take(arena, jnp.clip(jnp.where(fvalid, fbase, 0), 0, amax))
-        fw1 = jnp.take(arena, jnp.clip(jnp.where(fvalid, fbase + 1, 0), 0, amax))
-        fseed = jnp.take(arena, jnp.clip(jnp.where(fvalid, fbase + 2, 0), 0, amax))
+        frec = jnp.take(
+            arena,
+            jnp.clip((hdr_off + pvq_words)[:, None]
+                     + jnp.arange(3 * f_max)[None, :], 0, amax),
+        ).reshape(B, f_max, 3)
+        fw0 = frec[:, :, 0]
+        fw1 = frec[:, :, 1]
+        fseed = jnp.where(fvalid, frec[:, :, 2], jnp.uint32(0))
         fdst = (fw0 & 0x7FF).astype(jnp.int32)
         fplane = ((fw0 >> 11) & 1).astype(jnp.int32)
         fln = ((fw0 >> 12) & 0xFF).astype(jnp.int32) + 1
         fnoise = ((fw0 >> 20) & 1).astype(jnp.int32)
         fnorm2 = ((fw0 >> 21) & 1).astype(jnp.int32)
         fsrc = (fw1 & 0x7FF).astype(jnp.int32)
-        fgain = _f16_to_f32_j((fw1 >> 16) & 0xFFFF)
+        fgain = jnp.where(fvalid, _f16_to_f32_j((fw1 >> 16) & 0xFFFF), 0.0)
 
         if stop_after == "leaves":
             return (jnp.sum(gain) + jnp.sum(fgain)
@@ -742,9 +771,12 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, f_max: int = 64,
         # One ragged row copy per stream (the iy bit-stream is contiguous
         # in the arena), then a chunked one-hot einsum fetches each
         # position's word pair: two flat 2M-element gathers (~17 ms each
-        # on TPU) become one 0.5M gather plus MXU work.  Words are full
+        # on TPU) become one 0.2M gather plus MXU work.  Words are full
         # u32, so they ride the matmul as two exact 16-bit halves.
-        IYW = 512
+        # PLAN_IYW bounds the fetch window; plane A guarantees it
+        # (decode_batch_plan_into raises OverflowError past it, and the
+        # serve loops fall back to a spectral step for that frame).
+        IYW = PLAN_IYW
         QCH = IYW // 16
         kidx = iy_w0[:, None] + jnp.arange(IYW)[None, :]
         rows = jnp.take(arena, jnp.clip(kidx, 0, amax))  # [B, IYW] u32
@@ -864,18 +896,30 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, f_max: int = 64,
 
         # Banded permutation transport: both chain-permute steps move
         # values strictly within their leaf (|idx - pos| < 176), so a
-        # fused shift-select replaces the two ~23 ms take_along_axis
-        # gathers with ~1.4 G VPU ops.
+        # shift-select replaces the two ~23 ms take_along_axis gathers
+        # with VPU passes.  A while_loop bounded by the LARGEST shift
+        # actually present keeps the HLO tiny (a 351-way unroll costs
+        # ~90 s of XLA:CPU compile) and exits after one pass on frames
+        # with no stride2 rotation (long blocks / high-rate bands).
         BAND_D = int(e[NB] - e[NB - 1])  # widest band = max leaf length
 
         def banded_permute(xsrc, idx, active_m):
             delta = jnp.where(active_m, idx - pos, 0)
+            dmax = jnp.max(jnp.abs(delta))
             xp_ = jnp.pad(xsrc, ((0, 0), (BAND_D, BAND_D)))
-            out = jnp.zeros_like(xsrc)
-            for d in range(-BAND_D + 1, BAND_D):
-                out = out + jnp.where(
-                    delta == d, xp_[:, BAND_D + d : BAND_D + d + n2], 0.0
-                )
+            out = jnp.where(delta == 0, xsrc, 0.0)
+
+            def body(carry):
+                d, acc = carry
+                sp = jax.lax.dynamic_slice(xp_, (0, BAND_D + d), (B, n2))
+                sm = jax.lax.dynamic_slice(xp_, (0, BAND_D - d), (B, n2))
+                acc = (acc + jnp.where(delta == d, sp, 0.0)
+                       + jnp.where(delta == -d, sm, 0.0))
+                return d + 1, acc
+
+            _, out = jax.lax.while_loop(
+                lambda c: c[0] <= dmax, body, (jnp.int32(1), out)
+            )
             return out
 
         # pass A (stride2): chain-permute gather, scan, inverse gather.

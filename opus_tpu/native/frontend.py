@@ -371,6 +371,7 @@ class NativeBatchFrontEnd:
                 or int((counts >> 18).max(initial=0)) > 42):
             # jit executor's table capacities (make_plan_executor p/f/a_max)
             raise OverflowError("plan leaf count exceeds executor capacity")
+        check_plan_iy_span(slot)
         self._pack_plan_fixed(slot)
         slot["used_words"] = slot["fixed_words"] + int(used.value)
         slot["xdbg"] = xdbg
@@ -704,6 +705,25 @@ def alloc_plan_slots(batch: int, n_slots: int = 4,
             used_words=0,
         ))
     return slots
+
+
+def check_plan_iy_span(slot: dict) -> None:
+    """Reject plans whose pulse bit-stream spans past the executor's
+    PLAN_IYW-word fetch window (it may touch one word beyond the last
+    started one); callers fall back to a spectral step for that frame."""
+    from ..dsp.plan_exec import PLAN_IYW
+
+    hdr = slot["header"]
+    n_pvq = hdr[:, 1] & 0x1FF
+    ridx = hdr[:, 0:1].astype(np.int64) + 2 * np.arange(192, dtype=np.int64)[None, :]
+    au32 = slot["arena"].view(np.uint32)  # >> on i32 would sign-extend
+    w0 = au32[np.clip(ridx, 0, au32.shape[0] - 1)]
+    rln = (w0 >> 12 & 0xFF).astype(np.int64) + 1
+    rwid = (w0 >> 20 & 0xF).astype(np.int64)
+    bits = np.where(np.arange(192)[None, :] < n_pvq[:, None], rln * rwid, 0)
+    iy_words = -(-bits.sum(axis=1) // 32)
+    if int(iy_words.max(initial=0)) > PLAN_IYW - 1:
+        raise OverflowError("plan iy span exceeds executor fetch window")
 
 
 def pack_plan_fixed(slot: dict) -> None:

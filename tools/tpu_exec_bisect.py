@@ -127,6 +127,35 @@ def main():
 
     bidx = jnp.arange(B)[:, None]
 
+    def _hillis(a, b):
+        A, Bv = a, b
+        span = 1
+        while span < 256:
+            Ash = jnp.pad(A, ((0, 0), (span, 0)), constant_values=1.0)[:, :-span]
+            Bsh = jnp.pad(Bv, ((0, 0), (span, 0)))[:, :-span]
+            A, Bv = A * Ash, A * Bsh + Bv
+            span *= 2
+        return Bv
+
+    def _bperm(xsrc, idx):
+        # worst-case banded permute: delta spread across the full band
+        pos = jnp.arange(n2)[None, :]
+        delta = ((idx * 7919) % 351) - 175
+        dmax = jnp.max(jnp.abs(delta))
+        xp_ = jnp.pad(xsrc, ((0, 0), (176, 176)))
+        out = jnp.where(delta == 0, xsrc, 0.0)
+
+        def body(c):
+            d, acc = c
+            sp = jax.lax.dynamic_slice(xp_, (0, 176 + d), (B, n2))
+            sm = jax.lax.dynamic_slice(xp_, (0, 176 - d), (B, n2))
+            return d + 1, (acc + jnp.where(delta == d, sp, 0.0)
+                           + jnp.where(delta == -d, sm, 0.0))
+
+        _, out = jax.lax.while_loop(lambda c: c[0] <= dmax, body,
+                                    (jnp.int32(1), out))
+        return out + pos * 0.0
+
     prims = {
         # the position_map scatter as written today
         "scatter_add": jax.jit(lambda d: jnp.zeros((B, n2 + 1), jnp.int32)
@@ -160,6 +189,12 @@ def main():
         "assoc_scan_pair": jax.jit(lambda x: jax.lax.associative_scan(
             lambda a, b: (b[0] * a[0], b[0] * a[1] + b[1]), (x, x), axis=-1)[1].sum()),
         "cumsum_int": jax.jit(lambda i: jnp.cumsum(i * i, axis=1).sum()),
+        # the executor's current formulations (2026-08-18 rewrites)
+        "hillis_scan8": jax.jit(lambda x: _hillis(x, x).sum()),
+        "banded_permute_wl": jax.jit(lambda x, i: _bperm(x, i).sum()),
+        "row_take_384": jax.jit(lambda o: jnp.take(
+            arena, jnp.clip(o[:, None] + jnp.arange(384)[None, :], 0, aw - 1)
+        ).astype(jnp.float32).sum()),
     }
     argmap = {
         "scatter_add": (flatd,),
@@ -171,6 +206,9 @@ def main():
         "flat_gather_2M": (fidx,),
         "assoc_scan_pair": (xplane,),
         "cumsum_int": (lidc,),
+        "hillis_scan8": (xplane,),
+        "banded_permute_wl": (xplane, lidc),
+        "row_take_384": (jnp.asarray(rng.integers(0, aw - 400, B).astype(np.int32)),),
     }
     for name, fn in prims.items():
         try:
