@@ -707,10 +707,11 @@ def alloc_plan_slots(batch: int, n_slots: int = 4,
     return slots
 
 
-def check_plan_iy_span(slot: dict) -> None:
+def check_plan_iy_span(slot: dict) -> np.ndarray:
     """Reject plans whose pulse bit-stream spans past the executor's
     PLAN_IYW-word fetch window (it may touch one word beyond the last
-    started one); callers fall back to a spectral step for that frame."""
+    started one); callers fall back to a spectral step for that frame.
+    Returns the per-stream iy word spans."""
     from ..dsp.plan_exec import PLAN_IYW
 
     hdr = slot["header"]
@@ -724,6 +725,7 @@ def check_plan_iy_span(slot: dict) -> None:
     iy_words = -(-bits.sum(axis=1) // 32)
     if int(iy_words.max(initial=0)) > PLAN_IYW - 1:
         raise OverflowError("plan iy span exceeds executor fetch window")
+    return iy_words
 
 
 def pack_plan_fixed(slot: dict) -> None:

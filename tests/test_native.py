@@ -549,3 +549,38 @@ def test_plan_serve_overflow_falls_back_per_step():
     got = np.asarray(front._serve_ring)
     assert calls["n"] == NF  # every step attempted the plan path
     assert float(np.abs(got - want).max()) < 5e-4
+
+
+def test_plan_iy_span_guard():
+    """check_plan_iy_span matches a per-leaf Python recount and trips
+    (-> per-step spectral fallback) when the executor's PLAN_IYW fetch
+    window would be exceeded."""
+    from opus_tpu.native.frontend import (
+        NativeBatchFrontEnd, available, check_plan_iy_span,
+    )
+    import opus_tpu.dsp.plan_exec as pe
+
+    if not available():
+        pytest.skip("native engine not built")
+    B, FRAME = 8, 960
+    payloads = _payloads(2, FRAME, 128, nframes=8)
+    fe = NativeBatchFrontEnd(B, 2)
+    slot = fe.decode_batch_plan_into(payloads[:B], FRAME, fe.alloc_plan_slots(1)[0])
+    spans = check_plan_iy_span(slot)
+    hdr = slot["header"]
+    au32 = slot["arena"].view(np.uint32)
+    for b in range(B):
+        off, counts = int(hdr[b, 0]), int(hdr[b, 1])
+        bits = 0
+        for p in range(counts & 0x1FF):
+            w0 = int(au32[off + 2 * p])
+            bits += ((w0 >> 12 & 0xFF) + 1) * (w0 >> 20 & 0xF)
+        assert int(spans[b]) == (bits + 31) // 32
+    assert 0 < int(spans.max()) <= pe.PLAN_IYW - 1  # 128 kbps fits the window
+    old = pe.PLAN_IYW
+    try:
+        pe.PLAN_IYW = int(spans.max())  # force "one word short"
+        with pytest.raises(OverflowError):
+            check_plan_iy_span(slot)
+    finally:
+        pe.PLAN_IYW = old
