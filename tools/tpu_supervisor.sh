@@ -17,11 +17,13 @@ done
 BUDGET=${TPU_SUP_BUDGET_S:-36000}
 END=$(( $(date +%s) + BUDGET ))
 while [ "$(date +%s)" -lt "$END" ]; do
-  timeout 2400 python tools/tpu_exec_bisect.py >> /tmp/tpu_sup.out 2>&1
-  if tail -20 /tmp/tpu_exec_bisect.jsonl 2>/dev/null | grep -q '"phase": "done"'; then
-    # TPU_PROBE_BUDGET_S=1 -> the bench's internal supervisor makes
-    # exactly one attempt
-    TPU_PROBE_BUDGET_S=1 timeout 2400 python tools/tpu_window_bench.py >> /tmp/tpu_sup.out 2>&1
+  # Windows can be short (the 8/17 good window lasted ~25 min): grab the
+  # headline A/B numbers first, then the stage bisect, then the sweep.
+  # TPU_PROBE_BUDGET_S=1 -> the bench's internal supervisor makes
+  # exactly one attempt
+  TPU_PROBE_BUDGET_S=1 timeout 2400 python tools/tpu_window_bench.py >> /tmp/tpu_sup.out 2>&1
+  if tail -20 /tmp/tpu_window_bench.jsonl 2>/dev/null | grep -q '"phase": "done"'; then
+    timeout 2400 python tools/tpu_exec_bisect.py >> /tmp/tpu_sup.out 2>&1
     timeout 3000 python tools/tpu_bsweep.py >> /tmp/tpu_sup.out 2>&1
     if tail -5 /tmp/tpu_bsweep.jsonl 2>/dev/null | grep -q '"phase": "done"'; then
       echo "{\"supervisor\": \"all_done\"}" >> /tmp/tpu_sup.out
