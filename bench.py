@@ -360,6 +360,41 @@ def main() -> None:
     except Exception:
         pass
 
+    # --- 8-ch ambisonics multistream serve (BASELINE configs[5]) ------------
+    # B sessions x 5 elementary streams (3 coupled + 2 mono, family-1
+    # mapping) through the packed serve loop; rate counts per-SESSION
+    # audio seconds.  p10 transfer: the multistream serve path is pinned
+    # against libopus at that precision (tests/test_native.py:77).
+    ms_rate = 0.0
+    try:
+        if _left() < 150:
+            raise TimeoutError("budget spent; skipping multistream section")
+        from opus_tpu.batch.multistream_pipeline import BatchedMultistreamDecoder
+
+        MSB, streams, coupled, mch = 128, 5, 3, 8
+        mapping = list(range(mch))
+        mse = oracle.MultistreamEncoder(48000, mch, streams, coupled, mapping)
+        mse.ctl(oracle.SET_BITRATE, 256000)
+        mse.ctl(oracle.SET_FORCE_MODE, oracle.MODE_CELT_ONLY)
+        ms_steps = []
+        for f in range(6):
+            sl = slice((f % NSRC) * FRAME, (f % NSRC + 1) * FRAME)
+            mpcm = np.stack(
+                [0.3 * np.sin(2 * np.pi * (200 + 60 * k) * t[sl])
+                 + 0.02 * rng.standard_normal(FRAME) for k in range(mch)],
+                -1,
+            ).astype(np.float32)
+            ms_steps.append([mse.encode_float(np.ascontiguousarray(mpcm).ravel(), FRAME)] * MSB)
+        bmd = BatchedMultistreamDecoder(MSB, mch, streams, coupled, mapping)
+        bmd.core.transfer = "p10"
+        bmd.serve(ms_steps[:2], FRAME)  # warm jit + slots
+        el = _best(lambda: bmd.serve(ms_steps, FRAME), 3)
+        ms_rate = len(ms_steps) * MSB * 0.02 / el
+        _PARTIAL["extras"]["ambisonics8_multistream_sessions_audio_sec_per_sec"] = round(ms_rate, 1)
+        _save_partial()
+    except Exception:
+        pass
+
     # --- device-plane scaling (throughput-bound regime) ---------------------
     # The 8/17 batch sweep (DEVICE_PROFILE.md) found the throughput
     # optimum at B=4096 (8192 halves it: HBM working set); measure both.
@@ -426,6 +461,7 @@ def main() -> None:
             bytes_per_stream if serve_mode == "plan" else (600 + 42 + 16 + 3) * 4, 1
         ),
         "e2e_5pct_loss_audio_sec_per_sec": round(lossy_rate, 1),
+        "ambisonics8_multistream_sessions_audio_sec_per_sec": round(ms_rate, 1),
     }
     _PARTIAL["done"] = True
     _save_partial()
