@@ -340,16 +340,23 @@ class BatchedOpusDecoder:
     #: Plan-mode arena upload buckets, as BatchedCeltDecoder.PLAN_BUCKETS.
     PLAN_BUCKETS = (64, 96, 128, 160, 192, 224, 256, 320, 384, 512)
 
+    def _silk_row_buckets(self):
+        #: Compacted-silk row-count buckets (fractions of the batch; 0 =
+        #: a pure-CELT step ships no PCM at all).
+        B = self.batch
+        return (0, B // 8, B // 4, B // 2, (3 * B) // 4, B)
+
     def _mixed_plan_serving_step(self, lm: int, pf_chunk: int, pf_active: bool,
-                                 bucket_words: int):
+                                 bucket_words: int, silk_rows: int):
         from ..dsp.synthesis import make_plan_serving_step
 
-        key = ("plan", lm, pf_chunk, pf_active, bucket_words)
+        key = ("plan", lm, pf_chunk, pf_active, bucket_words, silk_rows)
         if key not in self._steps:
             self._steps[key] = make_plan_serving_step(
                 lm, self.batch, self.channels, 1,
                 pf_chunk=pf_chunk, pf_active=pf_active,
                 arena_words=bucket_words, silk_mix=True,
+                silk_rows=silk_rows,
             )
         return self._steps[key]
 
@@ -398,10 +405,13 @@ class BatchedOpusDecoder:
                 or int(((counts >> 9) & 0x1FF).max(initial=0)) > 64
                 or int((counts >> 18).max(initial=0)) > 42):
             raise OverflowError("plan leaf count exceeds executor capacity")
-        from ..native.frontend import check_plan_iy_span, pack_plan_fixed
+        from ..native.frontend import (
+            check_plan_iy_span, compact_plan_silk, pack_plan_fixed,
+        )
 
         check_plan_iy_span(slot)
         pack_plan_fixed(slot)
+        compact_plan_silk(slot, frame48 * self.channels)
         slot["used_words"] = slot["fixed_words"] + int(used.value)
         return slot
 
@@ -485,7 +495,7 @@ class BatchedOpusDecoder:
         CELT spectra with the plan executor.  A step whose plan overflows
         a capacity falls back to the packed spectral path for just that
         step (SynthState is shared between step kinds)."""
-        from ..native.frontend import alloc_plan_slots
+        from ..native.frontend import alloc_plan_slots, pack_plan_silk
 
         B = self.batch
         silk_words = (frame48 * self.channels + 1) // 2
@@ -540,13 +550,15 @@ class BatchedOpusDecoder:
                             (bw for bw in self.PLAN_BUCKETS if bw >= per),
                             self.PLAN_BUCKETS[-1],
                         )
+                        nrows = len(slot["silk_rows"])
+                        rbucket = next(
+                            rb for rb in self._silk_row_buckets() if rb >= nrows
+                        )
                         step = self._mixed_plan_serving_step(
-                            lm, pf_chunk, pf_active, bucket
+                            lm, pf_chunk, pf_active, bucket, rbucket
                         )
-                        buf = jnp.array(
-                            slot["buf"][: slot["fixed_words"] + B * bucket],
-                            copy=True,
-                        )
+                        prefix = pack_plan_silk(slot, bucket, rbucket)
+                        buf = jnp.array(slot["buf"][:prefix], copy=True)
                     else:
                         step = self._mixed_serving_step(lm, pf_chunk, pf_active)
                         buf = jnp.array(slot["buf"], copy=True)

@@ -659,7 +659,8 @@ def make_serving_step(lm: int, batch: int, channels: int = 2, downsample: int = 
 def make_plan_serving_step(lm: int, batch: int, channels: int = 2,
                            downsample: int = 1, pf_chunk: int = _CHUNK,
                            pf_active: bool = True, arena_words: int = 0,
-                           with_plc: bool = False, silk_mix: bool = False):
+                           with_plc: bool = False, silk_mix: bool = False,
+                           silk_rows: int = 0):
     """Serving step over a plan-executor slot (opus_tpu/dsp/plan_exec.py).
 
     Same contract as make_serving_step, but the uploaded buffer holds
@@ -668,11 +669,15 @@ def make_plan_serving_step(lm: int, batch: int, channels: int = 2,
     instead of a packed spectrum; the band spectra are rebuilt on device
     by the plan executor before the shared synthesis core runs.
 
-    silk_mix=True adds the mixed pipeline's SILK int16 PCM region between
-    the fixed regions and the arena (frontend.alloc_plan_slots
-    silk_words); the core mixes it after synthesis (decoder.rs:722-729).
-    Mixed losses need no device PLC: plane A conceals SILK exactly and
-    emits the CELT concealment as plan noise leaves.
+    silk_mix=True adds the mixed pipeline's SILK PCM: an smap [B] word in
+    the fixed regions maps each stream to a row of the COMPACTED int16
+    PCM block that rides after the arena bucket (silk_rows rows, a
+    static bucket; frontend.compact_plan_silk / pack_plan_silk).  The
+    device expands rows with a one-hot matmul — an out-of-range smap
+    (CELT-only streams) selects the zero row — and the core mixes the
+    result after synthesis (decoder.rs:722-729).  Mixed losses need no
+    device PLC: plane A conceals SILK exactly and emits the CELT
+    concealment as plan noise leaves.
 
     with_plc=True compiles the device pitch-regime loss concealment
     (opus_tpu/dsp/plc_exec.py) into the step: lost streams flagged in
@@ -697,8 +702,10 @@ def make_plan_serving_step(lm: int, batch: int, channels: int = 2,
     o_dmeta = o_ble + B * NBv
     o_bw0 = o_dmeta + B * 5
     o_beff = o_bw0 + B * NBv
-    o_silk = o_beff + B * 8
-    o_arena = o_silk + B * silk_words
+    o_smap = o_beff + B * 8
+    o_arena = o_smap + (B if silk_mix else 0)
+    # compacted silk rows land right after this step's arena bucket
+    o_srows = o_arena + B * arena_words
     executor = make_plan_executor(lm, batch)
     core = _make_serving_core(lm, batch, channels, downsample, pf_chunk,
                               pf_active, silk_mix)
@@ -750,17 +757,29 @@ def make_plan_serving_step(lm: int, batch: int, channels: int = 2,
             axis=1,
         )
         bands = jnp.concatenate(
-            [buf[o_bw0:o_beff].reshape(B, NBv), buf[o_beff:o_silk].reshape(B, 8)],
+            [buf[o_bw0:o_beff].reshape(B, NBv), buf[o_beff:o_smap].reshape(B, 8)],
             axis=1,
         )
         silk = None
-        if silk_mix:
-            silk = jax.lax.bitcast_convert_type(
-                buf[o_silk:o_arena].reshape(B, silk_words), jnp.int16
-            ).reshape(B, 2 * silk_words)[:, : n_ * channels].reshape(
-                B, n_, channels
+        if silk_mix and silk_rows > 0:
+            # Expand the compacted rows: smap one-hot rides the MXU
+            # (int16 magnitudes < 2^24 are exact in f32 accumulation);
+            # out-of-range smap (CELT-only streams) selects no row.
+            srows = jax.lax.bitcast_convert_type(
+                buf[o_srows : o_srows + silk_rows * silk_words
+                    ].reshape(silk_rows, silk_words), jnp.int16
+            ).reshape(silk_rows, 2 * silk_words)[:, : n_ * channels]
+            smap = buf[o_smap:o_arena]
+            oh = (smap[:, None] == jnp.arange(silk_rows)[None, :]).astype(
+                jnp.float32
             )
-        arena = buf[o_arena:]
+            silk = jnp.einsum(
+                "br,rk->bk", oh, srows.astype(jnp.float32),
+                preferred_element_type=jnp.float32, precision="highest",
+            ).reshape(B, n_, channels)
+        elif silk_mix:
+            silk = jnp.zeros((B, n_, channels), jnp.float32)
+        arena = buf[o_arena : o_arena + B * arena_words] if silk_mix else buf[o_arena:]
         return header, ble, meta, gains, bands, silk, arena
 
     if not with_plc:

