@@ -404,12 +404,19 @@ class BatchedOpusDecoder:
         if (int((counts & 0x1FF).max(initial=0)) > 192
                 or int(((counts >> 9) & 0x1FF).max(initial=0)) > 64
                 or int((counts >> 18).max(initial=0)) > 42):
-            raise OverflowError("plan leaf count exceeds executor capacity")
+            # celt_fe_plan_headers enforces these transactionally; see
+            # frontend.decode_batch_plan_into on why this must be loud.
+            raise RuntimeError(
+                "native plan guard missed a capacity the executor needs"
+            )
         from ..native.frontend import (
             check_plan_iy_span, compact_plan_silk, pack_plan_fixed,
         )
 
-        check_plan_iy_span(slot)
+        try:
+            check_plan_iy_span(slot)
+        except OverflowError as e:
+            raise RuntimeError(f"native plan guard missed: {e}") from None
         pack_plan_fixed(slot)
         compact_plan_silk(slot, frame48 * self.channels)
         slot["used_words"] = slot["fixed_words"] + int(used.value)

@@ -212,6 +212,15 @@ class BatchedCeltDecoder:
         """Plan-executor serving loop: same single-upload/single-execute
         shape as serve(), but the upload is the plan slot's used prefix
         (bucketed) and the device rebuilds spectra before synthesis."""
+        if frame_size * self.downsample < 480:
+            # 2.5/5 ms frames have n<=2 bands, which plan mode rejects
+            # (every step would overflow-fall-back anyway): serve the
+            # packed spectral path directly.
+            prev, self.transfer = self.transfer, "p10"
+            try:
+                return self.serve(batches, frame_size, n_slots, stream_channels)
+            finally:
+                self.transfer = prev
         if not hasattr(self, "_plan_slots") or len(self._plan_slots) != n_slots:
             self._plan_slots = self.native.alloc_plan_slots(
                 n_slots, self.PLAN_BUCKETS[-1]

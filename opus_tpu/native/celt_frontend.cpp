@@ -1996,6 +1996,12 @@ int celt_fe_decode_lost(void* h, int frame_size48, float* x_out,
                              meta, pf_gains);
 }
 
+// POD state copy-in/out, for transactional plan attempts across TUs
+// (opus_frontend.cpp restores state when a plan batch falls back).
+int celt_fe_state_bytes() { return (int)sizeof(FrontEnd); }
+void celt_fe_state_get(void* h, void* buf) { std::memcpy(buf, h, sizeof(FrontEnd)); }
+void celt_fe_state_set(void* h, const void* buf) { std::memcpy(h, buf, sizeof(FrontEnd)); }
+
 }  // extern "C"
 
 extern "C" {
@@ -2257,6 +2263,16 @@ int celt_fe_decode_batch_plan(void** handles, const uint8_t* data, const int32_t
     std::vector<int64_t> offs(n_packets + 1, 0);
     for (int i = 0; i < n_packets; i++) offs[i + 1] = offs[i] + lens[i];
     auto& sinks = plan_sinks(n_packets);
+    // Transactional: a failed plan attempt (decode error OR capacity
+    // overflow) must leave decoder state untouched — the serve loop
+    // falls back to a spectral decode of the SAME packets, and a second
+    // state update would corrupt energy prediction for every later
+    // frame.  FrontEnd is a small POD; snapshot all streams up front.
+    std::vector<FrontEnd> snap(n_packets);
+    for (int i = 0; i < n_packets; i++) snap[i] = *(FrontEnd*)handles[i];
+    auto restore_all = [&]() {
+        for (int i = 0; i < n_packets; i++) *(FrontEnd*)handles[i] = snap[i];
+    };
     int bad = 0;
 #pragma omp parallel
     {
@@ -2285,7 +2301,15 @@ int celt_fe_decode_batch_plan(void** handles, const uint8_t* data, const int32_t
             }
             if (rc != 0 || sink.overflow) {
 #pragma omp critical
-                bad = i + 1;
+                // Plan-capacity overflow on a VALID frame (e.g. the n<=2
+                // bands of 2.5/5 ms frames, or leaf/arena limits) must
+                // surface as the fallback signal, not a decode error —
+                // the serve loop then ships this step as a p10 spectrum.
+                if (rc == 0 && sink.overflow) {
+                    if (bad == 0) bad = -(n_packets + 1);
+                } else {
+                    bad = i + 1;
+                }
             } else {
                 for (int j = 0; j < 3; j++) gains_out[i * 3 + j] = (float)g[j];
                 for (int j = 0; j < NB_E_BANDS; j++) {
@@ -2300,7 +2324,8 @@ int celt_fe_decode_batch_plan(void** handles, const uint8_t* data, const int32_t
             }
         }
     }
-    if (bad) return -bad;
+    if (bad > 0) { restore_all(); return -bad; }  // decode error at stream bad-1
+    if (bad < 0) { restore_all(); return bad; }   // plan overflow -> caller falls back
     // Serial prefix over per-stream arena sizes.
     int64_t total = 0;
     for (int i = 0; i < n_packets; i++) {
@@ -2309,13 +2334,21 @@ int celt_fe_decode_batch_plan(void** handles, const uint8_t* data, const int32_t
         int nf = (int)sink.fills.size();
         int na = (int)sink.acents.size() / 2;
         int aw = sink.arena_words();
+        // jit executor capacities (plan_exec.py p_max/f_max/a_max and
+        // PLAN_IYW): exceeding any is a fallback, with state restored.
+        int64_t iyb = 0;
+        for (auto& lf : sink.pvq) iyb += (int64_t)lf.n * lf.w;
+        if (np > 192 || nf > 64 || na > 42 || (iyb + 31) / 32 > 191) {
+            restore_all();
+            return -(n_packets + 1);
+        }
         header[i * 4 + 0] = (int32_t)total;
         header[i * 4 + 1] = np | (nf << 9) | (na << 18);  // packed counts
         header[i * 4 + 2] = na;
         header[i * 4 + 3] = sink.iy_rel_words();  // iy offset rel to arena_off
         total += aw;
     }
-    if (total > arena_words) return -(n_packets + 1);
+    if (total > arena_words) { restore_all(); return -(n_packets + 1); }
     *used_words_out = total;
 #pragma omp parallel for schedule(dynamic, 8)
     for (int i = 0; i < n_packets; i++)
@@ -2369,6 +2402,13 @@ int64_t celt_fe_plan_headers(int n, int32_t* header, int64_t arena_words) {
         int np = (int)sink.pvq.size();
         int nf = (int)sink.fills.size();
         int na = (int)sink.acents.size() / 2;
+        // The jit executor's table capacities (plan_exec.py
+        // make_plan_executor p_max/f_max/a_max and PLAN_IYW): exceeding
+        // any of them is a fallback signal, checked HERE so the caller
+        // can restore decoder state before re-decoding spectrally.
+        int64_t iyb = 0;
+        for (auto& lf : sink.pvq) iyb += (int64_t)lf.n * lf.w;
+        if (np > 192 || nf > 64 || na > 42 || (iyb + 31) / 32 > 191) return -1;
         header[i * 4 + 0] = (int32_t)total;
         header[i * 4 + 1] = np | (nf << 9) | (na << 18);
         header[i * 4 + 2] = na;

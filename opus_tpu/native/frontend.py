@@ -369,9 +369,18 @@ class NativeBatchFrontEnd:
         if (int((counts & 0x1FF).max(initial=0)) > 192
                 or int(((counts >> 9) & 0x1FF).max(initial=0)) > 64
                 or int((counts >> 18).max(initial=0)) > 42):
-            # jit executor's table capacities (make_plan_executor p/f/a_max)
-            raise OverflowError("plan leaf count exceeds executor capacity")
-        check_plan_iy_span(slot)
+            # The native header pass enforces these SAME capacities
+            # transactionally (state restored before the OverflowError
+            # surfaces).  Reaching here means the two sides disagree —
+            # decoder state is already advanced, so a fallback re-decode
+            # would corrupt it: fail loudly instead.
+            raise RuntimeError(
+                "native plan guard missed a capacity the executor needs"
+            )
+        try:
+            check_plan_iy_span(slot)
+        except OverflowError as e:
+            raise RuntimeError(f"native plan guard missed: {e}") from None
         self._pack_plan_fixed(slot)
         slot["used_words"] = slot["fixed_words"] + int(used.value)
         slot["xdbg"] = xdbg

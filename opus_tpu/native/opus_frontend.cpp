@@ -42,9 +42,15 @@ int celt_fe_plan_lost(void* h, int frame_size48, int sink_idx, float* ble_out,
 int64_t celt_fe_plan_headers(int n, int32_t* header, int64_t arena_words);
 void celt_fe_plan_pack(int n, int32_t* arena, const int32_t* header);
 void celt_fe_plan_bands(int sink_idx, int32_t* bands_out);
+int celt_fe_state_bytes();
+void celt_fe_state_get(void* h, void* buf);
+void celt_fe_state_set(void* h, const void* buf);
 // silk_frontend.cpp
 void* silk_dec_create();
 void silk_dec_destroy(void* h);
+void* silk_dec_clone(void* h);
+void silk_dec_restore(void* h, void* snap);
+void silk_dec_clone_free(void* snap);
 int silk_dec_run(void* h, opusfe::RangeDec* dec, int internal_khz, int payload_ms,
                  int nci, int nca, int fs_api_hz, int16_t* out);
 int silk_dec_conceal(void* h, int internal_khz, int payload_ms,
@@ -290,6 +296,33 @@ int opus_fe_decode_batch_plan(void** handles, const uint8_t* data, const int32_t
     std::vector<int64_t> offs(n + 1, 0);
     for (int i = 0; i < n; i++) offs[i + 1] = offs[i] + lens[i];
     celt_fe_plan_prepare(n);
+    // Transactional: any failure (decode error, mode switch, plan
+    // capacity) makes the caller re-decode the SAME packets through the
+    // packed path, so the attempt must not advance decoder state.
+    const int cb = celt_fe_state_bytes();
+    std::vector<uint8_t> celt_snap((size_t)n * cb);
+    std::vector<void*> silk_snap(n);
+    std::vector<OpusFE> fe_snap(n);
+    for (int i = 0; i < n; i++) {
+        OpusFE* st = (OpusFE*)handles[i];
+        fe_snap[i] = *st;
+        celt_fe_state_get(st->celt, celt_snap.data() + (size_t)i * cb);
+        silk_snap[i] = silk_dec_clone(st->silk);
+    }
+    auto finish = [&](bool restore) {
+        for (int i = 0; i < n; i++) {
+            OpusFE* st = (OpusFE*)handles[i];
+            if (restore) {
+                void *c = st->celt, *s = st->silk;
+                celt_fe_state_set(c, celt_snap.data() + (size_t)i * cb);
+                silk_dec_restore(s, silk_snap[i]);
+                *st = fe_snap[i];
+                st->celt = c;
+                st->silk = s;
+            }
+            silk_dec_clone_free(silk_snap[i]);
+        }
+    };
     int bad = 0;
 #pragma omp parallel for schedule(dynamic, 8)
     for (int i = 0; i < n; i++) {
@@ -379,11 +412,12 @@ int opus_fe_decode_batch_plan(void** handles, const uint8_t* data, const int32_t
             bad = i + 1;
         }
     }
-    if (bad) return -bad;
+    if (bad) { finish(true); return -bad; }
     int64_t total = celt_fe_plan_headers(n, header, arena_words);
-    if (total < 0) return -(n + 1);
+    if (total < 0) { finish(true); return -(n + 1); }
     *used_words_out = total;
     celt_fe_plan_pack(n, arena, header);
+    finish(false);
     return n;
 }
 

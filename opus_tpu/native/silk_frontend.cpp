@@ -1783,6 +1783,13 @@ extern "C" {
 void* silk_dec_create() { return new SilkDriver(); }
 void silk_dec_destroy(void* h) { delete (SilkDriver*)h; }
 
+// Deep-copy snapshot/restore (SilkDriver is value-copyable: its only
+// heap member is exc_q14, and table pointers reference statics) — used
+// by opus_frontend.cpp to make plan attempts transactional.
+void* silk_dec_clone(void* h) { return new SilkDriver(*(SilkDriver*)h); }
+void silk_dec_restore(void* h, void* snap) { *(SilkDriver*)h = *(SilkDriver*)snap; }
+void silk_dec_clone_free(void* snap) { delete (SilkDriver*)snap; }
+
 int silk_dec_run(void* h, opusfe::RangeDec* dec, int internal_khz, int payload_ms,
                  int nci, int nca, int fs_api_hz, int16_t* out) {
     return silk_driver_decode(*(SilkDriver*)h, *dec, internal_khz, payload_ms,

@@ -194,3 +194,13 @@ def test_mixed_plan_silk_compaction():
     prefix = pack_plan_silk(slot, 64, rb)
     assert prefix == slot["fixed_words"] + B * 64 + rb * sw
     assert rb < B  # the compacted upload is genuinely smaller than B rows
+
+
+def test_mixed_plan_real_overflow_transactional():
+    """Genuine plan-capacity overflow in the MIXED loop (320 kbps CELT
+    members) must restore native state (CELT + SILK) before the packed
+    re-decode of the same step."""
+    # tol: overflow steps re-decode as q14 spectra, whose quantisation
+    # error scales with the dense 320 kbps content (~1.1e-3 on frame 0,
+    # before any state is even carried).
+    _run(["celt", "silk", "hybrid", "celt"], nf=6, celt_kbps=320, tol=3e-3)

@@ -584,3 +584,37 @@ def test_plan_iy_span_guard():
             check_plan_iy_span(slot)
     finally:
         pe.PLAN_IYW = old
+
+
+def test_plan_serve_real_overflow_transactional():
+    """Content that genuinely overflows plan capacities (320 kbps stereo:
+    iy spans and arena both blow the caps) must fall back per step
+    WITHOUT corrupting decoder state: the failed plan attempt restores
+    the native state before the spectral re-decode (a round-3 bug made
+    every post-overflow frame diverge by ~0.26 max-abs)."""
+    from opus_tpu.batch.pipeline import BatchedCeltDecoder
+
+    B, FRAME, NF = 4, 960, 6
+    payloads = _payloads(2, FRAME, 320, nframes=NF)
+    ref = BatchedCeltDecoder(B, 2, use_native=True, transfer="f32")
+    if not ref.use_native:
+        pytest.skip("native engine not built")
+    plan = BatchedCeltDecoder(B, 2, use_native=True, transfer="plan")
+    worst = 0.0
+    for f in range(NF):
+        want = ref.decode_frames([payloads[f]] * B, FRAME)[0]
+        plan.serve([[payloads[f]] * B], FRAME)
+        got = np.asarray(plan._serve_ring)[0]
+        worst = max(worst, float(np.abs(got - want).max()))
+    assert worst < 4e-3, worst
+
+    # 2.5 ms frames (n<=2 bands, plan mode unsupported) route to the
+    # packed loop up front instead of overflow-falling-back every step.
+    pay240 = _payloads(2, 240, 64, nframes=4)
+    ref2 = BatchedCeltDecoder(B, 2, use_native=True, transfer="f32")
+    plan2 = BatchedCeltDecoder(B, 2, use_native=True, transfer="plan")
+    for f in range(4):
+        want = ref2.decode_frames([pay240[f]] * B, 240)[0]
+        plan2.serve([[pay240[f]] * B], 240)
+        got = np.asarray(plan2._serve_ring)[0]
+        assert float(np.abs(got - want).max()) < 4e-3
