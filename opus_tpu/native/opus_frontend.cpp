@@ -48,9 +48,8 @@ void celt_fe_state_set(void* h, const void* buf);
 // silk_frontend.cpp
 void* silk_dec_create();
 void silk_dec_destroy(void* h);
-void* silk_dec_clone(void* h);
-void silk_dec_restore(void* h, void* snap);
-void silk_dec_clone_free(void* snap);
+void silk_dec_snapshot(void** handles_silk, int n);
+void silk_dec_restore_all(void** handles_silk, int n);
 int silk_dec_run(void* h, opusfe::RangeDec* dec, int internal_khz, int payload_ms,
                  int nci, int nca, int fs_api_hz, int16_t* out);
 int silk_dec_conceal(void* h, int internal_khz, int payload_ms,
@@ -300,28 +299,30 @@ int opus_fe_decode_batch_plan(void** handles, const uint8_t* data, const int32_t
     // capacity) makes the caller re-decode the SAME packets through the
     // packed path, so the attempt must not advance decoder state.
     const int cb = celt_fe_state_bytes();
-    std::vector<uint8_t> celt_snap((size_t)n * cb);
-    std::vector<void*> silk_snap(n);
-    std::vector<OpusFE> fe_snap(n);
+    static std::vector<uint8_t> celt_snap;
+    static std::vector<void*> silk_handles;
+    static std::vector<OpusFE> fe_snap;
+    celt_snap.resize((size_t)n * cb);
+    silk_handles.resize(n);
+    fe_snap.resize(n);
     for (int i = 0; i < n; i++) {
         OpusFE* st = (OpusFE*)handles[i];
         fe_snap[i] = *st;
         celt_fe_state_get(st->celt, celt_snap.data() + (size_t)i * cb);
-        silk_snap[i] = silk_dec_clone(st->silk);
+        silk_handles[i] = st->silk;
     }
+    silk_dec_snapshot(silk_handles.data(), n);
     auto finish = [&](bool restore) {
+        if (!restore) return;
         for (int i = 0; i < n; i++) {
             OpusFE* st = (OpusFE*)handles[i];
-            if (restore) {
-                void *c = st->celt, *s = st->silk;
-                celt_fe_state_set(c, celt_snap.data() + (size_t)i * cb);
-                silk_dec_restore(s, silk_snap[i]);
-                *st = fe_snap[i];
-                st->celt = c;
-                st->silk = s;
-            }
-            silk_dec_clone_free(silk_snap[i]);
+            void *c = st->celt, *s = st->silk;
+            celt_fe_state_set(c, celt_snap.data() + (size_t)i * cb);
+            *st = fe_snap[i];
+            st->celt = c;
+            st->silk = s;
         }
+        silk_dec_restore_all(silk_handles.data(), n);
     };
     int bad = 0;
 #pragma omp parallel for schedule(dynamic, 8)

@@ -1783,12 +1783,24 @@ extern "C" {
 void* silk_dec_create() { return new SilkDriver(); }
 void silk_dec_destroy(void* h) { delete (SilkDriver*)h; }
 
-// Deep-copy snapshot/restore (SilkDriver is value-copyable: its only
-// heap member is exc_q14, and table pointers reference statics) — used
-// by opus_frontend.cpp to make plan attempts transactional.
-void* silk_dec_clone(void* h) { return new SilkDriver(*(SilkDriver*)h); }
-void silk_dec_restore(void* h, void* snap) { *(SilkDriver*)h = *(SilkDriver*)snap; }
-void silk_dec_clone_free(void* snap) { delete (SilkDriver*)snap; }
+// Snapshot/restore into a reused pool (SilkDriver is value-copyable:
+// its only heap member is exc_q14, whose capacity copy-assignment
+// reuses, and table pointers reference statics) — used by
+// opus_frontend.cpp to make plan attempts transactional without
+// per-step heap churn.
+static std::vector<SilkDriver>& silk_snap_pool(int n) {
+    static std::vector<SilkDriver> pool;
+    if ((int)pool.size() < n) pool.resize(n);
+    return pool;
+}
+void silk_dec_snapshot(void** handles_silk, int n) {
+    auto& pool = silk_snap_pool(n);
+    for (int i = 0; i < n; i++) pool[i] = *(SilkDriver*)handles_silk[i];
+}
+void silk_dec_restore_all(void** handles_silk, int n) {
+    auto& pool = silk_snap_pool(n);
+    for (int i = 0; i < n; i++) *(SilkDriver*)handles_silk[i] = pool[i];
+}
 
 int silk_dec_run(void* h, opusfe::RangeDec* dec, int internal_khz, int payload_ms,
                  int nci, int nca, int fs_api_hz, int16_t* out) {
