@@ -136,9 +136,12 @@ def main() -> None:
     from opus_tpu import oracle, parse_packet
     from opus_tpu.batch.pipeline import BatchedCeltDecoder
 
-    BATCH = 1024
+    # BENCH_SMOKE=1: tiny shapes for a CPU logic check of every row
+    # (the reported numbers are then meaningless — CI/dev only).
+    smoke = os.environ.get("BENCH_SMOKE") == "1"
+    BATCH = 32 if smoke else 1024
     FRAME = 960  # 20 ms @ 48 kHz
-    STEPS = 12
+    STEPS = 4 if smoke else 12
     NSRC = 16
 
     # --- real libopus packets -----------------------------------------------
@@ -371,7 +374,7 @@ def main() -> None:
             raise TimeoutError("budget spent; skipping multistream section")
         from opus_tpu.batch.multistream_pipeline import BatchedMultistreamDecoder
 
-        MSB, streams, coupled, mch = 128, 5, 3, 8
+        MSB, streams, coupled, mch = (4 if smoke else 128), 5, 3, 8
         mapping = list(range(mch))
         mse = oracle.MultistreamEncoder(48000, mch, streams, coupled, mapping)
         mse.ctl(oracle.SET_BITRATE, 256000)
@@ -405,7 +408,7 @@ def main() -> None:
 
         off1 = packed_offsets(BATCH, "p10")
         b1 = slots[0]["buf"]
-        for Bx in (4096, 8192):
+        for Bx in ((64,) if smoke else (4096, 8192)):
             if _left() < 90:
                 raise TimeoutError("budget spent; skipping scaling section")
             reps = Bx // BATCH
