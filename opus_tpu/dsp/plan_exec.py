@@ -1152,10 +1152,13 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, f_max: int = 64,
         # ---- anti-collapse ----
         ap = jnp.arange(a_max)[None, :]
         avalid = ap < n_acents[:, None]
-        abase = (hdr_off[:, None] + pvq_words[:, None] + 3 * n_fill[:, None]
-                 + 2 * ap)
-        a0 = jnp.take(arena, jnp.clip(jnp.where(avalid, abase, 0), 0, amax))
-        a1 = jnp.take(arena, jnp.clip(jnp.where(avalid, abase + 1, 0), 0, amax))
+        arec = jnp.take(
+            arena,
+            jnp.clip((hdr_off + pvq_words + 3 * n_fill)[:, None]
+                     + jnp.arange(2 * a_max)[None, :], 0, amax),
+        ).reshape(B, a_max, 2)
+        a0 = jnp.where(avalid, arec[:, :, 0], jnp.uint32(0))
+        a1 = jnp.where(avalid, arec[:, :, 1], jnp.uint32(0))
         ab = (a0 & 0x1F).astype(jnp.int32)
         ach = ((a0 >> 5) & 1).astype(jnp.int32)
         amask = ((a0 >> 8) & 0xFF).astype(jnp.int32)
