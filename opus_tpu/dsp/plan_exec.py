@@ -797,12 +797,15 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, f_max: int = 64,
                            preferred_element_type=jnp.float32,
                            precision="highest")
         rsel = wloc & 15
-        w0f = jnp.zeros((B, n2, 2), jnp.float32)
-        w1f = jnp.zeros((B, n2, 2), jnp.float32)
-        for rr in range(16):
-            mrr = (rsel == rr)[:, :, None]
-            w0f = w0f + jnp.where(mrr, wpair[:, :, rr], 0.0)
-            w1f = w1f + jnp.where(mrr, wpair[:, :, rr + 1], 0.0)
+        OHr16 = (jnp.arange(16)[None, None, :] == rsel[:, :, None]).astype(
+            jnp.float32
+        )
+        w0f = jnp.einsum("bnr,bnrh->bnh", OHr16, wpair[:, :, 0:16, :],
+                         preferred_element_type=jnp.float32,
+                         precision="highest")
+        w1f = jnp.einsum("bnr,bnrh->bnh", OHr16, wpair[:, :, 1:17, :],
+                         preferred_element_type=jnp.float32,
+                         precision="highest")
         wordv = (w0f[..., 0].astype(jnp.uint32)
                  | (w0f[..., 1].astype(jnp.uint32) << 16))
         word1v = (w1f[..., 0].astype(jnp.uint32)
