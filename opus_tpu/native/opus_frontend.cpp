@@ -3,9 +3,12 @@
 // One handle per stream composes the CELT front end and the SILK driver
 // behind the shared range decoder (the defining Opus constraint,
 // /root/reference/src/decoder.rs:603/:711: SILK then CELT consume ONE
-// bitstream).  Handles SilkOnly / Hybrid / CeltOnly packets with steady
-// mode per stream; mode switches, redundancy frames, PLC and FEC belong
-// to the scalar path (opus_tpu.decoder) and are flagged, not guessed.
+// bitstream).  Handles SilkOnly / Hybrid / CeltOnly packets, PLC/FEC,
+// and (approximately) mode switches and redundancy frames: the incoming
+// codec's state resets at a switch and redundant CELT blocks are
+// parsed-and-skipped, so the serving session survives real traffic; the
+// 2.5-5 ms transition crossfades remain exact only in the scalar path
+// (opus_tpu.decoder) — see approx_mode_switch/skip_redundancy.
 //
 // Emits, per stream: the CELT symbol planes consumed by the batched TPU
 // synthesis step, plus SILK PCM at the API rate (bit-exact fixed-point
@@ -25,6 +28,7 @@ void celt_fe_pack_pw(const float* x, int n, int lm, int W, int32_t* dst, float* 
 void* celt_fe_create(int channels, int downsample);
 void celt_fe_destroy(void* h);
 void celt_fe_config(void* h, int start_band, int end_band, int disable_inv);
+void celt_fe_reset(void* h);
 uint32_t celt_fe_rng(void* h);
 int celt_fe_decode_ec(void* h, void* ec, int frame_bytes, int frame_size48,
                       int stream_channels, float* x_out, float* band_log_e_out,
@@ -48,6 +52,7 @@ void celt_fe_state_set(void* h, const void* buf);
 // silk_frontend.cpp
 void* silk_dec_create();
 void silk_dec_destroy(void* h);
+void silk_dec_reset(void* h);
 void silk_dec_snapshot(void** handles_silk, int n);
 void silk_dec_restore_all(void** handles_silk, int n);
 int silk_dec_run(void* h, opusfe::RangeDec* dec, int internal_khz, int payload_ms,
@@ -72,7 +77,80 @@ struct OpusFE {
     int prev_mode;  // -1 until the first frame
     int last_bw;    // ToC bandwidth of the last good frame (PLC params)
     int last_sch;   // coded channels of the last good frame
+    bool prev_redundancy = false;  // last frame carried a redundant CELT
+                                   // block (its decode warmed celt state,
+                                   // so the next switch must NOT reset)
 };
+
+// Approximate transition semantics for the batched paths.  The scalar
+// decoder.py keeps the EXACT libopus behaviour (2.5/5 ms crossfades and
+// the decoded 5 ms redundant CELT frame), which needs the CELT time
+// domain — device-resident here.  The batched approximation:
+//  * mode switch: reset the incoming codec's state and decode fresh
+//    (the same resets opus_decoder.c performs; only the short fade is
+//    missing, bounded to 2.5-5 ms at the switch boundary);
+//  * redundancy blocks: parse the flags/length and SKIP the redundant
+//    CELT frame, shrinking the range budget as the spec requires so
+//    the main content decodes identically (decoder.rs:626-656).
+static void approx_mode_switch(OpusFE* st, int mode) {
+    if (st->prev_mode >= 0 && mode != st->prev_mode) {
+        // decoder.py: a redundant block in the previous frame already
+        // warmed the celt state the new mode's bitstream predicts from.
+        if (mode != MODE_SILK && !st->prev_redundancy)
+            celt_fe_reset(st->celt);
+        if (mode != MODE_CELT && st->prev_mode == MODE_CELT)
+            silk_dec_reset(st->silk);
+    }
+}
+
+// Redundancy blocks are fully decoded for their CELT STATE effect (the
+// scalar path additionally crossfades their PCM — the only dropped
+// piece here), in the scalar decoder's exact order: celt_to_silk
+// redundancy BEFORE the main CELT decode with the current state,
+// silk_to_celt redundancy AFTER it from a reset state (warming the
+// energy prediction the NEXT frame's bitstream was coded against).
+struct RedInfo {
+    bool present = false;
+    bool celt_to_silk = false;
+    int len_eff = 0;  // main-frame bytes for the following CELT decode
+    int bytes = 0;
+    uint32_t rng = 0;
+};
+
+static RedInfo parse_redundancy(opusfe::RangeDec& dec, int mode, int len) {
+    RedInfo r;
+    r.len_eff = len;
+    if (dec.tell() + 17 + (mode == MODE_HYBRID ? 20 : 0) > 8 * len) return r;
+    int redundancy = mode == MODE_HYBRID ? (int)dec.decode_bit_logp(12) : 1;
+    if (!redundancy) return r;
+    r.celt_to_silk = (bool)dec.decode_bit_logp(1);
+    int64_t red = mode == MODE_HYBRID ? (int64_t)dec.decode_uint(256) + 2
+                                      : (int64_t)len - ((dec.tell() + 7) >> 3);
+    int64_t len_eff = (int64_t)len - red;
+    if (len_eff * 8 < dec.tell()) return r;  // corrupt; not normative
+    dec.storage = (int)len_eff;  // hide the tail from the raw-bit reader
+    r.present = true;
+    r.len_eff = (int)len_eff;
+    r.bytes = (int)red;
+    return r;
+}
+
+// Decode the 5 ms redundant CELT frame (payload tail) to advance state.
+static void decode_redundant(OpusFE* st, const uint8_t* payload, RedInfo& r,
+                             int bw, int sch) {
+    if (!r.present) return;
+    if (!r.celt_to_silk) celt_fe_reset(st->celt);
+    celt_fe_config(st->celt, 0, CELT_END_BAND[bw], -1);
+    static thread_local std::vector<float> xscr(2 * 240);
+    float blescr[2 * 21];
+    int32_t metascr[16];
+    double gscr[3];
+    opusfe::RangeDec rdec;
+    rdec.init(payload + r.len_eff, r.bytes);
+    int rc = celt_fe_decode_ec(st->celt, &rdec, r.bytes, 240, sch,
+                               xscr.data(), blescr, metascr, gscr);
+    if (rc == 0) r.rng = rdec.rng;
+}
 
 // "Silent spectra" meta row: the device step's bound mask zeroes the
 // CELT plane for this stream.
@@ -122,9 +200,10 @@ uint32_t opus_fe_celt_rng(void* h) { return celt_fe_rng(((OpusFE*)h)->celt); }
 // Outputs: CELT planes (x/ble/meta/pf_gains, untouched for silk-only
 // except meta), silk48 (interleaved int16 at 48 kHz, API channels;
 // zeroed for celt-only), final_range.
-// Returns 0, or: -10 mode switch, -11 hybrid redundancy frame,
-// -12 silk-only trailing redundancy (all = use the scalar path),
-// other negatives = codec error.
+// Returns 0 or a negative codec error.  Mode switches reset the
+// incoming codec's state (approx_mode_switch); redundancy blocks are
+// parsed and skipped (skip_redundancy) — both approximations bounded
+// to the 2.5-5 ms crossfade the scalar path performs exactly.
 int opus_fe_decode(void* h, const uint8_t* payload, int len, int mode, int bw,
                    int frame48, int sch, float* x_out, float* ble_out,
                    int32_t* meta, float* pf_gains_out, int16_t* silk48,
@@ -166,13 +245,14 @@ int opus_fe_decode(void* h, const uint8_t* payload, int len, int mode, int bw,
         return 0;
     }
     if (len < 1 || len > 1275 || bw < 0 || bw > 4) return -1;
-    if (st->prev_mode >= 0 && mode != st->prev_mode) return -10;
+    approx_mode_switch(st, mode);
     st->prev_mode = mode;
     st->last_bw = bw;
     st->last_sch = sch;
 
     opusfe::RangeDec dec;
     dec.init(payload, len);
+    RedInfo red;
 
     if (mode != MODE_CELT) {
         int khz = mode == MODE_HYBRID ? 16 : (bw == 0 ? 8 : bw == 1 ? 12 : 16);
@@ -181,22 +261,17 @@ int opus_fe_decode(void* h, const uint8_t* payload, int len, int mode, int bw,
         if (mode == MODE_HYBRID && ms > 20) return -3;
         int rc = silk_dec_run(st->silk, &dec, khz, ms, sch, cc, 48000, silk48);
         if (rc != 0) return rc;
-        // Redundancy budget rule (decoder.rs:626-656 / opus_decoder.c).
-        if (mode == MODE_HYBRID) {
-            if (dec.tell() + 17 + 20 <= 8 * len) {
-                if (dec.decode_bit_logp(12)) return -11;
-            }
-        } else if (dec.tell() + 17 <= 8 * len) {
-            return -12;  // SILK-only packets with spare bytes carry redundancy
-        }
+        red = parse_redundancy(dec, mode, len);
+        if (red.celt_to_silk) decode_redundant(st, payload, red, bw, sch);
     } else {
         std::memset(silk48, 0, (size_t)frame48 * cc * sizeof(int16_t));
+        red.len_eff = len;
     }
 
     if (mode != MODE_SILK) {
         celt_fe_config(st->celt, mode == MODE_HYBRID ? 17 : 0, CELT_END_BAND[bw], -1);
         double g[3];
-        int rc = celt_fe_decode_ec(st->celt, &dec, len, frame48, sch, x_out,
+        int rc = celt_fe_decode_ec(st->celt, &dec, red.len_eff, frame48, sch, x_out,
                                    ble_out, meta, g);
         if (rc != 0) return rc;
         for (int j = 0; j < 3; j++) pf_gains_out[j] = (float)g[j];
@@ -217,7 +292,10 @@ int opus_fe_decode(void* h, const uint8_t* payload, int len, int mode, int bw,
         meta[12] = 0;
         pf_gains_out[0] = pf_gains_out[1] = pf_gains_out[2] = 0.0f;
     }
-    *final_range = dec.rng;
+    if (red.present && !red.celt_to_silk)
+        decode_redundant(st, payload, red, bw, sch);
+    st->prev_redundancy = red.present;
+    *final_range = dec.rng ^ red.rng;  // decoder.py range_final semantics
     return 0;
 }
 
@@ -360,14 +438,15 @@ int opus_fe_decode_batch_plan(void** handles, const uint8_t* data, const int32_t
             }
         } else if (lens[i] < 1 || lens[i] > 1275 || bws[i] < 0 || bws[i] > 4) {
             rc = -1;
-        } else if (st->prev_mode >= 0 && mode != st->prev_mode) {
-            rc = -10;
         } else {
+            approx_mode_switch(st, mode);
             st->prev_mode = mode;
             st->last_bw = bws[i];
             st->last_sch = schs[i];
             opusfe::RangeDec dec;
             dec.init(data + offs[i], lens[i]);
+            RedInfo red;
+            red.len_eff = lens[i];
             if (mode != MODE_CELT) {
                 int khz = mode == MODE_HYBRID
                               ? 16
@@ -378,13 +457,9 @@ int opus_fe_decode_batch_plan(void** handles, const uint8_t* data, const int32_t
                     rc = silk_dec_run(st->silk, &dec, khz, ms, schs[i], cc, 48000,
                                       silk48);
                 if (rc == 0) {
-                    if (mode == MODE_HYBRID) {
-                        if (dec.tell() + 17 + 20 <= 8 * lens[i] &&
-                            dec.decode_bit_logp(12))
-                            rc = -11;
-                    } else if (dec.tell() + 17 <= 8 * lens[i]) {
-                        rc = -12;
-                    }
+                    red = parse_redundancy(dec, mode, lens[i]);
+                    if (red.celt_to_silk)
+                        decode_redundant(st, data + offs[i], red, bws[i], schs[i]);
                 }
             } else {
                 std::memset(silk48, 0, (size_t)frame48 * cc * sizeof(int16_t));
@@ -392,14 +467,19 @@ int opus_fe_decode_batch_plan(void** handles, const uint8_t* data, const int32_t
             if (rc == 0 && mode != MODE_SILK) {
                 celt_fe_config(st->celt, mode == MODE_HYBRID ? 17 : 0,
                                CELT_END_BAND[bws[i]], -1);
-                rc = celt_fe_decode_ec_plan(st->celt, &dec, lens[i], frame48,
+                rc = celt_fe_decode_ec_plan(st->celt, &dec, red.len_eff, frame48,
                                             schs[i], i, ble, meta, g);
             } else if (rc == 0) {
                 std::memset(ble, 0, 2 * 21 * sizeof(float));
                 silent_celt_meta(frame48, schs[i], meta, gains);
                 celt_fe_plan_clear(i);
             }
-            if (rc == 0) ranges[i] = dec.rng;
+            if (rc == 0) {
+                if (red.present && !red.celt_to_silk)
+                    decode_redundant(st, data + offs[i], red, bws[i], schs[i]);
+                st->prev_redundancy = red.present;
+                ranges[i] = dec.rng ^ red.rng;
+            }
         }
         if (rc == 0) {
             for (int j = 0; j < 3; j++) gains[j] = (float)g[j];

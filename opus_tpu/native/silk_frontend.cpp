@@ -1783,6 +1783,10 @@ extern "C" {
 void* silk_dec_create() { return new SilkDriver(); }
 void silk_dec_destroy(void* h) { delete (SilkDriver*)h; }
 
+// Full decoder reset (CELT->SILK mode switch: the SILK state is stale —
+// opus_decoder.c resets the silk layer before decoding the new mode).
+void silk_dec_reset(void* h) { *(SilkDriver*)h = SilkDriver(); }
+
 // Snapshot/restore into a reused pool (SilkDriver is value-copyable:
 // its only heap member is exc_q14, whose capacity copy-assignment
 // reuses, and table pointers reference statics) — used by

@@ -204,3 +204,48 @@ def test_mixed_plan_real_overflow_transactional():
     # error scales with the dense 320 kbps content (~1.1e-3 on frame 0,
     # before any state is even carried).
     _run(["celt", "silk", "hybrid", "celt"], nf=6, celt_kbps=320, tol=3e-3)
+
+
+def test_mixed_serve_survives_mode_switches():
+    """Real traffic switches modes (voice<->music).  The batched paths
+    approximate libopus's transitions — incoming-codec reset + redundant
+    CELT blocks decoded for their STATE effect (opus_frontend.cpp
+    approx_mode_switch/decode_redundant) — so the serving session
+    survives and re-converges to the scalar decoder within ~2 frames;
+    only the 2.5-5 ms crossfade PCM differs AT the switch (the scalar
+    path keeps the exact fades)."""
+    from opus_tpu.batch.opus_pipeline import BatchedOpusDecoder
+
+    nf = 16
+    rng = np.random.default_rng(4)
+    t = np.arange(F * nf) / 48000.0
+    ph = np.cumsum(2 * np.pi * (130 + 25 * np.sin(2 * np.pi * 2.5 * t)) / 48000.0)
+    voice = (0.3 * np.sign(np.sin(ph)) + 0.02 * rng.standard_normal(t.size))
+    music = 0.4 * np.sin(2 * np.pi * 440 * t) + 0.2 * np.sin(2 * np.pi * 1763 * t)
+    mix = np.where((np.arange(t.size) // (F * 4)) % 2 == 0, music, voice)
+    pcm2 = np.stack([mix, 0.8 * np.roll(mix, 9)], -1).astype(np.float32)
+
+    enc = oracle.Encoder(48000, 2)
+    enc.ctl(oracle.SET_BITRATE, 64000)
+    seq = ([oracle.MODE_CELT_ONLY] * 4 + [oracle.MODE_SILK_ONLY] * 4
+           + [oracle.MODE_HYBRID] * 4 + [oracle.MODE_CELT_ONLY] * 4)
+    pkts = []
+    for f in range(nf):
+        enc.ctl(oracle.SET_FORCE_MODE, seq[f])
+        pkts.append(enc.encode_float(
+            np.ascontiguousarray(pcm2[f * F : (f + 1) * F]).ravel(), F))
+
+    d = Decoder()
+    refs = [np.asarray(d.decode_float(p, F)).reshape(F, 2) for p in pkts]
+    switch_adjacent = {f for f in range(nf)
+                       for s in (4, 8, 12) if s <= f < s + 2}
+
+    for mode in ("p10", "plan"):
+        dec = BatchedOpusDecoder(2, 2, transfer=mode)
+        for f in range(nf):
+            dec.serve([[pkts[f]] * 2])  # must not raise at any switch
+            err = float(np.abs(np.asarray(dec._serve_ring)[0] - refs[f]).max())
+            if f in switch_adjacent:
+                assert err < 0.5, (mode, f, err)  # missing fade, bounded
+            else:
+                assert err < 2e-3, (mode, f, err)  # re-converged
