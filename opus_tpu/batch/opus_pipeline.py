@@ -9,13 +9,15 @@ the shared range coder for hybrid — and one jitted device step per
 batch and mixes the SILK PCM in (decoder.rs:722-729 semantics).
 
 Fast-path contract (steady-state serving): one Opus frame per packet
-(code 0/1 single-frame), no mode switches mid-stream, no redundancy
-frames, no FEC.  Streams that violate it raise with the stream index so
-the caller can route them to the scalar opus_tpu.Decoder.  Packet LOSS
-is handled in plane A: pass None for a lost packet and the native layer
-conceals it from the stream's decoder state (exact silk/PLC.c + CNG.c
-port for SILK and hybrid, noise-regime CELT concealment for the CELT
-contribution — silk_frontend.cpp / opus_frontend.cpp).
+(code 0/1 single-frame) and uniform frame duration per step; violations
+raise with the stream index so the caller can route that stream to the
+scalar opus_tpu.Decoder.  Loss handling is plane-A native: pass None
+for a lost packet (PLC: exact silk/PLC.c + CNG.c port for SILK/hybrid,
+noise-regime CELT concealment) or ("fec", next_packet) to recover the
+lost frame from the next packet's SILK LBRR.  Mode switches and
+redundancy frames decode with approximate transitions (state resets +
+redundant-block decode for state; the 2.5-5 ms crossfades remain exact
+only in the scalar path — opus_frontend.cpp approx_mode_switch).
 """
 
 from __future__ import annotations
@@ -141,41 +143,15 @@ class BatchedOpusDecoder:
             self._steps[key] = make_opus_step(lm, short_blocks, self.channels, 1)
         return self._steps[key]
 
-    def _plane_a(self, packets: list[bytes]):
+    def _plane_a(self, packets: list):
         """ToC parse + one native batch call. Returns (frame48, slot)."""
         B = self.batch
         assert len(packets) == B
-        modes_np = np.zeros(B, np.int32)
-        bws = np.zeros(B, np.int32)
-        schs = np.zeros(B, np.int32)
-        payloads = []
-        frame48 = None
-        for i, pkt in enumerate(packets):
-            if pkt is None:  # lost: plane A conceals from the stream's state
-                payloads.append(b"")
-                continue
-            parsed = pkt_mod.parse_packet(pkt)
-            if parsed.frame_count != 1:
-                raise ValueError(f"stream {i}: multi-frame packets use the scalar path")
-            f48 = pkt_mod.query_packet_samples_per_frame(pkt, 48000)
-            if frame48 is None:
-                frame48 = f48
-            elif frame48 != f48:
-                raise ValueError("mixed frame durations in one step not supported")
-            modes_np[i] = _MODE_CODE[pkt_mod.query_packet_codec_mode(pkt)]
-            bws[i] = int(pkt_mod.query_packet_bandwidth(pkt)) - int(Bandwidth.NARROWBAND)
-            schs[i] = 2 if (pkt[0] & 0x4) else 1
-            payloads.append(pkt[parsed.payload_offset :])
-        if frame48 is None:  # every stream lost this step
-            frame48 = getattr(self, "_last_frame48", None)
-            if frame48 is None:
-                raise ValueError("a first step with every packet lost has no frame size")
-        self._last_frame48 = frame48
+        frame48, modes_np, bws, schs, payloads, lens = self._toc_arrays(packets)
 
         slot = self._slots[self._slot]
         self._slot = 1 - self._slot
         blob = b"".join(payloads)
-        lens = np.array([len(p) for p in payloads], np.int32)
         i32p = ctypes.POINTER(ctypes.c_int32)
         rc = self.lib.opus_fe_decode_batch(
             self.handles, blob, lens.ctypes.data_as(i32p), B,
@@ -238,17 +214,26 @@ class BatchedOpusDecoder:
 
     # --- packed single-upload serving loop --------------------------------
 
-    def _toc_arrays(self, packets: list[bytes]):
+    def _toc_arrays(self, packets: list):
+        """Per-stream ToC arrays for one step.  A packet entry may be
+        bytes (normal), None (loss -> PLC), or ("fec", bytes) — recover
+        the lost frame from that NEXT packet's SILK LBRR (lens goes
+        negative on the wire; opus_frontend.cpp convention)."""
         B = self.batch
         modes_np = np.zeros(B, np.int32)
         bws = np.zeros(B, np.int32)
         schs = np.zeros(B, np.int32)
+        lens = np.zeros(B, np.int32)
         payloads = []
         frame48 = None
         for i, pkt in enumerate(packets):
             if pkt is None:  # lost: plane A conceals from the stream's state
                 payloads.append(b"")
                 continue
+            fec = isinstance(pkt, tuple)
+            if fec:
+                kind, pkt = pkt
+                assert kind == "fec", kind
             parsed = pkt_mod.parse_packet(pkt)
             if parsed.frame_count != 1:
                 raise ValueError(f"stream {i}: multi-frame packets use the scalar path")
@@ -260,13 +245,15 @@ class BatchedOpusDecoder:
             modes_np[i] = _MODE_CODE[pkt_mod.query_packet_codec_mode(pkt)]
             bws[i] = int(pkt_mod.query_packet_bandwidth(pkt)) - int(Bandwidth.NARROWBAND)
             schs[i] = 2 if (pkt[0] & 0x4) else 1
-            payloads.append(pkt[parsed.payload_offset :])
+            pay = pkt[parsed.payload_offset :]
+            payloads.append(pay)
+            lens[i] = -len(pay) if fec else len(pay)
         if frame48 is None:  # every stream lost this step
             frame48 = getattr(self, "_last_frame48", None)
             if frame48 is None:
                 raise ValueError("a first step with every packet lost has no frame size")
         self._last_frame48 = frame48
-        return frame48, modes_np, bws, schs, payloads
+        return frame48, modes_np, bws, schs, payloads, lens
 
     def _alloc_mixed_slots(self, frame48: int, n_slots: int = 4) -> list:
         B = self.batch
@@ -294,11 +281,10 @@ class BatchedOpusDecoder:
 
     def _plane_a_packed(self, packets: list[bytes], slot: dict):
         B = self.batch
-        frame48, modes_np, bws, schs, payloads = self._toc_arrays(packets)
+        frame48, modes_np, bws, schs, payloads, lens = self._toc_arrays(packets)
         if frame48 != slot["frame48"]:
             raise ValueError("frame duration changed mid-serve")
         blob = b"".join(payloads)
-        lens = np.array([len(p) for p in payloads], np.int32)
         i32p = ctypes.POINTER(ctypes.c_int32)
         rcs = np.zeros(B, np.int32)
         rc = self.lib.opus_fe_decode_batch_packed(
@@ -366,11 +352,10 @@ class BatchedOpusDecoder:
         when the arena or executor capacities are exceeded (the serve loop
         falls back to the packed path for that step)."""
         B = self.batch
-        frame48, modes_np, bws, schs, payloads = self._toc_arrays(packets)
+        frame48, modes_np, bws, schs, payloads, lens = self._toc_arrays(packets)
         if frame48 != slot["frame48"]:
             raise ValueError("frame duration changed mid-serve")
         blob = b"".join(payloads)
-        lens = np.array([len(p) for p in payloads], np.int32)
         i32p = ctypes.POINTER(ctypes.c_int32)
         f32p = ctypes.POINTER(ctypes.c_float)
         rcs = np.zeros(B, np.int32)
@@ -433,6 +418,8 @@ class BatchedOpusDecoder:
         first = next((p for row in batches for p in row if p is not None), None)
         if first is None:
             raise ValueError("serve(): every packet in every step is lost")
+        if isinstance(first, tuple):  # ("fec", packet)
+            first = first[1]
         frame48 = pkt_mod.query_packet_samples_per_frame(first, 48000)
         if frame48 > 960:
             raise ValueError("serve() handles <=20 ms frames; use decode_frames")

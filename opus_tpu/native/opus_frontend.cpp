@@ -57,6 +57,8 @@ void silk_dec_snapshot(void** handles_silk, int n);
 void silk_dec_restore_all(void** handles_silk, int n);
 int silk_dec_run(void* h, opusfe::RangeDec* dec, int internal_khz, int payload_ms,
                  int nci, int nca, int fs_api_hz, int16_t* out);
+int silk_dec_run_fec(void* h, opusfe::RangeDec* dec, int internal_khz, int payload_ms,
+                     int nci, int nca, int fs_api_hz, int16_t* out);
 int silk_dec_conceal(void* h, int internal_khz, int payload_ms,
                      int nci, int nca, int fs_api_hz, int16_t* out);
 }
@@ -244,6 +246,41 @@ int opus_fe_decode(void* h, const uint8_t* payload, int len, int mode, int bw,
         }
         return 0;
     }
+    if (len < 0) {
+        // FEC: len = -(bytes) of the NEXT packet; recover the lost frame
+        // from its SILK LBRR (decoder.py decode(decode_fec=True): LBRR
+        // for the silk layer, loss concealment for any CELT layer).
+        len = -len;
+        if (len < 1 || len > 1275 || bw < 0 || bw > 4) return -1;
+        if (mode == MODE_CELT) {
+            // CELT has no FEC: identical to a plain loss.
+            return opus_fe_decode(h, payload, 0, mode, bw, frame48, sch, x_out,
+                                  ble_out, meta, pf_gains_out, silk48,
+                                  final_range);
+        }
+        approx_mode_switch(st, mode);
+        st->prev_mode = mode;
+        st->last_bw = bw;
+        st->last_sch = sch;
+        st->prev_redundancy = false;
+        opusfe::RangeDec dec;
+        dec.init(payload, len);
+        int khz = mode == MODE_HYBRID ? 16 : (bw == 0 ? 8 : bw == 1 ? 12 : 16);
+        int ms = frame48 / 48;
+        if (ms != 10 && ms != 20) return -3;
+        int rc = silk_dec_run_fec(st->silk, &dec, khz, ms, sch, cc, 48000, silk48);
+        if (rc != 0) return rc;
+        if (mode == MODE_HYBRID) {
+            double g[3];
+            rc = celt_fe_decode_lost(st->celt, frame48, x_out, ble_out, meta, g);
+            if (rc != 0) return rc;
+            for (int j = 0; j < 3; j++) pf_gains_out[j] = (float)g[j];
+        } else {
+            silent_celt_meta(frame48, sch, meta, pf_gains_out);
+        }
+        *final_range = dec.rng;
+        return 0;
+    }
     if (len < 1 || len > 1275 || bw < 0 || bw > 4) return -1;
     approx_mode_switch(st, mode);
     st->prev_mode = mode;
@@ -313,7 +350,9 @@ int opus_fe_decode_batch_packed(void** handles, const uint8_t* data, const int32
                                 float* ble_out, int32_t* meta_out, float* gains_out,
                                 uint32_t* ranges, int32_t* rcs) {
     std::vector<int64_t> offs(n + 1, 0);
-    for (int i = 0; i < n; i++) offs[i + 1] = offs[i] + lens[i];
+    // lens[i] < 0 marks an FEC entry of |lens[i]| bytes (decode the
+    // lost frame from that packet's SILK LBRR).
+    for (int i = 0; i < n; i++) offs[i + 1] = offs[i] + std::abs(lens[i]);
     int bad = 0;
 #pragma omp parallel
     {
@@ -371,7 +410,9 @@ int opus_fe_decode_batch_plan(void** handles, const uint8_t* data, const int32_t
                               int16_t* silk48_out, int64_t silk_stride,
                               uint32_t* ranges, int32_t* rcs) {
     std::vector<int64_t> offs(n + 1, 0);
-    for (int i = 0; i < n; i++) offs[i + 1] = offs[i] + lens[i];
+    // lens[i] < 0 marks an FEC entry of |lens[i]| bytes (decode the
+    // lost frame from that packet's SILK LBRR).
+    for (int i = 0; i < n; i++) offs[i + 1] = offs[i] + std::abs(lens[i]);
     celt_fe_plan_prepare(n);
     // Transactional: any failure (decode error, mode switch, plan
     // capacity) makes the caller re-decode the SAME packets through the
@@ -414,8 +455,9 @@ int opus_fe_decode_batch_plan(void** handles, const uint8_t* data, const int32_t
         double g[3] = {0.0, 0.0, 0.0};
         int rc = 0;
         int mode = modes[i];
-        if (lens[i] == 0) {
-            // Loss: conceal from the previous mode's state.
+        if (lens[i] == 0 || (lens[i] < 0 && mode == MODE_CELT)) {
+            // Loss (or FEC on a CELT-only stream — CELT has no FEC):
+            // conceal from the previous mode's state.
             ranges[i] = 0;
             int pm = st->prev_mode;
             if (pm != MODE_CELT)
@@ -436,7 +478,42 @@ int opus_fe_decode_batch_plan(void** handles, const uint8_t* data, const int32_t
                 silent_celt_meta(frame48, st->last_sch, meta, gains);
                 celt_fe_plan_clear(i);
             }
-        } else if (lens[i] < 1 || lens[i] > 1275 || bws[i] < 0 || bws[i] > 4) {
+        } else if (lens[i] < 0) {
+            // FEC: recover the lost frame from this (next) packet's SILK
+            // LBRR; the CELT layer concelas as a loss (it has no FEC).
+            int flen = -lens[i];
+            int pm = mode;  // the FEC packet's ToC mode
+            ranges[i] = 0;
+            if (flen > 1275 || bws[i] < 0 || bws[i] > 4) {
+                rc = -1;
+            } else {
+                approx_mode_switch(st, pm);
+                st->prev_mode = pm;
+                st->last_bw = bws[i];
+                st->last_sch = schs[i];
+                st->prev_redundancy = false;
+                opusfe::RangeDec dec;
+                dec.init(data + offs[i], flen);
+                int khz = pm == MODE_HYBRID
+                              ? 16
+                              : (bws[i] == 0 ? 8 : bws[i] == 1 ? 12 : 16);
+                int ms = frame48 / 48;
+                if (ms != 10 && ms != 20) rc = -3;
+                if (rc == 0)
+                    rc = silk_dec_run_fec(st->silk, &dec, khz, ms, schs[i], cc,
+                                          48000, silk48);
+                if (rc == 0) {
+                    if (pm == MODE_HYBRID) {
+                        rc = celt_fe_plan_lost(st->celt, frame48, i, ble, meta, g);
+                    } else {
+                        std::memset(ble, 0, 2 * 21 * sizeof(float));
+                        silent_celt_meta(frame48, schs[i], meta, gains);
+                        celt_fe_plan_clear(i);
+                    }
+                    if (rc == 0) ranges[i] = dec.rng;
+                }
+            }
+        } else if (lens[i] > 1275 || bws[i] < 0 || bws[i] > 4) {
             rc = -1;
         } else {
             approx_mode_switch(st, mode);
@@ -513,7 +590,9 @@ int opus_fe_decode_batch(void** handles, const uint8_t* data, const int32_t* len
                          int16_t* silk48_out, int64_t silk_stride,
                          uint32_t* ranges, int32_t* rcs) {
     std::vector<int64_t> offs(n + 1, 0);
-    for (int i = 0; i < n; i++) offs[i + 1] = offs[i] + lens[i];
+    // lens[i] < 0 marks an FEC entry of |lens[i]| bytes (decode the
+    // lost frame from that packet's SILK LBRR).
+    for (int i = 0; i < n; i++) offs[i + 1] = offs[i] + std::abs(lens[i]);
     int bad = 0;
 #pragma omp parallel for schedule(dynamic, 8)
     for (int i = 0; i < n; i++) {

@@ -1696,6 +1696,106 @@ static int silk_driver_decode(SilkDriver& d, RangeDec& dec, int internal_khz, in
     return dec.error ? -2 : 0;
 }
 
+// FEC: decode the LBRR frame of a <=20 ms payload in place of the lost
+// previous frame (api.py lost_flag=FLAG_DECODE_LBRR; single-frame
+// packets only — the serving path never carries 40/60 ms).  A channel
+// without LBRR conceals (api.py decode_frame's else branch), so a
+// packet with no LBRR at all degenerates to PLC.
+static int silk_driver_decode_lbrr(SilkDriver& d, RangeDec& dec, int internal_khz,
+                                   int payload_ms, int nci, int nca,
+                                   int fs_api_hz, int16_t* out) {
+    if (payload_ms > 20) return -3;
+    SilkState* cs = d.ch;
+    for (int n = 0; n < nci; n++) cs[n].n_frames_decoded = 0;
+    if (nci > d.n_channels_internal) cs[1] = SilkState();
+    int nb_subfr = payload_ms <= 10 ? 2 : 4;
+    for (int n = 0; n < nci; n++) {
+        cs[n].n_frames_per_packet = 1;
+        cs[n].nb_subfr = nb_subfr;
+        cs[n].set_fs(internal_khz);
+        if (d.rs[n].fs_in_khz != internal_khz || d.rs[n].fs_out_khz * 1000 != fs_api_hz)
+            d.rs[n].init(internal_khz * 1000, fs_api_hz);
+    }
+    if (nca == 2 && nci == 2 && (d.n_channels_api == 1 || d.n_channels_internal == 1)) {
+        d.stereo.pred_prev_q13[0] = d.stereo.pred_prev_q13[1] = 0;
+        d.stereo.s_side[0] = d.stereo.s_side[1] = 0;
+        d.rs[1] = d.rs[0];
+    }
+    d.n_channels_api = nca;
+    d.n_channels_internal = nci;
+
+    // Header flags (VAD + LBRR; fpp == 1 so no flag symbol follows).
+    for (int n = 0; n < nci; n++) {
+        cs[n].vad_flags[0] = dec.decode_bit_logp(1) ? 1 : 0;
+        cs[n].lbrr_flag = dec.decode_bit_logp(1) ? 1 : 0;
+    }
+    for (int n = 0; n < nci; n++) {
+        cs[n].lbrr_flags[0] = cs[n].lbrr_flags[1] = cs[n].lbrr_flags[2] = 0;
+        if (cs[n].lbrr_flag) cs[n].lbrr_flags[0] = 1;
+    }
+
+    int ms_pred_q13[2] = {0, 0};
+    int decode_only_middle = 0;
+    if (nci == 2) {
+        if (cs[0].lbrr_flags[0] == 1) {
+            stereo_decode_pred(dec, ms_pred_q13);
+            if (cs[1].lbrr_flags[0] == 0)
+                decode_only_middle = stereo_decode_mid_only(dec);
+        } else {
+            ms_pred_q13[0] = d.stereo.pred_prev_q13[0];
+            ms_pred_q13[1] = d.stereo.pred_prev_q13[1];
+        }
+    }
+    if (nci == 2 && decode_only_middle == 0 && d.prev_decode_only_middle == 1) {
+        SilkState& s = cs[1];
+        std::memset(s.out_buf, 0, sizeof(s.out_buf));
+        std::memset(s.s_lpc_q14, 0, sizeof(s.s_lpc_q14));
+        s.lag_prev = 100;
+        s.last_gain_index = 10;
+        s.prev_signal_type = 0;
+        s.first_frame_after_reset = 1;
+    }
+    bool has_side = (!d.prev_decode_only_middle)
+                    || (nci == 2 && cs[1].lbrr_flags[0] == 1);
+
+    int frame_len = cs[0].frame_length;
+    int out_per_frame = frame_len * (fs_api_hz / 1000) / internal_khz;
+    std::vector<int16_t> x1(frame_len + 2, 0), x2(frame_len + 2, 0);
+    std::vector<int16_t> res;
+    res.reserve(out_per_frame + 16);
+
+    for (int n = 0; n < nci; n++) {
+        if (n == 0 || has_side) {
+            int16_t* dst = (n == 0 ? x1.data() : x2.data()) + 2;
+            if (cs[n].lbrr_flags[0])
+                decode_channel_frame(cs[n], dec, /*vad(lbrr)=*/true, CODE_INDEP, dst);
+            else
+                conceal_channel_frame(cs[n], dst);
+        }
+        cs[n].n_frames_decoded += 1;
+    }
+
+    if (nca == 2 && nci == 2) {
+        stereo_ms_to_lr(d.stereo, x1.data(), x2.data(), ms_pred_q13,
+                        cs[0].fs_khz, frame_len);
+    } else {
+        x1[0] = d.stereo.s_mid[0];
+        x1[1] = d.stereo.s_mid[1];
+        d.stereo.s_mid[0] = x1[frame_len];
+        d.stereo.s_mid[1] = x1[frame_len + 1];
+    }
+
+    for (int n = 0; n < std::min(nca, nci); n++) {
+        res.clear();
+        d.rs[n].process(res, (n == 0 ? x1.data() : x2.data()) + 1, frame_len);
+        for (int i = 0; i < out_per_frame; i++) out[i * nca + n] = res[i];
+    }
+    if (nca == 2 && nci == 1)
+        for (int i = 0; i < out_per_frame; i++) out[i * nca + 1] = out[i * nca];
+    d.prev_decode_only_middle = decode_only_middle;
+    return dec.error ? -2 : 0;
+}
+
 // Conceal one whole lost SILK payload (api.py SilkDecoder.decode with
 // lost_flag=FLAG_PACKET_LOST, looped over the packet's frames): PLC
 // extrapolation per channel + CNG + stereo unmix with the previous
@@ -1810,6 +1910,12 @@ int silk_dec_run(void* h, opusfe::RangeDec* dec, int internal_khz, int payload_m
                  int nci, int nca, int fs_api_hz, int16_t* out) {
     return silk_driver_decode(*(SilkDriver*)h, *dec, internal_khz, payload_ms,
                               nci, nca, fs_api_hz, out);
+}
+
+int silk_dec_run_fec(void* h, opusfe::RangeDec* dec, int internal_khz, int payload_ms,
+                     int nci, int nca, int fs_api_hz, int16_t* out) {
+    return silk_driver_decode_lbrr(*(SilkDriver*)h, *dec, internal_khz, payload_ms,
+                                   nci, nca, fs_api_hz, out);
 }
 
 int silk_dec_conceal(void* h, int internal_khz, int payload_ms,

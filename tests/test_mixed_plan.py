@@ -249,3 +249,67 @@ def test_mixed_serve_survives_mode_switches():
                 assert err < 0.5, (mode, f, err)  # missing fade, bounded
             else:
                 assert err < 2e-3, (mode, f, err)  # re-converged
+
+
+def test_mixed_serve_fec_recovery():
+    """("fec", next_packet) entries recover a lost frame from the next
+    packet's SILK LBRR in the batched loop — sample-exact against the
+    scalar decoder's decode_fec for SILK streams; hybrid recovers the
+    SILK layer exactly with noise-regime CELT concealment on top."""
+    from opus_tpu.batch.opus_pipeline import BatchedOpusDecoder
+
+    nf, LOST = 10, 4
+    rng = np.random.default_rng(6)
+    t = np.arange(F * nf) / 48000.0
+    ph = np.cumsum(2 * np.pi * (130 + 25 * np.sin(2 * np.pi * 2.5 * t)) / 48000.0)
+    voice = (0.35 * np.sign(np.sin(ph))
+             + 0.02 * rng.standard_normal(t.size)).astype(np.float32)
+    v2 = np.stack([voice, np.roll(voice, 13) * 0.7], -1).astype(np.float32)
+
+    encs = {}
+    for name, ch, mode, kbps in (("silk", 1, oracle.MODE_SILK_ONLY, 32),
+                                 ("silk2", 2, oracle.MODE_SILK_ONLY, 40),
+                                 ("hybrid", 2, oracle.MODE_HYBRID, 64)):
+        e = oracle.Encoder(48000, ch)
+        e.ctl(oracle.SET_FORCE_MODE, mode)
+        e.ctl(oracle.SET_BITRATE, kbps * 1000)
+        if mode == oracle.MODE_SILK_ONLY:
+            e.ctl(oracle.SET_MAX_BANDWIDTH, 1103)
+        e.ctl(oracle.SET_INBAND_FEC, 1)
+        e.ctl(oracle.SET_PACKET_LOSS_PERC, 20)
+        encs[name] = e
+    pks = {
+        "silk": [encs["silk"].encode_float(voice[f * F : (f + 1) * F], F)
+                 for f in range(nf)],
+        "silk2": [encs["silk2"].encode_float(
+            np.ascontiguousarray(v2[f * F : (f + 1) * F]).ravel(), F)
+            for f in range(nf)],
+        "hybrid": [encs["hybrid"].encode_float(
+            np.ascontiguousarray(v2[f * F : (f + 1) * F]).ravel(), F)
+            for f in range(nf)],
+    }
+    kinds = ["silk", "silk2", "hybrid"]
+    refs = {k: [] for k in kinds}
+    for k in kinds:
+        d = Decoder()
+        for f in range(nf):
+            if f == LOST:
+                refs[k].append(np.asarray(
+                    d.decode_float(pks[k][f + 1], F, decode_fec=True)).reshape(F, 2))
+            else:
+                refs[k].append(np.asarray(d.decode_float(pks[k][f], F)).reshape(F, 2))
+
+    dec = BatchedOpusDecoder(3, 2, transfer="plan")
+    for f in range(nf):
+        row = [("fec", pks[k][f + 1]) if f == LOST else pks[k][f] for k in kinds]
+        dec.serve([row])
+        got = np.asarray(dec._serve_ring)
+        for b, k in enumerate(kinds):
+            err = float(np.abs(got[b] - refs[k][f]).max())
+            if k == "hybrid" and f == LOST:
+                # SILK layer exact; the CELT band is concealed noise on
+                # both sides but from different rng trajectories.
+                assert err < 0.1, (k, f, err)
+            else:
+                tol = 2e-3 if k == "hybrid" else 1e-4
+                assert err < tol, (k, f, err)
