@@ -365,9 +365,9 @@ def main() -> None:
 
     # --- 8-ch ambisonics multistream serve (BASELINE configs[5]) ------------
     # B sessions x 5 elementary streams (3 coupled + 2 mono, family-1
-    # mapping) through the packed serve loop; rate counts per-SESSION
-    # audio seconds.  p10 transfer: the multistream serve path is pinned
-    # against libopus at that precision (tests/test_native.py:77).
+    # mapping) through the serve loop on the headline A/B's winning
+    # transfer; pinned against libopus on both (tests/test_native.py:77
+    # p10, test_batched_multistream_plan_transfer plan).
     ms_rate = 0.0
     try:
         if _left() < 150:
@@ -389,7 +389,7 @@ def main() -> None:
             ).astype(np.float32)
             ms_steps.append([mse.encode_float(np.ascontiguousarray(mpcm).ravel(), FRAME)] * MSB)
         bmd = BatchedMultistreamDecoder(MSB, mch, streams, coupled, mapping)
-        bmd.core.transfer = "p10"
+        bmd.core.transfer = serve_mode  # ride the headline A/B winner
         bmd.serve(ms_steps[:2], FRAME)  # warm jit + slots
         el = _best(lambda: bmd.serve(ms_steps, FRAME), 3)
         ms_rate = len(ms_steps) * MSB * 0.02 / el

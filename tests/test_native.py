@@ -618,3 +618,35 @@ def test_plan_serve_real_overflow_transactional():
         plan2.serve([[pay240[f]] * B], 240)
         got = np.asarray(plan2._serve_ring)[0]
         assert float(np.abs(got - want).max()) < 4e-3
+
+
+def test_batched_multistream_plan_transfer():
+    """Multistream sessions serve on the plan transfer too (mono + coupled
+    elementary streams through the plan executor's stream_channels path),
+    pinned against libopus."""
+    from opus_tpu.batch.multistream_pipeline import BatchedMultistreamDecoder
+    from opus_tpu.native.frontend import available
+
+    if not available():
+        pytest.skip("native engine not built")
+    B, streams, coupled, ch, FRAME = 3, 5, 3, 8, 960
+    mapping = list(range(ch))
+    enc = oracle.MultistreamEncoder(48000, ch, streams, coupled, mapping)
+    enc.ctl(oracle.SET_BITRATE, 256000)
+    enc.ctl(oracle.SET_FORCE_MODE, oracle.MODE_CELT_ONLY)
+    rng = np.random.default_rng(1)
+    t = np.arange(FRAME * 4) / 48000.0
+    steps = []
+    for f in range(4):
+        pcm = np.stack(
+            [0.3 * np.sin(2 * np.pi * (200 + 60 * k) * t[f * FRAME : (f + 1) * FRAME])
+             + 0.02 * rng.standard_normal(FRAME) for k in range(ch)], -1
+        ).astype(np.float32)
+        steps.append([enc.encode_float(pcm.ravel(), FRAME)] * B)
+    ref = oracle.MultistreamDecoder(48000, ch, streams, coupled, mapping)
+    refs = [np.asarray(ref.decode_float(steps[f][0], FRAME)).reshape(FRAME, ch)
+            for f in range(4)]
+    bmd = BatchedMultistreamDecoder(B, ch, streams, coupled, mapping)
+    bmd.core.transfer = "plan"
+    out = bmd.serve(steps, FRAME)
+    assert float(np.abs(out[0] - refs[-1]).max()) < 4e-3
