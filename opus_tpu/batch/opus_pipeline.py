@@ -333,16 +333,17 @@ class BatchedOpusDecoder:
         return (0, B // 8, B // 4, B // 2, (3 * B) // 4, B)
 
     def _mixed_plan_serving_step(self, lm: int, pf_chunk: int, pf_active: bool,
-                                 bucket_words: int, silk_rows: int):
+                                 bucket_words: int, silk_rows: int,
+                                 with_plc: bool = False):
         from ..dsp.synthesis import make_plan_serving_step
 
-        key = ("plan", lm, pf_chunk, pf_active, bucket_words, silk_rows)
+        key = ("plan", lm, pf_chunk, pf_active, bucket_words, silk_rows, with_plc)
         if key not in self._steps:
             self._steps[key] = make_plan_serving_step(
                 lm, self.batch, self.channels, 1,
                 pf_chunk=pf_chunk, pf_active=pf_active,
                 arena_words=bucket_words, silk_mix=True,
-                silk_rows=silk_rows,
+                silk_rows=silk_rows, with_plc=with_plc,
             )
         return self._steps[key]
 
@@ -522,9 +523,17 @@ class BatchedOpusDecoder:
 
         def uploader():
             try:
+                from ..dsp.plc_exec import LPC_ORDER
+
                 state = getattr(self, "_serve_state", None)
                 if state is None:
                     state = init_state(self.batch, self.channels)
+                plc_lpc = getattr(self, "_serve_plc_lpc", None)
+                if plc_lpc is None:
+                    plc_lpc = jnp.zeros((B, self.channels, LPC_ORDER), jnp.float32)
+                    plc_pitch = jnp.full((B,), 15, jnp.int32)
+                else:
+                    plc_pitch = self._serve_plc_pitch
                 ring = getattr(self, "_serve_ring", None)
                 if ring is None or ring.shape[1] != frame48:
                     ring = jnp.zeros((self.batch, frame48, self.channels), jnp.float32)
@@ -536,7 +545,7 @@ class BatchedOpusDecoder:
                         if held is not None:
                             release(held)
                         break
-                    slot, pf_chunk, pf_active = item
+                    slot, pf_chunk, pf_active, has_plc = item
                     if slot.get("mode") == "plan":
                         used = slot["used_words"] - slot["fixed_words"]
                         per = -(-used // B) if used > 0 else 1
@@ -549,19 +558,28 @@ class BatchedOpusDecoder:
                             rb for rb in self._silk_row_buckets() if rb >= nrows
                         )
                         step = self._mixed_plan_serving_step(
-                            lm, pf_chunk, pf_active, bucket, rbucket
+                            lm, pf_chunk, pf_active, bucket, rbucket,
+                            with_plc=has_plc,
                         )
                         prefix = pack_plan_silk(slot, bucket, rbucket)
                         buf = jnp.array(slot["buf"][:prefix], copy=True)
                     else:
+                        has_plc = False
                         step = self._mixed_serving_step(lm, pf_chunk, pf_active)
                         buf = jnp.array(slot["buf"], copy=True)
                     if held is not None:
                         release(held)
                     held = slot
-                    state, ring, digest = step(state, ring, buf)
+                    if has_plc:
+                        state, ring, digest, plc_lpc, plc_pitch = step(
+                            state, ring, buf, plc_lpc, plc_pitch
+                        )
+                    else:
+                        state, ring, digest = step(state, ring, buf)
                 self._serve_state = state
                 self._serve_ring = ring
+                self._serve_plc_lpc = plc_lpc
+                self._serve_plc_pitch = plc_pitch
                 done["digest"] = digest
             except Exception as e:  # pragma: no cover - propagated below
                 err.append(e)
@@ -581,7 +599,11 @@ class BatchedOpusDecoder:
                     self._plane_a_packed(packets, slot)
                 meta = slot["meta"]
                 pf_chunk, pf_active = pf_chunk_for(meta[:, 6:9], slot["gains"])
-                work.put((slot, pf_chunk, pf_active))
+                # The host only picks the step VARIANT; the regime per
+                # stream rides meta[14] (pitch-LPC = empty plan + flags).
+                has_plc = (slot.get("mode") == "plan"
+                           and bool((meta[:, 14] & 1).any()))
+                work.put((slot, pf_chunk, pf_active, has_plc))
         finally:
             work.put(None)
             th.join()

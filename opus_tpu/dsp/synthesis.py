@@ -792,14 +792,14 @@ def make_plan_serving_step(lm: int, batch: int, channels: int = 2,
 
     from .plc_exec import LPC_ORDER, make_plc_conceal
 
-    # The mixed (silk_mix) loop conceals everything in plane A — SILK
-    # exactly, CELT as plan noise leaves — so it never compiles this
-    # device pitch-regime variant.
-    assert not silk_mix, "with_plc is the CELT-only pipeline's variant"
+    # with_plc compiles the device pitch-regime conceal into the step; in
+    # the mixed (silk_mix) loop it serves steps whose CELT-only members
+    # hit a first loss (SILK/hybrid losses are still concealed in plane A
+    # — a pitch-regime CELT stream ships an empty plan + meta flags).
     conceal = make_plc_conceal(lm, batch, channels)
 
     def step_plc(state: SynthState, ring, buf, plc_lpc, plc_pitch):
-        header, ble, meta, gains, bands, _silk, arena = unpack(buf)
+        header, ble, meta, gains, bands, silk, arena = unpack(buf)
         xs = executor(header, bands, meta, arena)
         plc_mask = (meta[:, 14] & 1) == 1
         first = ((meta[:, 14] >> 1) & 1) == 1
@@ -811,7 +811,7 @@ def make_plan_serving_step(lm: int, batch: int, channels: int = 2,
             state.mem, plc_lpc, plc_pitch, first, u_period, u_gain, u_tapset
         )
         new_state, pcm_out, digest = core(
-            state, xs, ble, meta, gains, None,
+            state, xs, ble, meta, gains, silk,
             plc=(plc_mask, out_f_c, mem_c),
         )
         new_lpc = jnp.where(plc_mask[:, None, None], new_lpc, plc_lpc)

@@ -2392,6 +2392,20 @@ int celt_fe_plan_lost(void* h, int frame_size48, int sink_idx, float* ble_out,
     return rc;
 }
 
+// Regime-dispatching variant (decode_lost_plan): noise regime as plan
+// noise leaves, pitch-LPC regime as an EMPTY plan + meta[14]/[15] flags
+// for the device conceal step (opus_tpu/dsp/plc_exec.py).  Used by the
+// mixed pipeline for CELT-only members of a mixed batch.
+int celt_fe_plan_lost_dispatch(void* h, int frame_size48, int sink_idx,
+                               float* ble_out, int32_t* meta, double* pf_gains) {
+    PlanSink& sink = plan_sinks(sink_idx + 1)[sink_idx];
+    static thread_local std::vector<float> scratch(2 * 960);
+    int rc = decode_lost_plan(*(FrontEnd*)h, frame_size48, scratch.data(),
+                              ble_out, meta, pf_gains, &sink);
+    if (rc == 0 && sink.overflow) rc = -30;
+    return rc;
+}
+
 // Serial prefix over per-stream arena sizes -> 4-word headers; returns
 // the total arena words (or -1 if it exceeds capacity).
 int64_t celt_fe_plan_headers(int n, int32_t* header, int64_t arena_words) {

@@ -43,6 +43,8 @@ int celt_fe_decode_ec_plan(void* h, void* ec, int frame_bytes, int frame_size48,
                            int32_t* meta, double* pf_gains);
 int celt_fe_plan_lost(void* h, int frame_size48, int sink_idx, float* ble_out,
                       int32_t* meta, double* pf_gains);
+int celt_fe_plan_lost_dispatch(void* h, int frame_size48, int sink_idx,
+                               float* ble_out, int32_t* meta, double* pf_gains);
 int64_t celt_fe_plan_headers(int n, int32_t* header, int64_t arena_words);
 void celt_fe_plan_pack(int n, int32_t* arena, const int32_t* header);
 void celt_fe_plan_bands(int sink_idx, int32_t* bands_out);
@@ -472,7 +474,10 @@ int opus_fe_decode_batch_plan(void** handles, const uint8_t* data, const int32_t
                 std::memset(silk48, 0, (size_t)frame48 * cc * sizeof(int16_t));
             }
             if (rc == 0 && pm > MODE_SILK) {
-                rc = celt_fe_plan_lost(st->celt, frame48, i, ble, meta, g);
+                // Regime dispatch: pitch-LPC for CELT-only streams (device
+                // conceals from its decode memory), noise for hybrid
+                // (start_band != 0 always routes noise inside).
+                rc = celt_fe_plan_lost_dispatch(st->celt, frame48, i, ble, meta, g);
             } else {
                 std::memset(ble, 0, 2 * 21 * sizeof(float));
                 silent_celt_meta(frame48, st->last_sch, meta, gains);

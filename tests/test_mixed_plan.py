@@ -97,13 +97,14 @@ def test_mixed_plan_serve_with_losses():
          lost={(2, 1), (3, 1), (5, 4), (6, 2)})
 
 
-def test_mixed_plan_celt_loss_matches_packed():
-    """A lost CELT packet in the mixed batch conceals with the noise
-    regime on BOTH mixed transfer modes (the scalar decoder may run the
-    pitch regime instead — docs/KNOWN_GAPS.md — and its rng trajectory
-    then differs forever), so the packed mixed path is the oracle: the
-    plan path must track it within the transfer-precision class."""
+def test_mixed_plan_celt_loss_tracks_scalar():
+    """A lost CELT packet in the mixed PLAN batch now runs the same
+    regime dispatch as the scalar decoder (pitch-LPC on first losses,
+    on device): the scalar path is the oracle.  The PACKED mixed path
+    still conceals noise-regime only — gate it on conformance vs the
+    scalar (legal concealment, different regime)."""
     from opus_tpu.batch.opus_pipeline import BatchedOpusDecoder
+    from opus_tpu.conformance import PASS_QUALITY, compare
 
     nf = 8
     voice, music = _content(nf)
@@ -113,15 +114,31 @@ def test_mixed_plan_celt_loss_matches_packed():
         np.ascontiguousarray(m2[f * F : (f + 1) * F]).ravel(), F) for f in range(nf)]
     steps = [[None if (f, b) == (3, 0) else pkts[f] for b in range(2)] for f in range(nf)]
 
-    ref_dec = BatchedOpusDecoder(2, 2, transfer="p10")
-    plan_dec = BatchedOpusDecoder(2, 2, transfer="plan")
+    d = Decoder()
+    ref0 = np.concatenate([np.asarray(d.decode_float(steps[f][0], F)).reshape(F, 2)
+                           for f in range(nf)])
+    # noise-regime oracle for the packed path (skip_plc forced, as in
+    # tests/test_native.py::test_serving_path_loss_concealment)
+    dn = Decoder()
+    nz_outs = []
     for f in range(nf):
-        ref_dec.serve([steps[f]])
+        if steps[f][0] is None:
+            dn.celt.skip_plc = True
+        nz_outs.append(np.asarray(dn.decode_float(steps[f][0], F)).reshape(F, 2))
+    refn = np.concatenate(nz_outs)
+
+    pk_dec = BatchedOpusDecoder(2, 2, transfer="p10")
+    plan_dec = BatchedOpusDecoder(2, 2, transfer="plan")
+    pk_outs, plan_outs = [], []
+    for f in range(nf):
+        pk_dec.serve([steps[f]])
         plan_dec.serve([steps[f]])
-        want = np.asarray(ref_dec._serve_ring)
-        got = np.asarray(plan_dec._serve_ring)
-        err = float(np.abs(got - want).max())
-        assert err < 5e-3, (f, err)
+        pk_outs.append(np.asarray(pk_dec._serve_ring)[0].copy())
+        plan_outs.append(np.asarray(plan_dec._serve_ring)[0].copy())
+    plan0 = np.concatenate(plan_outs)
+    pk0 = np.concatenate(pk_outs)
+    assert compare(ref0, plan0) >= PASS_QUALITY  # pitch regime on device
+    assert compare(refn, pk0) >= PASS_QUALITY    # packed: noise regime
 
 
 def test_mixed_plan_low_rate_hybrid_folding():
@@ -313,3 +330,57 @@ def test_mixed_serve_fec_recovery():
             else:
                 tol = 2e-3 if k == "hybrid" else 1e-4
                 assert err < tol, (k, f, err)
+
+
+def test_mixed_plan_pitch_plc_for_celt_streams():
+    """CELT-only members of a MIXED batch now get pitch-regime device
+    PLC on first losses (celt_fe_plan_lost_dispatch emits the empty
+    plan + meta flags; the step's with_plc variant conceals from the
+    device decode memory), while SILK/hybrid members keep plane-A
+    concealment.  Gate: conformance vs the scalar decoder under the
+    same losses (f32 vs f64 pitch-candidate ties are both legal)."""
+    from opus_tpu.batch.opus_pipeline import BatchedOpusDecoder
+    from opus_tpu.conformance import PASS_QUALITY, compare
+
+    nf = 12
+    rng = np.random.default_rng(5)
+    t = np.arange(F * nf) / 48000.0
+    ph = np.cumsum(2 * np.pi * (160 + 8 * np.sin(2 * np.pi * 1.5 * t)) / 48000.0)
+    tone = (0.5 * np.sin(ph) + 0.25 * np.sin(2 * ph)
+            + 0.01 * rng.standard_normal(t.size))
+    m2 = np.stack([tone, np.roll(tone, 11) * 0.9], -1).astype(np.float32)
+    phv = np.cumsum(2 * np.pi * (130 + 25 * np.sin(2 * np.pi * 2.5 * t)) / 48000.0)
+    voice = (0.35 * np.sign(np.sin(phv))).astype(np.float32)
+
+    encs = _encoders()
+    pks = {"celt": [], "silk": [], "hybrid": []}
+    for f in range(nf):
+        pks["celt"].append(encs["celt"].encode_float(
+            np.ascontiguousarray(m2[f * F : (f + 1) * F]).ravel(), F))
+        pks["silk"].append(encs["silk"].encode_float(voice[f * F : (f + 1) * F], F))
+        pks["hybrid"].append(encs["hybrid"].encode_float(
+            np.ascontiguousarray(m2[f * F : (f + 1) * F]).ravel(), F))
+    kinds = ["celt", "silk", "hybrid"]
+    lose = {3, 7}  # isolated losses -> pitch regime for the CELT member
+
+    refs = {}
+    for k in kinds:
+        d = Decoder()
+        refs[k] = np.concatenate(
+            [np.asarray(d.decode_float(
+                None if (f in lose and k == "celt") else pks[k][f], F)
+                ).reshape(F, 2) for f in range(nf)])
+
+    dec = BatchedOpusDecoder(3, 2, transfer="plan")
+    outs = []
+    for f in range(nf):
+        dec.serve([[None if (f in lose and k == "celt") else pks[k][f]
+                    for k in kinds]])
+        outs.append(np.asarray(dec._serve_ring).copy())
+    ours = np.stack(outs, 1).reshape(3, nf * F, 2)
+    for b, k in enumerate(kinds):
+        q = compare(refs[k], ours[b])
+        assert q >= PASS_QUALITY, (k, q)
+    # SILK member stays sample-exact (plane-A PLC untouched by the new
+    # step variant)
+    assert float(np.abs(ours[1] - refs["silk"]).max()) < 1e-4
