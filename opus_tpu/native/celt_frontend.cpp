@@ -2211,12 +2211,20 @@ int celt_fe_decode_batch_packed(void** handles, const uint8_t* data, const int32
         for (int i = 0; i < n_packets; i++) {
             FrontEnd* st = (FrontEnd*)handles[i];
             float* ble = ble_out + i * 2 * NB_E_BANDS;
+            FrontEnd save = *st;
             int rc = lens[i] > 0
                          ? decode_frame(*st, data + offs[i], lens[i], frame_size48,
                                         stream_channels[i], scratch.data(),
                                         ble, meta_out + i * 16, g)
                          : decode_lost_noise(*st, frame_size48, scratch.data(),
                                              ble, meta_out + i * 16, g);
+            if (rc != 0 && lens[i] > 0) {
+                // Corrupt packet on ONE stream: restore + conceal instead
+                // of killing the serving batch.
+                *st = save;
+                rc = decode_lost_noise(*st, frame_size48, scratch.data(),
+                                       ble, meta_out + i * 16, g);
+            }
             if (rc != 0) {
 #pragma omp critical
                 bad = i + 1;
@@ -2295,6 +2303,16 @@ int celt_fe_decode_batch_plan(void** handles, const uint8_t* data, const int32_t
                                          /*plan_skip=*/xdbg == nullptr);
                 }
             } else {
+                rc = decode_lost_plan(*st, frame_size48, scratch.data(),
+                                      ble_out + i * 2 * NB_E_BANDS,
+                                      meta_out + i * 16, g, &sink);
+            }
+            if (rc != 0 && lens[i] > 0) {
+                // Corrupt/invalid packet on ONE stream must not kill the
+                // batch (availability): restore that stream's state and
+                // conceal the frame as a loss instead.
+                *st = snap[i];
+                sink.reset(nullptr, nullptr);
                 rc = decode_lost_plan(*st, frame_size48, scratch.data(),
                                       ble_out + i * 2 * NB_E_BANDS,
                                       meta_out + i * 16, g, &sink);
@@ -2466,6 +2484,7 @@ int celt_fe_decode_batch_q15(void** handles, const uint8_t* data, const int32_t*
 #pragma omp for schedule(dynamic, 8)
         for (int i = 0; i < n_packets; i++) {
             FrontEnd* st = (FrontEnd*)handles[i];
+            FrontEnd save = *st;
             int rc = lens[i] > 0
                          ? decode_frame(*st, data + offs[i], lens[i], frame_size48,
                                         stream_channels[i], scratch.data(),
@@ -2473,6 +2492,14 @@ int celt_fe_decode_batch_q15(void** handles, const uint8_t* data, const int32_t*
                          : decode_lost_noise(*st, frame_size48, scratch.data(),
                                              ble_out + i * 2 * NB_E_BANDS,
                                              meta_out + i * 16, g);
+            if (rc != 0 && lens[i] > 0) {
+                // Corrupt packet on ONE stream: restore + conceal instead
+                // of killing the serving batch.
+                *st = save;
+                rc = decode_lost_noise(*st, frame_size48, scratch.data(),
+                                       ble_out + i * 2 * NB_E_BANDS,
+                                       meta_out + i * 16, g);
+            }
             if (rc != 0) {
 #pragma omp critical
                 bad = i + 1;

@@ -57,6 +57,9 @@ void silk_dec_destroy(void* h);
 void silk_dec_reset(void* h);
 void silk_dec_snapshot(void** handles_silk, int n);
 void silk_dec_restore_all(void** handles_silk, int n);
+void silk_dec_restore_one(void* handle_silk, int i);
+void silk_dec_pool_reserve(int n);
+void silk_dec_snapshot_one(void* handle_silk, int i);
 int silk_dec_run(void* h, opusfe::RangeDec* dec, int internal_khz, int payload_ms,
                  int nci, int nca, int fs_api_hz, int16_t* out);
 int silk_dec_run_fec(void* h, opusfe::RangeDec* dec, int internal_khz, int payload_ms,
@@ -356,19 +359,42 @@ int opus_fe_decode_batch_packed(void** handles, const uint8_t* data, const int32
     // lost frame from that packet's SILK LBRR).
     for (int i = 0; i < n; i++) offs[i + 1] = offs[i] + std::abs(lens[i]);
     int bad = 0;
+    silk_dec_pool_reserve(n);
+    const int cbp = celt_fe_state_bytes();
 #pragma omp parallel
     {
         std::vector<float> xbuf(2 * 960);
+        std::vector<uint8_t> csnap(cbp);
 #pragma omp for schedule(dynamic, 8)
         for (int i = 0; i < n; i++) {
             float* ble = ble_out + i * 2 * 21;
             int32_t* meta = meta_out + i * 16;
+            OpusFE* st = (OpusFE*)handles[i];
+            OpusFE fe_save = *st;
+            celt_fe_state_get(st->celt, csnap.data());
+            silk_dec_snapshot_one(st->silk, i);
             int rc = opus_fe_decode(handles[i], data + offs[i], lens[i], modes[i], bws[i],
                                     frame48, schs[i], xbuf.data(), ble, meta,
                                     gains_out + i * 3,
                                     silk48_out + (int64_t)i * silk_stride, &ranges[i]);
             rcs[i] = rc;
+            if (rc != 0 && lens[i] != 0) {
+                // Corrupt/invalid packet on ONE stream must not kill the
+                // batch: restore this stream's state and conceal the
+                // frame as a loss (rcs[i] keeps the original code).
+                void *c = st->celt, *sk = st->silk;
+                celt_fe_state_set(c, csnap.data());
+                silk_dec_restore_one(sk, i);
+                *st = fe_save;
+                st->celt = c;
+                st->silk = sk;
+                rc = opus_fe_decode(handles[i], data + offs[i], 0, modes[i], bws[i],
+                                    frame48, schs[i], xbuf.data(), ble, meta,
+                                    gains_out + i * 3,
+                                    silk48_out + (int64_t)i * silk_stride, &ranges[i]);
+            }
             if (rc != 0) {
+                rcs[i] = rc;
 #pragma omp critical
                 bad = i + 1;
             } else {
@@ -457,9 +483,10 @@ int opus_fe_decode_batch_plan(void** handles, const uint8_t* data, const int32_t
         double g[3] = {0.0, 0.0, 0.0};
         int rc = 0;
         int mode = modes[i];
-        if (lens[i] == 0 || (lens[i] < 0 && mode == MODE_CELT)) {
-            // Loss (or FEC on a CELT-only stream — CELT has no FEC):
-            // conceal from the previous mode's state.
+        // Conceal stream i from its previous mode's state (the lens==0
+        // loss path, also reused to absorb corrupt packets below).
+        auto conceal_i = [&]() -> int {
+            int crc = 0;
             ranges[i] = 0;
             int pm = st->prev_mode;
             if (pm != MODE_CELT)
@@ -468,21 +495,25 @@ int opus_fe_decode_batch_plan(void** handles, const uint8_t* data, const int32_t
                 int khz = pm == MODE_HYBRID
                               ? 16
                               : (st->last_bw == 0 ? 8 : st->last_bw == 1 ? 12 : 16);
-                rc = silk_dec_conceal(st->silk, khz, frame48 / 48, st->last_sch, cc,
-                                      48000, silk48);
+                crc = silk_dec_conceal(st->silk, khz, frame48 / 48, st->last_sch, cc,
+                                       48000, silk48);
             } else if (pm == MODE_CELT) {
                 std::memset(silk48, 0, (size_t)frame48 * cc * sizeof(int16_t));
             }
-            if (rc == 0 && pm > MODE_SILK) {
+            if (crc == 0 && pm > MODE_SILK) {
                 // Regime dispatch: pitch-LPC for CELT-only streams (device
                 // conceals from its decode memory), noise for hybrid
                 // (start_band != 0 always routes noise inside).
-                rc = celt_fe_plan_lost_dispatch(st->celt, frame48, i, ble, meta, g);
+                crc = celt_fe_plan_lost_dispatch(st->celt, frame48, i, ble, meta, g);
             } else {
                 std::memset(ble, 0, 2 * 21 * sizeof(float));
                 silent_celt_meta(frame48, st->last_sch, meta, gains);
                 celt_fe_plan_clear(i);
             }
+            return crc;
+        };
+        if (lens[i] == 0 || (lens[i] < 0 && mode == MODE_CELT)) {
+            rc = conceal_i();
         } else if (lens[i] < 0) {
             // FEC: recover the lost frame from this (next) packet's SILK
             // LBRR; the CELT layer concelas as a loss (it has no FEC).
@@ -563,14 +594,28 @@ int opus_fe_decode_batch_plan(void** handles, const uint8_t* data, const int32_t
                 ranges[i] = dec.rng ^ red.rng;
             }
         }
+        rcs[i] = rc;
+        if (rc != 0 && lens[i] != 0) {
+            // A corrupt/invalid packet on ONE stream must not kill the
+            // batch (availability): restore this stream's state and
+            // conceal the frame as a loss.  rcs[i] keeps the original
+            // code for observability; the call still succeeds.
+            void *c = st->celt, *sk = st->silk;
+            celt_fe_state_set(c, celt_snap.data() + (size_t)i * cb);
+            silk_dec_restore_one(sk, i);
+            *st = fe_snap[i];
+            st->celt = c;
+            st->silk = sk;
+            rc = conceal_i();
+        }
         if (rc == 0) {
             for (int j = 0; j < 3; j++) gains[j] = (float)g[j];
             if (mode == MODE_SILK && lens[i] != 0)
                 gains[0] = gains[1] = gains[2] = 0.0f;
             celt_fe_plan_bands(i, bands_out + i * 21 * 2);
         }
-        rcs[i] = rc;
         if (rc != 0) {
+            rcs[i] = rc;
 #pragma omp critical
             bad = i + 1;
         }

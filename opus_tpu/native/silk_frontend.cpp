@@ -1905,6 +1905,15 @@ void silk_dec_restore_all(void** handles_silk, int n) {
     auto& pool = silk_snap_pool(n);
     for (int i = 0; i < n; i++) *(SilkDriver*)handles_silk[i] = pool[i];
 }
+void silk_dec_restore_one(void* handle_silk, int i) {
+    *(SilkDriver*)handle_silk = silk_snap_pool(i + 1)[i];
+}
+// Pre-size the pool BEFORE parallel per-stream snapshots: the lazy
+// resize inside silk_snap_pool would race across OpenMP threads.
+void silk_dec_pool_reserve(int n) { silk_snap_pool(n); }
+void silk_dec_snapshot_one(void* handle_silk, int i) {
+    silk_snap_pool(i + 1)[i] = *(SilkDriver*)handle_silk;
+}
 
 int silk_dec_run(void* h, opusfe::RangeDec* dec, int internal_khz, int payload_ms,
                  int nci, int nca, int fs_api_hz, int16_t* out) {
