@@ -16,7 +16,6 @@ from ..rc.decoder import RangeDecoder
 from ..silk import tables as T
 from ..silk.bitstream import TYPE_VOICED, decode_indices, decode_pulses
 from ..silk.decoder import (
-    MAX_LPC_ORDER,
     QUANT_LEVEL_ADJUST_Q10,
     SilkChannelState,
     _lpc_analysis_filter,

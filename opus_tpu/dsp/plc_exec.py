@@ -24,7 +24,6 @@ quality score against the scalar concealment (tests/test_plc_exec.py).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

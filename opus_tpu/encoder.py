@@ -311,8 +311,6 @@ class Encoder:
         return ((_CELT_BW[self.bandwidth][0] + (_CELT_FB_CONFIG.get(n, 31) - 28)) << 3) | stereo
 
     def _encode_voice(self, pcm: np.ndarray, n: int) -> bytes:
-        from .rc.encoder import RangeEncoder
-
         ms = n * 1000 // self.rate
         if ms not in (10, 20, 40, 60) or n * 1000 != ms * self.rate:
             raise BadArguments("voice mode takes 10/20/40/60 ms frames")

@@ -8,21 +8,16 @@ mirrors opus_tpu/batch for CELT.
 
 from __future__ import annotations
 
-import numpy as np
-
 from ..errors import InvalidPacket
 from . import tables as T
 from .bitstream import (
     CODE_CONDITIONALLY,
-    CODE_INDEPENDENTLY,
     LTP_ORDER,
     MAX_NB_SUBFR,
     NLSF_CB_NB_MB,
     NLSF_CB_WB,
     TYPE_VOICED,
     SideInfo,
-    decode_indices,
-    decode_pulses,
 )
 from .fixed_math import (
     add_sat32,

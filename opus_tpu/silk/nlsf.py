@@ -19,7 +19,6 @@ from .fixed_math import (
     sat16,
     smlawb,
     smulbb,
-    smulwb,
     smulww,
 )
 

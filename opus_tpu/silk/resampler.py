@@ -8,8 +8,6 @@ system libopus rodata/immediates and validated sample-exact against it.
 
 from __future__ import annotations
 
-import numpy as np
-
 from .fixed_math import i32, rshift_round, sat16, smlawb, smulbb, smulwb, smulww
 
 # Allpass coefficients for the 2x high-quality upsampler (code immediates

@@ -8,11 +8,26 @@ separately dry-run-compiles the multi-chip path via __graft_entry__).
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE cpu, don't setdefault: the ambient environment pins
+# JAX_PLATFORMS=axon (the tunneled TPU transport), which wedges or
+# errors whenever the tunnel is down — and the suite is CPU-only by
+# design (SURVEY.md §4: correctness on CPU, perf tools on TPU).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+# A wedged axon transport can hang device discovery even with
+# JAX_PLATFORMS=cpu (the plugin registers at sitecustomize time, before
+# this file runs); drop its trigger variables too.
+for _k in [k for k in os.environ if "AXON" in k.upper()]:
+    os.environ.pop(_k, None)
+
+# Persistent XLA compilation cache: the serving-step compiles dominate
+# suite wall-clock (test_mixed_plan alone cost 10+ min cold in round 3);
+# a warm cache turns reruns into O(seconds) per step variant.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/opus_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

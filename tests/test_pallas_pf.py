@@ -4,7 +4,6 @@ Interpreter-mode equivalence on CPU (the kernel is opt-in until profiled
 on real TPU hardware; see opus_tpu/dsp/pallas_pf.py)."""
 
 import numpy as np
-import pytest
 
 
 def test_pallas_postfilter_matches_xla():

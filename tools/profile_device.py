@@ -14,7 +14,6 @@ Usage: python tools/profile_device.py [batch]
 
 from __future__ import annotations
 
-import functools
 import sys
 import time
 
@@ -27,7 +26,6 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from opus_tpu.celt import modes
     from opus_tpu.dsp import synthesis as S
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 1024

@@ -51,7 +51,6 @@ def guarded(fn, budget):
 
 def main():
     import numpy as np
-    import jax
     import jax.numpy as jnp
 
     from opus_tpu import oracle, parse_packet

@@ -50,7 +50,6 @@ def main():
             except OSError:
                 pass
 
-    import jax
     import jax.numpy as jnp
 
     # Phase 0: is the tunnel responsive?
