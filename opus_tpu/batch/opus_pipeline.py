@@ -57,7 +57,8 @@ class BatchedOpusDecoder:
 
     NB = 21
 
-    def __init__(self, batch: int, channels: int = 2, transfer: str = "p10"):
+    def __init__(self, batch: int, channels: int = 2, transfer: str = "p10",
+                 silk_transfer: str = "pcm48"):
         lib = _load()
         lib.opus_fe_create.restype = ctypes.c_void_p
         lib.opus_fe_create.argtypes = [ctypes.c_int]
@@ -109,9 +110,21 @@ class BatchedOpusDecoder:
         #: vectors + band plan, spectra rebuilt on device) with per-step
         #: packed fallback, or a packed spectral mode ("p12"/"p10"/"p8").
         self.transfer = transfer
+        #: SILK transfer form for the serve() loop: "internal" ships
+        #: internal-rate planar PCM (3-6x fewer bytes) and resamples on
+        #: device (dsp/resample.py); "pcm48" ships the normative 48 kHz
+        #: resampled PCM.  decode_frames() requires "pcm48" (it returns
+        #: the bit-exact host path directly).
+        if silk_transfer not in ("pcm48", "internal"):
+            raise ValueError(f"unknown silk_transfer {silk_transfer!r}")
+        self.silk_internal = silk_transfer == "internal"
         self.handles = (ctypes.c_void_p * batch)(
             *[lib.opus_fe_create(channels) for _ in range(batch)]
         )
+        if self.silk_internal:
+            lib.opus_fe_set_silk_internal.argtypes = [ctypes.c_void_p, ctypes.c_int]
+            for h in self.handles:
+                lib.opus_fe_set_silk_internal(h, 1)
         self.state = init_state(batch, channels)
         self._steps: dict = {}
         # Double-buffered output slots (see NativeBatchFrontEnd).
@@ -143,10 +156,19 @@ class BatchedOpusDecoder:
             self._steps[key] = make_opus_step(lm, short_blocks, self.channels, 1)
         return self._steps[key]
 
+    def _silk_samps(self, frame48: int) -> int:
+        """int16 samples in one stream's SILK slot region per frame."""
+        return ((frame48 // 3) if self.silk_internal else frame48) * self.channels
+
     def _plane_a(self, packets: list):
         """ToC parse + one native batch call. Returns (frame48, slot)."""
         B = self.batch
         assert len(packets) == B
+        if self.silk_internal:
+            raise ValueError(
+                "decode_frames/run_pipelined need silk_transfer='pcm48' "
+                "(internal-rate SILK is a serve()-only transfer)"
+            )
         frame48, modes_np, bws, schs, payloads, lens = self._toc_arrays(packets)
 
         slot = self._slots[self._slot]
@@ -259,7 +281,7 @@ class BatchedOpusDecoder:
         B = self.batch
         w = int(self._packed_mode()[1:])
         xq_words = 2 * 30 * w  # two channels
-        silk_words = (frame48 * self.channels + 1) // 2
+        silk_words = (self._silk_samps(frame48) + 1) // 2
         off = packed_offsets(B, self._packed_mode(), silk_words)
         slots = []
         for _ in range(n_slots):
@@ -318,6 +340,7 @@ class BatchedOpusDecoder:
                 lm, self.batch, self.channels, 1,
                 pf_chunk=pf_chunk, pf_active=pf_active,
                 transfer=self._packed_mode(), silk_mix=True,
+                silk_internal=self.silk_internal,
             )
         return self._steps[key]
 
@@ -344,6 +367,7 @@ class BatchedOpusDecoder:
                 pf_chunk=pf_chunk, pf_active=pf_active,
                 arena_words=bucket_words, silk_mix=True,
                 silk_rows=silk_rows, with_plc=with_plc,
+                silk_internal=self.silk_internal,
             )
         return self._steps[key]
 
@@ -404,7 +428,7 @@ class BatchedOpusDecoder:
         except OverflowError as e:
             raise RuntimeError(f"native plan guard missed: {e}") from None
         pack_plan_fixed(slot)
-        compact_plan_silk(slot, frame48 * self.channels)
+        compact_plan_silk(slot, self._silk_samps(frame48))
         slot["used_words"] = slot["fixed_words"] + int(used.value)
         return slot
 
@@ -442,7 +466,8 @@ class BatchedOpusDecoder:
             try:
                 state = getattr(self, "_serve_state", None)
                 if state is None:
-                    state = init_state(self.batch, self.channels)
+                    state = init_state(self.batch, self.channels,
+                                       silk_hist=self.silk_internal)
                 ring = getattr(self, "_serve_ring", None)
                 if ring is None or ring.shape[1] != frame48:
                     ring = jnp.zeros((self.batch, frame48, self.channels), jnp.float32)
@@ -493,7 +518,7 @@ class BatchedOpusDecoder:
         from ..native.frontend import alloc_plan_slots, pack_plan_silk
 
         B = self.batch
-        silk_words = (frame48 * self.channels + 1) // 2
+        silk_words = (self._silk_samps(frame48) + 1) // 2
         if (not hasattr(self, "_plan_slots")
                 or self._plan_slots[0]["frame48"] != frame48
                 or len(self._plan_slots) != n_slots):
@@ -527,7 +552,8 @@ class BatchedOpusDecoder:
 
                 state = getattr(self, "_serve_state", None)
                 if state is None:
-                    state = init_state(self.batch, self.channels)
+                    state = init_state(self.batch, self.channels,
+                                       silk_hist=self.silk_internal)
                 plc_lpc = getattr(self, "_serve_plc_lpc", None)
                 if plc_lpc is None:
                     plc_lpc = jnp.zeros((B, self.channels, LPC_ORDER), jnp.float32)

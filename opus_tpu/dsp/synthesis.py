@@ -67,12 +67,24 @@ class SynthState(NamedTuple):
 
     mem: jax.Array  # [B, C, DECODE_BUFFER_SIZE + OVERLAP]
     preemph: jax.Array  # [B, C]
+    #: internal-rate SILK input tail for the device resampler (mixed
+    #: serving with silk_internal transfer): [B, C, resample.TAIL].
+    #: None for pipelines that don't resample on device (pytrees with and
+    #: without the leaf are separate jit signatures; each pipeline is
+    #: internally consistent).
+    silk_hist: jax.Array | None = None
 
 
-def init_state(batch: int, channels: int = 2) -> SynthState:
+def init_state(batch: int, channels: int = 2, silk_hist: bool = False) -> SynthState:
+    hist = None
+    if silk_hist:
+        from .resample import TAIL
+
+        hist = jnp.zeros((batch, channels, TAIL), jnp.float32)
     return SynthState(
         mem=jnp.zeros((batch, channels, DECODE_BUFFER_SIZE + OVERLAP), jnp.float32),
         preemph=jnp.zeros((batch, channels), jnp.float32),
+        silk_hist=hist,
     )
 
 
@@ -504,6 +516,56 @@ def _unpack_pw(words_u32, batch: int, n: int, w_bits: int):
     return m[..., :n].astype(jnp.float32) * jnp.float32(1.0 / 16384.0)
 
 
+def _silk_resample(y16, desc, hist, lm: int, channels: int):
+    """Device-side SILK resampler: internal-rate planar rows -> 48 kHz.
+
+    y16 [B, channels*Lmax] f32 (int16 scale, Lmax = frame48/3): channel-
+    planar internal-rate PCM as written by the native raw_internal_out
+    (silk_frontend.cpp).  desc [B] i32 = khz | (nrows-1)<<5 | reset<<6
+    (0 = stream has no SILK this frame).  hist [B, C, TAIL] is the
+    carried input tail (SynthState.silk_hist).
+
+    The whole batch resamples as one dense [B*C, TAIL+Lmax] x
+    [TAIL+Lmax, frame48] matmul per rate (three rates, one-hot selected)
+    — MXU work instead of silk/resampler.c's per-sample IIR+FIR loops;
+    the banks reproduce the normative filter cascade to fixed-point
+    rounding noise (dsp/resample.py, tests/test_resample_matrix.py).
+
+    Returns (silk48 [B, frame48, C] int16-scale f32, new_hist).
+    """
+    from .resample import TAIL, resample_matrices
+
+    frame48 = (1 << lm) * modes.SHORT_MDCT_SIZE
+    lmax = frame48 // 3
+    mats_np, offs = resample_matrices(frame48)
+    mats = jnp.asarray(mats_np)  # [3, TAIL+lmax, frame48]
+    khz = desc & 0x1F
+    sel = jnp.stack([khz == 8, khz == 12, khz == 16], axis=1).astype(jnp.float32)
+    reset = ((desc >> 6) & 1) == 1
+    y = y16.reshape(-1, channels, lmax)
+    if channels == 2:
+        # nrows==1: one internal row (mono SILK in a stereo API stream);
+        # broadcast row 0 into both output channels.
+        two_rows = ((desc >> 5) & 1) == 1
+        y = jnp.where(two_rows[:, None, None], y,
+                      jnp.concatenate([y[:, :1], y[:, :1]], axis=1))
+    hist = jnp.where(reset[:, None, None], 0.0, hist)
+    xext = jnp.concatenate([hist, y], axis=-1)  # [B, C, TAIL+lmax]
+    out = jnp.einsum(
+        "bct,rtf,br->bcf", xext, mats, sel,
+        preferred_element_type=jnp.float32,
+    )
+    # Next step's tail: the last TAIL input samples at this stream's rate
+    # (slice offsets are static per rate; selected like the banks).  A
+    # stream with no SILK (sel all-zero) zeroes its tail, matching the
+    # resampler reset libopus performs when SILK restarts after CELT.
+    tails = jnp.stack(
+        [xext[:, :, int(o) : int(o) + TAIL] for o in offs], axis=1
+    )  # [B, 3, C, TAIL]
+    new_hist = jnp.einsum("brct,br->bct", tails, sel)
+    return jnp.swapaxes(out, 1, 2), new_hist
+
+
 def _make_serving_core(lm: int, batch: int, channels: int, downsample: int,
                        pf_chunk: int, pf_active: bool, silk_mix: bool):
     """Shared serving-step body: (state, xs, ble, meta, gains, silk) ->
@@ -596,7 +658,8 @@ def _make_serving_core(lm: int, batch: int, channels: int, downsample: int,
 
 def make_serving_step(lm: int, batch: int, channels: int = 2, downsample: int = 1,
                       pf_chunk: int = _CHUNK, pf_active: bool = True,
-                      transfer: str = "q14", silk_mix: bool = False):
+                      transfer: str = "q14", silk_mix: bool = False,
+                      silk_internal: bool = False):
     """Single-dispatch serving step over one packed plane-A buffer.
 
     step(state, ring, buf) -> (state, ring, digest[2]); jitted with
@@ -610,7 +673,8 @@ def make_serving_step(lm: int, batch: int, channels: int = 2, downsample: int = 
     """
     n = (1 << lm) * modes.SHORT_MDCT_SIZE
     assert not (silk_mix and downsample != 1), "mixed serving mixes at 48 kHz"
-    silk_words = (n * channels + 1) // 2 if silk_mix else 0
+    silk_samps = ((n // 3) if silk_internal else n) * channels
+    silk_words = (silk_samps + 1) // 2 if silk_mix else 0
     off = packed_offsets(batch, transfer, silk_words)
 
     def unpack(buf):
@@ -641,9 +705,9 @@ def make_serving_step(lm: int, batch: int, channels: int = 2, downsample: int = 
         if silk_mix:
             silk = jax.lax.bitcast_convert_type(
                 buf[off["silk"] : off["ble"]].reshape(batch, silk_words), jnp.int16
-            ).reshape(batch, 2 * silk_words)[:, : n * channels].reshape(
-                batch, n, channels
-            )
+            ).reshape(batch, 2 * silk_words)[:, :silk_samps]
+            if not silk_internal:
+                silk = silk.reshape(batch, n, channels)
         return xs, ble, meta, gains, silk
 
     core = _make_serving_core(lm, batch, channels, downsample, pf_chunk,
@@ -651,6 +715,13 @@ def make_serving_step(lm: int, batch: int, channels: int = 2, downsample: int = 
 
     def step(state: SynthState, ring, buf):
         xs, ble, meta, gains, silk = unpack(buf)
+        if silk_internal:
+            silk, new_hist = _silk_resample(
+                silk.astype(jnp.float32), meta[:, 12] & 0xFF,
+                state.silk_hist, lm, channels,
+            )
+            new_state, pcm_out, digest = core(state, xs, ble, meta, gains, silk)
+            return new_state._replace(silk_hist=new_hist), pcm_out, digest
         return core(state, xs, ble, meta, gains, silk)
 
     return _maybe_checkify(step, donate=(0, 1))
@@ -660,7 +731,7 @@ def make_plan_serving_step(lm: int, batch: int, channels: int = 2,
                            downsample: int = 1, pf_chunk: int = _CHUNK,
                            pf_active: bool = True, arena_words: int = 0,
                            with_plc: bool = False, silk_mix: bool = False,
-                           silk_rows: int = 0):
+                           silk_rows: int = 0, silk_internal: bool = False):
     """Serving step over a plan-executor slot (opus_tpu/dsp/plan_exec.py).
 
     Same contract as make_serving_step, but the uploaded buffer holds
@@ -696,7 +767,8 @@ def make_plan_serving_step(lm: int, batch: int, channels: int = 2,
     # bands eff bit-stream [B,8], then the arena tail.
     n_ = (1 << lm) * modes.SHORT_MDCT_SIZE
     assert not (silk_mix and downsample != 1), "mixed serving mixes at 48 kHz"
-    silk_words = (n_ * channels + 1) // 2 if silk_mix else 0
+    silk_samps = ((n_ // 3) if silk_internal else n_) * channels
+    silk_words = (silk_samps + 1) // 2 if silk_mix else 0
     o_hdr = 0
     o_ble = o_hdr + B * 3
     o_dmeta = o_ble + B * NBv
@@ -724,7 +796,11 @@ def make_plan_serving_step(lm: int, batch: int, channels: int = 2,
         ) * jnp.float32(1.0 / 512.0)
         d = buf[o_dmeta:o_bw0].reshape(B, 5)
         d0, d1 = d[:, 0], d[:, 1]
-        z = jnp.zeros((B,), jnp.int32)
+        d2u = jax.lax.bitcast_convert_type(d[:, 2], jnp.uint32)
+        d3u = jax.lax.bitcast_convert_type(d[:, 3], jnp.uint32)
+        # meta[12]: the SILK internal-rate descriptor (khz/rows/reset),
+        # packed into d3's free upper half by pack_plan_fixed.
+        z = ((d3u >> 16) & 0xFF).astype(jnp.int32)
         meta = jnp.stack(
             [
                 d0 & 1,                                  # 0 silence
@@ -739,15 +815,13 @@ def make_plan_serving_step(lm: int, batch: int, channels: int = 2,
                 (d0 >> 13) & 3,                          # 9 pf tapset0
                 (d0 >> 15) & 3,                          # 10 pf tapset1
                 (d0 >> 17) & 3,                          # 11 pf tapset2
-                z,                                       # 12 error
+                z,                                       # 12 silk desc
                 (d0 >> 6) & 3,                           # 13 spread
                 (d0 >> 4) & 3,                           # 14 plc flags
                 d[:, 4],                                 # 15 plc params
             ],
             axis=1,
         )
-        d2u = jax.lax.bitcast_convert_type(d[:, 2], jnp.uint32)
-        d3u = jax.lax.bitcast_convert_type(d[:, 3], jnp.uint32)
         gains = jnp.stack(
             [
                 _f16_to_f32_j(d2u & 0xFFFF),
@@ -768,7 +842,7 @@ def make_plan_serving_step(lm: int, batch: int, channels: int = 2,
             srows = jax.lax.bitcast_convert_type(
                 buf[o_srows : o_srows + silk_rows * silk_words
                     ].reshape(silk_rows, silk_words), jnp.int16
-            ).reshape(silk_rows, 2 * silk_words)[:, : n_ * channels]
+            ).reshape(silk_rows, 2 * silk_words)[:, :silk_samps]
             smap = buf[o_smap:o_arena]
             oh = (smap[:, None] == jnp.arange(silk_rows)[None, :]).astype(
                 jnp.float32
@@ -776,21 +850,36 @@ def make_plan_serving_step(lm: int, batch: int, channels: int = 2,
             silk = jnp.einsum(
                 "br,rk->bk", oh, srows.astype(jnp.float32),
                 preferred_element_type=jnp.float32, precision="highest",
-            ).reshape(B, n_, channels)
+            )
+            if not silk_internal:
+                silk = silk.reshape(B, n_, channels)
         elif silk_mix:
-            silk = jnp.zeros((B, n_, channels), jnp.float32)
+            silk = (jnp.zeros((B, silk_samps), jnp.float32) if silk_internal
+                    else jnp.zeros((B, n_, channels), jnp.float32))
         arena = buf[o_arena : o_arena + B * arena_words] if silk_mix else buf[o_arena:]
         return header, ble, meta, gains, bands, silk, arena
+
+    def resample_if_internal(state, meta, silk):
+        if not silk_internal:
+            return state, silk
+        silk, new_hist = _silk_resample(
+            silk, meta[:, 12] & 0xFF, state.silk_hist, lm, channels
+        )
+        return state._replace(silk_hist=new_hist), silk
 
     if not with_plc:
         def step(state: SynthState, ring, buf):
             header, ble, meta, gains, bands, silk, arena = unpack(buf)
             xs = executor(header, bands, meta, arena)
-            return core(state, xs, ble, meta, gains, silk)
+            hstate, silk = resample_if_internal(state, meta, silk)
+            new_state, pcm_out, digest = core(state, xs, ble, meta, gains, silk)
+            if silk_internal:
+                new_state = new_state._replace(silk_hist=hstate.silk_hist)
+            return new_state, pcm_out, digest
 
         return _maybe_checkify(step, donate=(0, 1))
 
-    from .plc_exec import LPC_ORDER, make_plc_conceal
+    from .plc_exec import make_plc_conceal
 
     # with_plc compiles the device pitch-regime conceal into the step; in
     # the mixed (silk_mix) loop it serves steps whose CELT-only members
@@ -801,6 +890,7 @@ def make_plan_serving_step(lm: int, batch: int, channels: int = 2,
     def step_plc(state: SynthState, ring, buf, plc_lpc, plc_pitch):
         header, ble, meta, gains, bands, silk, arena = unpack(buf)
         xs = executor(header, bands, meta, arena)
+        hstate, silk = resample_if_internal(state, meta, silk)
         plc_mask = (meta[:, 14] & 1) == 1
         first = ((meta[:, 14] >> 1) & 1) == 1
         m15 = jax.lax.bitcast_convert_type(meta[:, 15], jnp.uint32)
@@ -814,6 +904,8 @@ def make_plan_serving_step(lm: int, batch: int, channels: int = 2,
             state, xs, ble, meta, gains, silk,
             plc=(plc_mask, out_f_c, mem_c),
         )
+        if silk_internal:
+            new_state = new_state._replace(silk_hist=hstate.silk_hist)
         new_lpc = jnp.where(plc_mask[:, None, None], new_lpc, plc_lpc)
         new_pitch = jnp.where(plc_mask, new_pitch, plc_pitch)
         return new_state, pcm_out, digest, new_lpc, new_pitch

@@ -26,8 +26,14 @@ def _load():
     # starves the JAX dispatch/transfer threads that share host cores
     # with plane A (measured 2x step-time regression on a 1-core host).
     os.environ.setdefault("OMP_WAIT_POLICY", "passive")
-    so = _HERE / "libceltfe.so"
+    # OPUS_TPU_NATIVE_LIB: absolute path override, used by the CI
+    # sanitizer job to load the ASAN/UBSAN-instrumented build
+    # (libceltfe_san.so) under LD_PRELOAD=libasan.
+    override = os.environ.get("OPUS_TPU_NATIVE_LIB")
+    so = pathlib.Path(override) if override else _HERE / "libceltfe.so"
     if not so.exists():
+        if override:
+            raise FileNotFoundError(f"OPUS_TPU_NATIVE_LIB={override} not found")
         from .build import build
 
         build(verbose=False)
@@ -553,6 +559,103 @@ class NativeCeltEncoderBatch:
         return out
 
 
+class NativeSilkEncoder:
+    """Native SILK encoder (silk_encoder.inc): one mono stream at a fixed
+    internal rate, CBR payloads (no ToC byte — the Opus layer adds it).
+    Streams are conformant: libopus decodes them with final_range
+    equality against our decoders (tests/test_native_silk_encoder.py).
+    Port of opus_tpu/silk/encoder.py; ref surface encoder.rs:1-10."""
+
+    def __init__(self, fs_khz: int):
+        self.lib = _load()
+        self.lib.silk_enc_create.restype = ctypes.c_void_p
+        self.lib.silk_enc_create.argtypes = [ctypes.c_int]
+        self.lib.silk_enc_destroy.argtypes = [ctypes.c_void_p]
+        self.lib.silk_enc_reset.argtypes = [ctypes.c_void_p]
+        self.lib.silk_enc_rng.restype = ctypes.c_uint32
+        self.lib.silk_enc_rng.argtypes = [ctypes.c_void_p]
+        self.lib.silk_enc_encode.restype = ctypes.c_int
+        self.lib.silk_enc_encode.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int16), ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+        ]
+        self.fs_khz = fs_khz
+        self.h = self.lib.silk_enc_create(fs_khz)
+        if not self.h:
+            raise ValueError(f"bad internal rate {fs_khz}")
+        self._out = np.zeros(1400, np.uint8)
+
+    def __del__(self):
+        try:
+            self.lib.silk_enc_destroy(self.h)
+        except Exception:
+            pass
+
+    def reset(self):
+        self.lib.silk_enc_reset(self.h)
+
+    @property
+    def final_range(self) -> int:
+        return int(self.lib.silk_enc_rng(self.h))
+
+    def encode(self, x: np.ndarray, budget_bytes: int) -> bytes:
+        """x: int16 at the internal rate (10/20/40/60 ms) -> payload."""
+        xi = np.ascontiguousarray(x, dtype=np.int16)
+        rc = self.lib.silk_enc_encode(
+            self.h, xi.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            xi.shape[0], budget_bytes,
+            self._out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        if rc < 0:
+            raise ValueError(f"native silk encode failed: {rc}")
+        return bytes(self._out[:rc])
+
+
+class NativeSilkEncoderBatch:
+    """Batch of native SILK encoders; one C call encodes every stream
+    (OpenMP across streams) — the voice half of BASELINE configs[3]'s
+    serving-scale encode plane."""
+
+    def __init__(self, batch: int, fs_khz: int):
+        self.proto = NativeSilkEncoder(fs_khz)  # loads signatures
+        self.lib = self.proto.lib
+        self.lib.silk_enc_encode_batch.restype = ctypes.c_int
+        self.lib.silk_enc_encode_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_int16),
+            ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        self.batch = batch
+        self.fs_khz = fs_khz
+        self.handles = (ctypes.c_void_p * batch)(
+            *[self.lib.silk_enc_create(fs_khz) for _ in range(batch)]
+        )
+
+    def __del__(self):
+        try:
+            for h in self.handles:
+                self.lib.silk_enc_destroy(h)
+        except Exception:
+            pass
+
+    def encode_batch(self, x: np.ndarray, budget_bytes: int):
+        """x [B, n] int16 internal-rate -> (payloads [B, 1275] u8, sizes)."""
+        B = self.batch
+        xi = np.ascontiguousarray(x, dtype=np.int16)
+        out = np.zeros((B, 1275), np.uint8)
+        sizes = np.zeros(B, np.int32)
+        rc = self.lib.silk_enc_encode_batch(
+            self.handles, xi.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            xi.shape[1], B, xi.shape[1], budget_bytes,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out.shape[1],
+            sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        if rc != B:
+            raise ValueError(f"native silk batch encode failed at {-rc - 1}")
+        return out, sizes
+
+
 class NativeSilkFrontEnd:
     """Native SILK plane A: bit-exact frame decode + device-plane params."""
 
@@ -802,7 +905,10 @@ def pack_plan_fixed(slot: dict) -> None:
     )
     d[:, 1] = np.clip(meta[:, 6], 0, 0x7FF) | (np.clip(meta[:, 7], 0, 0x7FF) << 11)
     d[:, 2] = (g16[:, 0] | (g16[:, 1] << 16)).astype(np.int64).astype(np.uint32).view(np.int32)
-    d[:, 3] = g16[:, 2].astype(np.int32)
+    # d3 low half: pf gain2 (f16); high byte 16..23: the SILK internal-
+    # rate descriptor (meta[12] = khz | rows<<5 | reset<<6; 0 when the
+    # pipeline ships 48 kHz PCM or the stream has no SILK).
+    d[:, 3] = g16[:, 2].astype(np.int32) | ((meta[:, 12] & 0xFF) << 16)
     d[:, 4] = meta[:, 15]
     # bands: w0 verbatim; eff fields as a 21x11-bit little-endian
     # stream in 8 words.

@@ -60,12 +60,14 @@ void silk_dec_restore_all(void** handles_silk, int n);
 void silk_dec_restore_one(void* handle_silk, int i);
 void silk_dec_pool_reserve(int n);
 void silk_dec_snapshot_one(void* handle_silk, int i);
+// fs_api_hz == 0: raw internal-rate planar output + desc word for the
+// device-side resampler (silk_frontend.cpp raw_internal_out).
 int silk_dec_run(void* h, opusfe::RangeDec* dec, int internal_khz, int payload_ms,
-                 int nci, int nca, int fs_api_hz, int16_t* out);
+                 int nci, int nca, int fs_api_hz, int16_t* out, int32_t* desc);
 int silk_dec_run_fec(void* h, opusfe::RangeDec* dec, int internal_khz, int payload_ms,
-                     int nci, int nca, int fs_api_hz, int16_t* out);
+                     int nci, int nca, int fs_api_hz, int16_t* out, int32_t* desc);
 int silk_dec_conceal(void* h, int internal_khz, int payload_ms,
-                     int nci, int nca, int fs_api_hz, int16_t* out);
+                     int nci, int nca, int fs_api_hz, int16_t* out, int32_t* desc);
 }
 
 namespace {
@@ -87,7 +89,18 @@ struct OpusFE {
     bool prev_redundancy = false;  // last frame carried a redundant CELT
                                    // block (its decode warmed celt state,
                                    // so the next switch must NOT reset)
+    bool silk_internal = false;    // SILK PCM ships at the INTERNAL rate
+                                   // (planar, desc in meta[12]); the
+                                   // device resamples (dsp/resample.py)
 };
+
+// int16 samples the SILK region holds per stream for one frame: the
+// internal-rate planar layout is channels rows of frame48/3 (the 16 kHz
+// worst case), a 3x cut vs resampled 48 kHz PCM.
+static inline size_t silk_out_samps(const OpusFE* st, int frame48) {
+    return st->silk_internal ? (size_t)st->channels * (frame48 / 3)
+                             : (size_t)frame48 * st->channels;
+}
 
 // Approximate transition semantics for the batched paths.  The scalar
 // decoder.py keeps the EXACT libopus behaviour (2.5/5 ms crossfades and
@@ -201,6 +214,15 @@ void opus_fe_destroy(void* h) {
 
 uint32_t opus_fe_celt_rng(void* h) { return celt_fe_rng(((OpusFE*)h)->celt); }
 
+// Select the SILK transfer form for this stream's serving slots:
+// enable=1 ships internal-rate planar PCM + desc (meta[12]); 0 ships
+// resampled 48 kHz interleaved PCM (the default).  Must be set before
+// the first decode and never changed mid-stream (the device's resampler
+// history and the native resampler state are not interchangeable).
+void opus_fe_set_silk_internal(void* h, int enable) {
+    ((OpusFE*)h)->silk_internal = enable != 0;
+}
+
 // Decode ONE Opus frame (already split out of the packet; payload only).
 // mode: 0 silk / 1 hybrid / 2 celt; bw: ToC bandwidth code 0..4;
 // frame48: frame duration in 48 kHz samples; sch: coded channels (1/2).
@@ -217,6 +239,9 @@ int opus_fe_decode(void* h, const uint8_t* payload, int len, int mode, int bw,
                    uint32_t* final_range) {
     OpusFE* st = (OpusFE*)h;
     int cc = st->channels;
+    const int fs_silk = st->silk_internal ? 0 : 48000;
+    int32_t sdesc = 0;
+    const size_t silk_samps = silk_out_samps(st, frame48);
     if (len == 0) {
         // Packet loss: conceal from the previous mode's state (PLC).
         // SILK extrapolation is the exact silk/PLC.c+CNG.c port in
@@ -226,8 +251,9 @@ int opus_fe_decode(void* h, const uint8_t* payload, int len, int mode, int bw,
         *final_range = 0;
         int pm = st->prev_mode;
         if (pm < 0) {  // nothing decoded yet: silence
-            std::memset(silk48, 0, (size_t)frame48 * cc * sizeof(int16_t));
+            std::memset(silk48, 0, silk_samps * sizeof(int16_t));
             silent_celt_meta(frame48, st->last_sch, meta, pf_gains_out);
+            if (st->silk_internal) meta[12] = 0;
             return 0;
         }
         if (pm != MODE_CELT) {
@@ -236,10 +262,11 @@ int opus_fe_decode(void* h, const uint8_t* payload, int len, int mode, int bw,
                           : (st->last_bw == 0 ? 8 : st->last_bw == 1 ? 12 : 16);
             int ms = frame48 / 48;
             if (ms != 10 && ms != 20 && ms != 40 && ms != 60) return -3;
-            int rc = silk_dec_conceal(st->silk, khz, ms, st->last_sch, cc, 48000, silk48);
+            int rc = silk_dec_conceal(st->silk, khz, ms, st->last_sch, cc, fs_silk,
+                                      silk48, &sdesc);
             if (rc != 0) return rc;
         } else {
-            std::memset(silk48, 0, (size_t)frame48 * cc * sizeof(int16_t));
+            std::memset(silk48, 0, silk_samps * sizeof(int16_t));
         }
         if (pm != MODE_SILK) {
             double g[3];
@@ -249,6 +276,7 @@ int opus_fe_decode(void* h, const uint8_t* payload, int len, int mode, int bw,
         } else {
             silent_celt_meta(frame48, st->last_sch, meta, pf_gains_out);
         }
+        if (st->silk_internal) meta[12] = sdesc;
         return 0;
     }
     if (len < 0) {
@@ -273,7 +301,8 @@ int opus_fe_decode(void* h, const uint8_t* payload, int len, int mode, int bw,
         int khz = mode == MODE_HYBRID ? 16 : (bw == 0 ? 8 : bw == 1 ? 12 : 16);
         int ms = frame48 / 48;
         if (ms != 10 && ms != 20) return -3;
-        int rc = silk_dec_run_fec(st->silk, &dec, khz, ms, sch, cc, 48000, silk48);
+        int rc = silk_dec_run_fec(st->silk, &dec, khz, ms, sch, cc, fs_silk,
+                                  silk48, &sdesc);
         if (rc != 0) return rc;
         if (mode == MODE_HYBRID) {
             double g[3];
@@ -283,6 +312,7 @@ int opus_fe_decode(void* h, const uint8_t* payload, int len, int mode, int bw,
         } else {
             silent_celt_meta(frame48, sch, meta, pf_gains_out);
         }
+        if (st->silk_internal) meta[12] = sdesc;
         *final_range = dec.rng;
         return 0;
     }
@@ -301,12 +331,14 @@ int opus_fe_decode(void* h, const uint8_t* payload, int len, int mode, int bw,
         int ms = frame48 / 48;
         if (ms != 10 && ms != 20 && ms != 40 && ms != 60) return -3;
         if (mode == MODE_HYBRID && ms > 20) return -3;
-        int rc = silk_dec_run(st->silk, &dec, khz, ms, sch, cc, 48000, silk48);
+        if (st->silk_internal && ms > 20) return -3;  // serve path only
+        int rc = silk_dec_run(st->silk, &dec, khz, ms, sch, cc, fs_silk,
+                              silk48, &sdesc);
         if (rc != 0) return rc;
         red = parse_redundancy(dec, mode, len);
         if (red.celt_to_silk) decode_redundant(st, payload, red, bw, sch);
     } else {
-        std::memset(silk48, 0, (size_t)frame48 * cc * sizeof(int16_t));
+        std::memset(silk48, 0, silk_samps * sizeof(int16_t));
         red.len_eff = len;
     }
 
@@ -337,6 +369,7 @@ int opus_fe_decode(void* h, const uint8_t* payload, int len, int mode, int bw,
     if (red.present && !red.celt_to_silk)
         decode_redundant(st, payload, red, bw, sch);
     st->prev_redundancy = red.present;
+    if (st->silk_internal) meta[12] = sdesc;
     *final_range = dec.rng ^ red.rng;  // decoder.py range_final semantics
     return 0;
 }
@@ -483,22 +516,26 @@ int opus_fe_decode_batch_plan(void** handles, const uint8_t* data, const int32_t
         double g[3] = {0.0, 0.0, 0.0};
         int rc = 0;
         int mode = modes[i];
+        const int fs_silk = st->silk_internal ? 0 : 48000;
+        const size_t silk_samps = silk_out_samps(st, frame48);
+        int32_t sdesc = 0;
         // Conceal stream i from its previous mode's state (the lens==0
         // loss path, also reused to absorb corrupt packets below).
         auto conceal_i = [&]() -> int {
             int crc = 0;
             ranges[i] = 0;
+            sdesc = 0;
             int pm = st->prev_mode;
             if (pm != MODE_CELT)
-                std::memset(silk48, 0, (size_t)frame48 * cc * sizeof(int16_t));
+                std::memset(silk48, 0, silk_samps * sizeof(int16_t));
             if (pm >= 0 && pm != MODE_CELT) {
                 int khz = pm == MODE_HYBRID
                               ? 16
                               : (st->last_bw == 0 ? 8 : st->last_bw == 1 ? 12 : 16);
                 crc = silk_dec_conceal(st->silk, khz, frame48 / 48, st->last_sch, cc,
-                                       48000, silk48);
+                                       fs_silk, silk48, &sdesc);
             } else if (pm == MODE_CELT) {
-                std::memset(silk48, 0, (size_t)frame48 * cc * sizeof(int16_t));
+                std::memset(silk48, 0, silk_samps * sizeof(int16_t));
             }
             if (crc == 0 && pm > MODE_SILK) {
                 // Regime dispatch: pitch-LPC for CELT-only streams (device
@@ -537,7 +574,7 @@ int opus_fe_decode_batch_plan(void** handles, const uint8_t* data, const int32_t
                 if (ms != 10 && ms != 20) rc = -3;
                 if (rc == 0)
                     rc = silk_dec_run_fec(st->silk, &dec, khz, ms, schs[i], cc,
-                                          48000, silk48);
+                                          fs_silk, silk48, &sdesc);
                 if (rc == 0) {
                     if (pm == MODE_HYBRID) {
                         rc = celt_fe_plan_lost(st->celt, frame48, i, ble, meta, g);
@@ -567,15 +604,15 @@ int opus_fe_decode_batch_plan(void** handles, const uint8_t* data, const int32_t
                 int ms = frame48 / 48;
                 if (ms != 10 && ms != 20) rc = -3;  // serve path: <=20 ms
                 if (rc == 0)
-                    rc = silk_dec_run(st->silk, &dec, khz, ms, schs[i], cc, 48000,
-                                      silk48);
+                    rc = silk_dec_run(st->silk, &dec, khz, ms, schs[i], cc, fs_silk,
+                                      silk48, &sdesc);
                 if (rc == 0) {
                     red = parse_redundancy(dec, mode, lens[i]);
                     if (red.celt_to_silk)
                         decode_redundant(st, data + offs[i], red, bws[i], schs[i]);
                 }
             } else {
-                std::memset(silk48, 0, (size_t)frame48 * cc * sizeof(int16_t));
+                std::memset(silk48, 0, silk_samps * sizeof(int16_t));
             }
             if (rc == 0 && mode != MODE_SILK) {
                 celt_fe_config(st->celt, mode == MODE_HYBRID ? 17 : 0,
@@ -612,6 +649,7 @@ int opus_fe_decode_batch_plan(void** handles, const uint8_t* data, const int32_t
             for (int j = 0; j < 3; j++) gains[j] = (float)g[j];
             if (mode == MODE_SILK && lens[i] != 0)
                 gains[0] = gains[1] = gains[2] = 0.0f;
+            if (st->silk_internal) meta[12] = sdesc;
             celt_fe_plan_bands(i, bands_out + i * 21 * 2);
         }
         if (rc != 0) {

@@ -1573,22 +1573,57 @@ struct SilkDriver {
     int fs_api_hz = 0;
 };
 
+// Raw internal-rate output mode (fs_api_hz == 0): instead of resampling
+// to the API rate, write the post-unmix internal-rate PCM channel-PLANAR
+// (row n at out + n*lmax, lmax = 16*payload_ms, zero-padded past
+// frame_len) and report a descriptor word:
+//   desc = internal_khz | (nrows-1) << 5 | resampler_reset << 6
+// The device then resamples the whole batch as one dense matmul per rate
+// (opus_tpu/dsp/resample.py) — a 3-6x host->device byte reduction for
+// the mixed serving loop.  The reset bit mirrors exactly the condition
+// under which libopus re-initialises its resampler state (rate change),
+// which on device zeroes the carried input-history tail.
+static void raw_internal_out(const int16_t* x1, const int16_t* x2, int frame_len,
+                             int payload_ms, int internal_khz, int nci, int nca,
+                             int rs_reset, int16_t* out, int32_t* desc) {
+    int lmax = 16 * payload_ms;
+    int nrows = std::min(nca, nci);
+    for (int n = 0; n < nrows; n++) {
+        const int16_t* src = (n == 0 ? x1 : x2) + 1;
+        std::memcpy(out + (int64_t)n * lmax, src, (size_t)frame_len * sizeof(int16_t));
+        std::memset(out + (int64_t)n * lmax + frame_len, 0,
+                    (size_t)(lmax - frame_len) * sizeof(int16_t));
+    }
+    for (int n = nrows; n < nca; n++)
+        std::memset(out + (int64_t)n * lmax, 0, (size_t)lmax * sizeof(int16_t));
+    if (desc) *desc = internal_khz | ((nrows - 1) << 5) | (rs_reset << 6);
+}
+
 // Decode one whole SILK payload (1-3 frames) -> interleaved int16 at the
 // API rate.  out must hold (ms*fs_api/1000)*n_api samples.  Returns 0 ok.
+// fs_api_hz == 0 selects the raw internal-rate planar output (see
+// raw_internal_out; single-frame payloads only).
 static int silk_driver_decode(SilkDriver& d, RangeDec& dec, int internal_khz, int payload_ms,
-                              int nci, int nca, int fs_api_hz, int16_t* out) {
+                              int nci, int nca, int fs_api_hz, int16_t* out,
+                              int32_t* desc = nullptr) {
     SilkState* cs = d.ch;
     for (int n = 0; n < nci; n++) cs[n].n_frames_decoded = 0;
     if (nci > d.n_channels_internal) cs[1] = SilkState();
 
+    const bool raw = fs_api_hz == 0;
+    const int eff_api_hz = raw ? 48000 : fs_api_hz;
+    int rs_reset = 0;
     int fpp = payload_ms <= 20 ? 1 : payload_ms == 40 ? 2 : 3;
+    if (raw && fpp > 1) return -3;
     int nb_subfr = payload_ms <= 10 ? 2 : 4;
     for (int n = 0; n < nci; n++) {
         cs[n].n_frames_per_packet = fpp;
         cs[n].nb_subfr = nb_subfr;
         cs[n].set_fs(internal_khz);
-        if (d.rs[n].fs_in_khz != internal_khz || d.rs[n].fs_out_khz * 1000 != fs_api_hz)
-            d.rs[n].init(internal_khz * 1000, fs_api_hz);
+        if (d.rs[n].fs_in_khz != internal_khz || d.rs[n].fs_out_khz * 1000 != eff_api_hz) {
+            d.rs[n].init(internal_khz * 1000, eff_api_hz);
+            rs_reset = 1;
+        }
     }
     if (nca == 2 && nci == 2 && (d.n_channels_api == 1 || d.n_channels_internal == 1)) {
         d.stereo.pred_prev_q13[0] = d.stereo.pred_prev_q13[1] = 0;
@@ -1633,7 +1668,7 @@ static int silk_driver_decode(SilkDriver& d, RangeDec& dec, int internal_khz, in
     }
 
     int frame_len = cs[0].frame_length;
-    int out_per_frame = frame_len * (fs_api_hz / 1000) / internal_khz;
+    int out_per_frame = frame_len * (eff_api_hz / 1000) / internal_khz;
     std::vector<int16_t> x1(frame_len + 2), x2(frame_len + 2);
     std::vector<int16_t> res;
     res.reserve(out_per_frame + 16);
@@ -1683,14 +1718,19 @@ static int silk_driver_decode(SilkDriver& d, RangeDec& dec, int internal_khz, in
             d.stereo.s_mid[1] = x1[frame_len + 1];
         }
 
-        int16_t* out_f = out + (int64_t)fi * out_per_frame * nca;
-        for (int n = 0; n < std::min(nca, nci); n++) {
-            res.clear();
-            d.rs[n].process(res, (n == 0 ? x1.data() : x2.data()) + 1, frame_len);
-            for (int i = 0; i < out_per_frame; i++) out_f[i * nca + n] = res[i];
+        if (raw) {
+            raw_internal_out(x1.data(), x2.data(), frame_len, payload_ms,
+                             internal_khz, nci, nca, rs_reset, out, desc);
+        } else {
+            int16_t* out_f = out + (int64_t)fi * out_per_frame * nca;
+            for (int n = 0; n < std::min(nca, nci); n++) {
+                res.clear();
+                d.rs[n].process(res, (n == 0 ? x1.data() : x2.data()) + 1, frame_len);
+                for (int i = 0; i < out_per_frame; i++) out_f[i * nca + n] = res[i];
+            }
+            if (nca == 2 && nci == 1)
+                for (int i = 0; i < out_per_frame; i++) out_f[i * nca + 1] = out_f[i * nca];
         }
-        if (nca == 2 && nci == 1)
-            for (int i = 0; i < out_per_frame; i++) out_f[i * nca + 1] = out_f[i * nca];
         d.prev_decode_only_middle = decode_only_middle;
     }
     return dec.error ? -2 : 0;
@@ -1703,18 +1743,24 @@ static int silk_driver_decode(SilkDriver& d, RangeDec& dec, int internal_khz, in
 // packet with no LBRR at all degenerates to PLC.
 static int silk_driver_decode_lbrr(SilkDriver& d, RangeDec& dec, int internal_khz,
                                    int payload_ms, int nci, int nca,
-                                   int fs_api_hz, int16_t* out) {
+                                   int fs_api_hz, int16_t* out,
+                                   int32_t* desc = nullptr) {
     if (payload_ms > 20) return -3;
     SilkState* cs = d.ch;
     for (int n = 0; n < nci; n++) cs[n].n_frames_decoded = 0;
     if (nci > d.n_channels_internal) cs[1] = SilkState();
+    const bool raw = fs_api_hz == 0;
+    const int eff_api_hz = raw ? 48000 : fs_api_hz;
+    int rs_reset = 0;
     int nb_subfr = payload_ms <= 10 ? 2 : 4;
     for (int n = 0; n < nci; n++) {
         cs[n].n_frames_per_packet = 1;
         cs[n].nb_subfr = nb_subfr;
         cs[n].set_fs(internal_khz);
-        if (d.rs[n].fs_in_khz != internal_khz || d.rs[n].fs_out_khz * 1000 != fs_api_hz)
-            d.rs[n].init(internal_khz * 1000, fs_api_hz);
+        if (d.rs[n].fs_in_khz != internal_khz || d.rs[n].fs_out_khz * 1000 != eff_api_hz) {
+            d.rs[n].init(internal_khz * 1000, eff_api_hz);
+            rs_reset = 1;
+        }
     }
     if (nca == 2 && nci == 2 && (d.n_channels_api == 1 || d.n_channels_internal == 1)) {
         d.stereo.pred_prev_q13[0] = d.stereo.pred_prev_q13[1] = 0;
@@ -1759,7 +1805,7 @@ static int silk_driver_decode_lbrr(SilkDriver& d, RangeDec& dec, int internal_kh
                     || (nci == 2 && cs[1].lbrr_flags[0] == 1);
 
     int frame_len = cs[0].frame_length;
-    int out_per_frame = frame_len * (fs_api_hz / 1000) / internal_khz;
+    int out_per_frame = frame_len * (eff_api_hz / 1000) / internal_khz;
     std::vector<int16_t> x1(frame_len + 2, 0), x2(frame_len + 2, 0);
     std::vector<int16_t> res;
     res.reserve(out_per_frame + 16);
@@ -1785,13 +1831,18 @@ static int silk_driver_decode_lbrr(SilkDriver& d, RangeDec& dec, int internal_kh
         d.stereo.s_mid[1] = x1[frame_len + 1];
     }
 
-    for (int n = 0; n < std::min(nca, nci); n++) {
-        res.clear();
-        d.rs[n].process(res, (n == 0 ? x1.data() : x2.data()) + 1, frame_len);
-        for (int i = 0; i < out_per_frame; i++) out[i * nca + n] = res[i];
+    if (raw) {
+        raw_internal_out(x1.data(), x2.data(), frame_len, payload_ms,
+                         internal_khz, nci, nca, rs_reset, out, desc);
+    } else {
+        for (int n = 0; n < std::min(nca, nci); n++) {
+            res.clear();
+            d.rs[n].process(res, (n == 0 ? x1.data() : x2.data()) + 1, frame_len);
+            for (int i = 0; i < out_per_frame; i++) out[i * nca + n] = res[i];
+        }
+        if (nca == 2 && nci == 1)
+            for (int i = 0; i < out_per_frame; i++) out[i * nca + 1] = out[i * nca];
     }
-    if (nca == 2 && nci == 1)
-        for (int i = 0; i < out_per_frame; i++) out[i * nca + 1] = out[i * nca];
     d.prev_decode_only_middle = decode_only_middle;
     return dec.error ? -2 : 0;
 }
@@ -1802,18 +1853,25 @@ static int silk_driver_decode_lbrr(SilkDriver& d, RangeDec& dec, int internal_kh
 // prediction weights + resampling.  Parameters (rate/duration/channels)
 // are the last good packet's, cached by the caller.
 static int silk_driver_conceal(SilkDriver& d, int internal_khz, int payload_ms,
-                               int nci, int nca, int fs_api_hz, int16_t* out) {
+                               int nci, int nca, int fs_api_hz, int16_t* out,
+                               int32_t* desc = nullptr) {
     SilkState* cs = d.ch;
     for (int n = 0; n < nci; n++) cs[n].n_frames_decoded = 0;
     if (nci > d.n_channels_internal) cs[1] = SilkState();
+    const bool raw = fs_api_hz == 0;
+    const int eff_api_hz = raw ? 48000 : fs_api_hz;
+    int rs_reset = 0;
     int fpp = payload_ms <= 20 ? 1 : payload_ms == 40 ? 2 : 3;
+    if (raw && fpp > 1) return -3;
     int nb_subfr = payload_ms <= 10 ? 2 : 4;
     for (int n = 0; n < nci; n++) {
         cs[n].n_frames_per_packet = fpp;
         cs[n].nb_subfr = nb_subfr;
         cs[n].set_fs(internal_khz);
-        if (d.rs[n].fs_in_khz != internal_khz || d.rs[n].fs_out_khz * 1000 != fs_api_hz)
-            d.rs[n].init(internal_khz * 1000, fs_api_hz);
+        if (d.rs[n].fs_in_khz != internal_khz || d.rs[n].fs_out_khz * 1000 != eff_api_hz) {
+            d.rs[n].init(internal_khz * 1000, eff_api_hz);
+            rs_reset = 1;
+        }
     }
     if (nca == 2 && nci == 2 && (d.n_channels_api == 1 || d.n_channels_internal == 1)) {
         d.stereo.pred_prev_q13[0] = d.stereo.pred_prev_q13[1] = 0;
@@ -1824,7 +1882,7 @@ static int silk_driver_conceal(SilkDriver& d, int internal_khz, int payload_ms,
     d.n_channels_internal = nci;
 
     int frame_len = cs[0].frame_length;
-    int out_per_frame = frame_len * (fs_api_hz / 1000) / internal_khz;
+    int out_per_frame = frame_len * (eff_api_hz / 1000) / internal_khz;
     std::vector<int16_t> x1(frame_len + 2), x2(frame_len + 2);
     std::vector<int16_t> res;
     res.reserve(out_per_frame + 16);
@@ -1863,14 +1921,19 @@ static int silk_driver_conceal(SilkDriver& d, int internal_khz, int payload_ms,
             d.stereo.s_mid[1] = x1[frame_len + 1];
         }
 
-        int16_t* out_f = out + (int64_t)fi * out_per_frame * nca;
-        for (int n = 0; n < std::min(nca, nci); n++) {
-            res.clear();
-            d.rs[n].process(res, (n == 0 ? x1.data() : x2.data()) + 1, frame_len);
-            for (int i = 0; i < out_per_frame; i++) out_f[i * nca + n] = res[i];
+        if (raw) {
+            raw_internal_out(x1.data(), x2.data(), frame_len, payload_ms,
+                             internal_khz, nci, nca, rs_reset, out, desc);
+        } else {
+            int16_t* out_f = out + (int64_t)fi * out_per_frame * nca;
+            for (int n = 0; n < std::min(nca, nci); n++) {
+                res.clear();
+                d.rs[n].process(res, (n == 0 ? x1.data() : x2.data()) + 1, frame_len);
+                for (int i = 0; i < out_per_frame; i++) out_f[i * nca + n] = res[i];
+            }
+            if (nca == 2 && nci == 1)
+                for (int i = 0; i < out_per_frame; i++) out_f[i * nca + 1] = out_f[i * nca];
         }
-        if (nca == 2 && nci == 1)
-            for (int i = 0; i < out_per_frame; i++) out_f[i * nca + 1] = out_f[i * nca];
         // prev_decode_only_middle is NOT updated on loss (api.py:249).
     }
     return 0;
@@ -1915,22 +1978,25 @@ void silk_dec_snapshot_one(void* handle_silk, int i) {
     silk_snap_pool(i + 1)[i] = *(SilkDriver*)handle_silk;
 }
 
+// fs_api_hz == 0 selects the raw internal-rate planar output for the
+// device-side resampler (desc receives khz/rows/reset; see
+// raw_internal_out); desc may be null in the 48 kHz mode.
 int silk_dec_run(void* h, opusfe::RangeDec* dec, int internal_khz, int payload_ms,
-                 int nci, int nca, int fs_api_hz, int16_t* out) {
+                 int nci, int nca, int fs_api_hz, int16_t* out, int32_t* desc) {
     return silk_driver_decode(*(SilkDriver*)h, *dec, internal_khz, payload_ms,
-                              nci, nca, fs_api_hz, out);
+                              nci, nca, fs_api_hz, out, desc);
 }
 
 int silk_dec_run_fec(void* h, opusfe::RangeDec* dec, int internal_khz, int payload_ms,
-                     int nci, int nca, int fs_api_hz, int16_t* out) {
+                     int nci, int nca, int fs_api_hz, int16_t* out, int32_t* desc) {
     return silk_driver_decode_lbrr(*(SilkDriver*)h, *dec, internal_khz, payload_ms,
-                                   nci, nca, fs_api_hz, out);
+                                   nci, nca, fs_api_hz, out, desc);
 }
 
 int silk_dec_conceal(void* h, int internal_khz, int payload_ms,
-                     int nci, int nca, int fs_api_hz, int16_t* out) {
+                     int nci, int nca, int fs_api_hz, int16_t* out, int32_t* desc) {
     return silk_driver_conceal(*(SilkDriver*)h, internal_khz, payload_ms,
-                               nci, nca, fs_api_hz, out);
+                               nci, nca, fs_api_hz, out, desc);
 }
 
 // Debug: dump channel-0 decoder+PLC state for test-side comparison with
@@ -1963,3 +2029,5 @@ void silk_dec_dump(void* h, int32_t* out) {
 }
 
 }  // extern "C"
+
+#include "silk_encoder.inc"
