@@ -326,6 +326,14 @@ struct RangeEnc {
             encode(fl, fl + 1, ft + 1);
         }
     }
+    void shrink(int new_size) {
+        // Compact the raw-bit tail so the stream fits new_size bytes
+        // (rc/encoder.py shrink; caller guarantees offs+end_offs fit).
+        if (end_offs > 0)
+            std::memmove(buf + new_size - end_offs, buf + storage - end_offs,
+                         (size_t)end_offs);
+        storage = new_size;
+    }
     void done() {
         int l = CODE_BITS - ilog32(rng);
         uint32_t msk = (CODE_TOP - 1) >> l;
