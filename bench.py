@@ -289,12 +289,53 @@ def main() -> None:
     except Exception:
         pass
 
+    # --- native voice + hybrid encode planes (BASELINE configs[1]-[3]) ------
+    silk_encode_rate = 0.0
+    hybrid_encode_rate = 0.0
+    try:
+        from opus_tpu.native.frontend import (
+            NativeHybridEncoderBatch, NativeSilkEncoderBatch,
+        )
+
+        EB2 = 16
+        ph = np.cumsum(2 * np.pi * (120 + 30 * np.sin(2 * np.pi * 3 * t)) / 48000.0)
+        v48 = (0.35 * np.sign(np.sin(ph)) * np.exp(-3 * (t % 0.01) * 100)
+               + 0.02 * rng.standard_normal(t.size)).astype(np.float32)
+        v16 = np.clip(v48[::3] * 32768.0, -32768, 32767).astype(np.int16)
+        se = NativeSilkEncoderBatch(EB2, 16)
+        sframes = [np.broadcast_to(v16[f * 320 : (f + 1) * 320], (EB2, 320))
+                   for f in range(4)]
+        se.encode_batch(sframes[0], 60)
+        best = float("inf")
+        for _ in range(3):
+            t1 = time.perf_counter()
+            for fb in sframes:
+                se.encode_batch(fb, 60)
+            best = min(best, time.perf_counter() - t1)
+        silk_encode_rate = EB2 * len(sframes) * 0.02 / best
+
+        he = NativeHybridEncoderBatch(EB2)
+        hframes = [np.broadcast_to(v48[f * FRAME : (f + 1) * FRAME], (EB2, FRAME))
+                   for f in range(4)]
+        he.encode_batch(hframes[0], 160)
+        best = float("inf")
+        for _ in range(3):
+            t1 = time.perf_counter()
+            for fb in hframes:
+                he.encode_batch(fb, 160)
+            best = min(best, time.perf_counter() - t1)
+        hybrid_encode_rate = EB2 * len(hframes) * 0.02 / best
+    except Exception:
+        pass
+
     _PARTIAL["extras"] = {
         "host_plane_native_audio_sec_per_sec_per_core": round(host_rate, 1),
         "libopus_full_decode_audio_sec_per_sec_per_core_same_host": round(libopus_rate, 1),
         "serve_transfer_mode": planA_mode,
         "upload_bytes_per_stream": round(bytes_per_stream, 1),
         "celt_encode_audio_sec_per_sec_per_core": round(encode_rate, 2),
+        "silk_encode_audio_sec_per_sec_per_core": round(silk_encode_rate, 2),
+        "hybrid_encode_audio_sec_per_sec_per_core": round(hybrid_encode_rate, 2),
     }
     _save_partial()
     del hfront
@@ -569,6 +610,8 @@ def main() -> None:
         "p50_step_ms": round(p50 * 1e3, 3),
         "host_plane_native_audio_sec_per_sec_per_core": round(host_rate, 1),
         "celt_encode_audio_sec_per_sec_per_core": round(encode_rate, 2),
+        "silk_encode_audio_sec_per_sec_per_core": round(silk_encode_rate, 2),
+        "hybrid_encode_audio_sec_per_sec_per_core": round(hybrid_encode_rate, 2),
         "host_cores": cores,
         "libopus_full_decode_audio_sec_per_sec_per_core_same_host": round(libopus_rate, 1),
         "speedup_vs_libopus_same_host": round(e2e_rate / libopus_rate, 2),

@@ -656,6 +656,92 @@ class NativeSilkEncoderBatch:
         return out, sizes
 
 
+class NativeHybridEncoder:
+    """Native hybrid encoder (silk_encoder.inc hybrid driver): SILK WB low
+    band + CELT bands 17..19 behind one shared range coder (SWB 20/10 ms
+    mono, CBR).  Payloads carry no ToC (the Opus layer adds config 13).
+    Port of opus_tpu/encoder.py _encode_hybrid."""
+
+    def __init__(self):
+        self.lib = _load()
+        self.lib.hybrid_enc_create.restype = ctypes.c_void_p
+        self.lib.hybrid_enc_create.argtypes = []
+        self.lib.hybrid_enc_destroy.argtypes = [ctypes.c_void_p]
+        self.lib.hybrid_enc_rng.restype = ctypes.c_uint32
+        self.lib.hybrid_enc_rng.argtypes = [ctypes.c_void_p]
+        self.lib.hybrid_enc_encode.restype = ctypes.c_int
+        self.lib.hybrid_enc_encode.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+        ]
+        self.h = self.lib.hybrid_enc_create()
+        self._out = np.zeros(1400, np.uint8)
+
+    def __del__(self):
+        try:
+            self.lib.hybrid_enc_destroy(self.h)
+        except Exception:
+            pass
+
+    @property
+    def final_range(self) -> int:
+        return int(self.lib.hybrid_enc_rng(self.h))
+
+    def encode(self, pcm: np.ndarray, nb_bytes: int) -> bytes:
+        """pcm: [480|960] float32 mono in ±1 at 48 kHz -> CBR payload."""
+        x = np.ascontiguousarray(pcm, dtype=np.float32).reshape(-1)
+        rc = self.lib.hybrid_enc_encode(
+            self.h, x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            x.shape[0], nb_bytes,
+            self._out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        if rc < 0:
+            raise ValueError(f"native hybrid encode failed: {rc}")
+        return bytes(self._out[:rc])
+
+
+class NativeHybridEncoderBatch:
+    """Batch of native hybrid encoders; one C call per step (OpenMP)."""
+
+    def __init__(self, batch: int):
+        self.proto = NativeHybridEncoder()  # loads signatures
+        self.lib = self.proto.lib
+        self.lib.hybrid_enc_encode_batch.restype = ctypes.c_int
+        self.lib.hybrid_enc_encode_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        self.batch = batch
+        self.handles = (ctypes.c_void_p * batch)(
+            *[self.lib.hybrid_enc_create() for _ in range(batch)]
+        )
+
+    def __del__(self):
+        try:
+            for h in self.handles:
+                self.lib.hybrid_enc_destroy(h)
+        except Exception:
+            pass
+
+    def encode_batch(self, pcm: np.ndarray, nb_bytes: int):
+        """pcm [B, n] f32 mono -> (payloads [B, nb_bytes] u8, sizes)."""
+        B = self.batch
+        x = np.ascontiguousarray(pcm, dtype=np.float32)
+        out = np.zeros((B, max(nb_bytes, 1)), np.uint8)
+        sizes = np.zeros(B, np.int32)
+        rc = self.lib.hybrid_enc_encode_batch(
+            self.handles, x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            x.shape[1], B, x.shape[1], nb_bytes,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out.shape[1],
+            sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        if rc != B:
+            raise ValueError(f"native hybrid batch encode failed at {-rc - 1}")
+        return out, sizes
+
+
 class NativeSilkFrontEnd:
     """Native SILK plane A: bit-exact frame decode + device-plane params."""
 

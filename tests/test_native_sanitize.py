@@ -207,6 +207,58 @@ def test_encoder_hostile_pcm():
     be.encode_batch(pcm, 80)
 
 
+def test_silk_and_hybrid_encoders_hostile_pcm():
+    """Native SILK + hybrid encoders on hostile PCM (clipping, NaN/Inf,
+    impulse trains, DC) at every rate and budget extreme — the encoder
+    analysis is float-heavy hand-written C++."""
+    from opus_tpu.native.frontend import (
+        NativeHybridEncoder, NativeHybridEncoderBatch,
+        NativeSilkEncoder, NativeSilkEncoderBatch,
+    )
+
+    rng = np.random.default_rng(8)
+    for fs in (8, 12, 16):
+        enc = NativeSilkEncoder(fs)
+        frame = 20 * fs
+        cases = [
+            np.zeros(frame, np.int16),
+            np.full(frame, 32767, np.int16),
+            (rng.integers(-32768, 32767, frame)).astype(np.int16),
+        ]
+        imp = np.zeros(frame, np.int16)
+        imp[:: max(1, frame // 9)] = 30000
+        cases.append(imp)
+        for pcm in cases:
+            for nb in (10, 25, 60, 400):
+                try:
+                    enc.encode(pcm, nb)
+                except ValueError:
+                    pass
+        # 10 ms frames too
+        enc.encode(cases[2][: frame // 2], 40)
+    sb = NativeSilkEncoderBatch(3, 16)
+    sb.encode_batch(np.stack([cases[2][:320]] * 3) if len(cases[2]) >= 320
+                    else np.zeros((3, 320), np.int16), 60)
+    he = NativeHybridEncoder()
+    hostile = [
+        np.zeros(960, np.float32),
+        np.full(960, 5.0, np.float32),
+        rng.standard_normal(960).astype(np.float32) * 8,
+    ]
+    nan = np.zeros(960, np.float32)
+    nan[0] = np.nan
+    nan[-1] = np.inf
+    hostile.append(nan)
+    for pcm in hostile:
+        for nb in (40, 160, 1275):
+            try:
+                he.encode(pcm, nb)
+            except ValueError:
+                pass
+    hb = NativeHybridEncoderBatch(2)
+    hb.encode_batch(np.stack([hostile[2]] * 2), 120)
+
+
 def test_opus_driver_random_bytes():
     """The native opus-level driver (mode mux + SILK/hybrid/LBRR entry
     points in opus_frontend.cpp) through the scalar Decoder on random

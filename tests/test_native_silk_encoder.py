@@ -8,7 +8,7 @@ respected; (d) batch API == scalar API byte-for-byte."""
 import numpy as np
 import pytest
 
-from opus_tpu import Decoder, oracle, parse_packet
+from opus_tpu import Decoder, oracle
 from opus_tpu.native.frontend import NativeSilkEncoder, NativeSilkEncoderBatch, available
 
 pytestmark = pytest.mark.skipif(not available(), reason="native engine not built")
