@@ -81,6 +81,7 @@ class BatchedOpusDecoder:
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int, ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            ctypes.c_int,  # device_plc: pitch losses -> device conceal
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int16), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
@@ -313,6 +314,7 @@ class BatchedOpusDecoder:
             self.handles, blob, lens.ctypes.data_as(i32p), B,
             modes_np.ctypes.data_as(i32p), bws.ctypes.data_as(i32p),
             frame48, schs.ctypes.data_as(i32p), int(self._packed_mode()[1:]),
+            1,  # device_plc: the serving steps carry the conceal variant
             slot["xq"].ctypes.data_as(i32p), slot["xq"].shape[1],
             slot["silk"].ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
             slot["silk"].shape[1],
@@ -333,14 +335,15 @@ class BatchedOpusDecoder:
         loop's per-step fallback)."""
         return self.transfer if self.transfer in ("p12", "p10", "p8") else "p10"
 
-    def _mixed_serving_step(self, lm: int, pf_chunk: int, pf_active: bool):
-        key = ("serve", lm, pf_chunk, pf_active)
+    def _mixed_serving_step(self, lm: int, pf_chunk: int, pf_active: bool,
+                            with_plc: bool = False):
+        key = ("serve", lm, pf_chunk, pf_active, with_plc)
         if key not in self._steps:
             self._steps[key] = make_serving_step(
                 lm, self.batch, self.channels, 1,
                 pf_chunk=pf_chunk, pf_active=pf_active,
                 transfer=self._packed_mode(), silk_mix=True,
-                silk_internal=self.silk_internal,
+                silk_internal=self.silk_internal, with_plc=with_plc,
             )
         return self._steps[key]
 
@@ -442,10 +445,15 @@ class BatchedOpusDecoder:
         self._serve_ring."""
         first = next((p for row in batches for p in row if p is not None), None)
         if first is None:
-            raise ValueError("serve(): every packet in every step is lost")
-        if isinstance(first, tuple):  # ("fec", packet)
-            first = first[1]
-        frame48 = pkt_mod.query_packet_samples_per_frame(first, 48000)
+            # an all-lost serve call (per-step serving under a burst):
+            # keep concealing at the session's frame duration
+            frame48 = getattr(self, "_last_frame48", None)
+            if frame48 is None:
+                raise ValueError("serve(): every packet in every step is lost")
+        else:
+            if isinstance(first, tuple):  # ("fec", packet)
+                first = first[1]
+            frame48 = pkt_mod.query_packet_samples_per_frame(first, 48000)
         if frame48 > 960:
             raise ValueError("serve() handles <=20 ms frames; use decode_frames")
         if self.transfer == "plan":
@@ -464,10 +472,19 @@ class BatchedOpusDecoder:
 
         def uploader():
             try:
+                from ..dsp.plc_exec import LPC_ORDER
+
                 state = getattr(self, "_serve_state", None)
                 if state is None:
                     state = init_state(self.batch, self.channels,
                                        silk_hist=self.silk_internal)
+                plc_lpc = getattr(self, "_serve_plc_lpc", None)
+                if plc_lpc is None:
+                    plc_lpc = jnp.zeros((self.batch, self.channels, LPC_ORDER),
+                                        jnp.float32)
+                    plc_pitch = jnp.full((self.batch,), 15, jnp.int32)
+                else:
+                    plc_pitch = self._serve_plc_pitch
                 ring = getattr(self, "_serve_ring", None)
                 if ring is None or ring.shape[1] != frame48:
                     ring = jnp.zeros((self.batch, frame48, self.channels), jnp.float32)
@@ -479,15 +496,23 @@ class BatchedOpusDecoder:
                         if held is not None:
                             free.put(held)
                         break
-                    slot, pf_chunk, pf_active = item
+                    slot, pf_chunk, pf_active, has_plc = item
                     buf = jnp.array(slot["buf"], copy=True)
                     if held is not None:
                         free.put(held)
                     held = slot
-                    step = self._mixed_serving_step(lm, pf_chunk, pf_active)
-                    state, ring, digest = step(state, ring, buf)
+                    step = self._mixed_serving_step(lm, pf_chunk, pf_active,
+                                                    with_plc=has_plc)
+                    if has_plc:
+                        state, ring, digest, plc_lpc, plc_pitch = step(
+                            state, ring, buf, plc_lpc, plc_pitch
+                        )
+                    else:
+                        state, ring, digest = step(state, ring, buf)
                 self._serve_state = state
                 self._serve_ring = ring
+                self._serve_plc_lpc = plc_lpc
+                self._serve_plc_pitch = plc_pitch
                 done["digest"] = digest
             except Exception as e:  # pragma: no cover - propagated below
                 err.append(e)
@@ -500,7 +525,8 @@ class BatchedOpusDecoder:
                 self._plane_a_packed(packets, slot)
                 meta = slot["meta"]
                 pf_chunk, pf_active = pf_chunk_for(meta[:, 6:9], slot["gains"])
-                work.put((slot, pf_chunk, pf_active))
+                work.put((slot, pf_chunk, pf_active,
+                          bool((meta[:, 14] & 1).any())))
         finally:
             work.put(None)
             th.join()
@@ -590,8 +616,8 @@ class BatchedOpusDecoder:
                         prefix = pack_plan_silk(slot, bucket, rbucket)
                         buf = jnp.array(slot["buf"][:prefix], copy=True)
                     else:
-                        has_plc = False
-                        step = self._mixed_serving_step(lm, pf_chunk, pf_active)
+                        step = self._mixed_serving_step(lm, pf_chunk, pf_active,
+                                                        with_plc=has_plc)
                         buf = jnp.array(slot["buf"], copy=True)
                     if held is not None:
                         release(held)
@@ -626,9 +652,9 @@ class BatchedOpusDecoder:
                 meta = slot["meta"]
                 pf_chunk, pf_active = pf_chunk_for(meta[:, 6:9], slot["gains"])
                 # The host only picks the step VARIANT; the regime per
-                # stream rides meta[14] (pitch-LPC = empty plan + flags).
-                has_plc = (slot.get("mode") == "plan"
-                           and bool((meta[:, 14] & 1).any()))
+                # stream rides meta[14] (pitch-LPC = empty plan/spectra +
+                # flags; the packed fallback conceals on device too).
+                has_plc = bool((meta[:, 14] & 1).any())
                 work.put((slot, pf_chunk, pf_active, has_plc))
         finally:
             work.put(None)

@@ -659,7 +659,7 @@ def _make_serving_core(lm: int, batch: int, channels: int, downsample: int,
 def make_serving_step(lm: int, batch: int, channels: int = 2, downsample: int = 1,
                       pf_chunk: int = _CHUNK, pf_active: bool = True,
                       transfer: str = "q14", silk_mix: bool = False,
-                      silk_internal: bool = False):
+                      silk_internal: bool = False, with_plc: bool = False):
     """Single-dispatch serving step over one packed plane-A buffer.
 
     step(state, ring, buf) -> (state, ring, digest[2]); jitted with
@@ -713,18 +713,58 @@ def make_serving_step(lm: int, batch: int, channels: int = 2, downsample: int = 
     core = _make_serving_core(lm, batch, channels, downsample, pf_chunk,
                               pf_active, silk_mix)
 
-    def step(state: SynthState, ring, buf):
-        xs, ble, meta, gains, silk = unpack(buf)
-        if silk_internal:
-            silk, new_hist = _silk_resample(
-                silk.astype(jnp.float32), meta[:, 12] & 0xFF,
-                state.silk_hist, lm, channels,
-            )
-            new_state, pcm_out, digest = core(state, xs, ble, meta, gains, silk)
-            return new_state._replace(silk_hist=new_hist), pcm_out, digest
-        return core(state, xs, ble, meta, gains, silk)
+    def prep(state, meta, silk):
+        if not silk_internal:
+            return None, silk
+        silk, new_hist = _silk_resample(
+            silk.astype(jnp.float32), meta[:, 12] & 0xFF,
+            state.silk_hist, lm, channels,
+        )
+        return new_hist, silk
 
-    return _maybe_checkify(step, donate=(0, 1))
+    if not with_plc:
+        def step(state: SynthState, ring, buf):
+            xs, ble, meta, gains, silk = unpack(buf)
+            new_hist, silk = prep(state, meta, silk)
+            new_state, pcm_out, digest = core(state, xs, ble, meta, gains, silk)
+            if silk_internal:
+                new_state = new_state._replace(silk_hist=new_hist)
+            return new_state, pcm_out, digest
+
+        return _maybe_checkify(step, donate=(0, 1))
+
+    # with_plc: device pitch-regime loss concealment compiled into the
+    # packed step — the plan path's contract (see make_plan_serving_step)
+    # for the mixed pipeline's spectral fallback: lost streams flagged in
+    # meta[14] conceal from the device decode memory.
+    from .plan_exec import _f16_to_f32_j as _f16j
+    from .plc_exec import make_plc_conceal
+
+    conceal = make_plc_conceal(lm, batch, channels)
+
+    def step_plc(state: SynthState, ring, buf, plc_lpc, plc_pitch):
+        xs, ble, meta, gains, silk = unpack(buf)
+        new_hist, silk = prep(state, meta, silk)
+        plc_mask = (meta[:, 14] & 1) == 1
+        first = ((meta[:, 14] >> 1) & 1) == 1
+        m15 = jax.lax.bitcast_convert_type(meta[:, 15], jnp.uint32)
+        u_period = (m15 & 0x7FF).astype(jnp.int32)
+        u_tapset = ((m15 >> 11) & 3).astype(jnp.int32)
+        u_gain = _f16j((m15 >> 16) & 0xFFFF)
+        mem_c, new_lpc, new_pitch, out_f_c = conceal(
+            state.mem, plc_lpc, plc_pitch, first, u_period, u_gain, u_tapset
+        )
+        new_state, pcm_out, digest = core(
+            state, xs, ble, meta, gains, silk,
+            plc=(plc_mask, out_f_c, mem_c),
+        )
+        if silk_internal:
+            new_state = new_state._replace(silk_hist=new_hist)
+        new_lpc = jnp.where(plc_mask[:, None, None], new_lpc, plc_lpc)
+        new_pitch = jnp.where(plc_mask, new_pitch, plc_pitch)
+        return new_state, pcm_out, digest, new_lpc, new_pitch
+
+    return _maybe_checkify(step_plc, donate=(0, 1, 3, 4))
 
 
 def make_plan_serving_step(lm: int, batch: int, channels: int = 2,

@@ -2424,6 +2424,49 @@ int celt_fe_plan_lost_dispatch(void* h, int frame_size48, int sink_idx,
     return rc;
 }
 
+// Regime-dispatching loss concealment for the PACKED (spectral) serving
+// path: noise regime emits decayed spectra as usual (decode_lost_noise);
+// pitch-LPC regime emits zero spectra + the meta[14]/[15] device-conceal
+// flags — the same contract as decode_lost_plan minus the plan sink.
+// Used by the mixed packed fallback so plan-overflow steps under loss
+// do not silently degrade to noise-only concealment.
+int celt_fe_decode_lost_dispatch(void* h, int frame_size48, float* x_out,
+                                 float* band_log_e_out, int32_t* meta,
+                                 double* pf_gains) {
+    FrontEnd& st = *(FrontEnd*)h;
+    bool noise = st.loss_duration >= 40 || st.start_band != 0 || st.skip_plc;
+    if (noise)
+        return decode_lost_noise(st, frame_size48, x_out, band_log_e_out, meta,
+                                 pf_gains, nullptr);
+    int lm = -1;
+    for (int l = 0; l <= MAX_LM; l++)
+        if (SHORT_MDCT_SIZE << l == frame_size48) { lm = l; break; }
+    if (lm < 0) return -1;
+    int cc = st.channels;
+    int n = (1 << lm) * SHORT_MDCT_SIZE;
+    std::memset(x_out, 0, (size_t)cc * n * sizeof(float));
+    for (int c = 0; c < cc; c++)
+        for (int j = 0; j < NB_E_BANDS; j++)
+            band_log_e_out[c * NB_E_BANDS + j] = st.old_band_e[c][j];
+    meta[0] = 1;  // silence: the coded-path synthesis is discarded anyway
+    meta[1] = 0;
+    meta[2] = lm;
+    meta[3] = cc;
+    meta[4] = st.start_band;
+    meta[5] = st.start_band;
+    meta[6] = meta[7] = meta[8] = MIN_PERIOD;
+    meta[9] = meta[10] = meta[11] = 0;
+    meta[12] = 0;
+    meta[13] = 0;
+    meta[14] = 1 | (st.loss_duration == 0 ? 2 : 0);
+    int period = std::max(st.postfilter_period, MIN_PERIOD) & 0x7FF;
+    meta[15] = period | ((st.postfilter_tapset & 3) << 11) |
+               (int32_t)(f32_to_f16_bits((float)st.postfilter_gain) << 16);
+    pf_gains[0] = pf_gains[1] = pf_gains[2] = 0.0;
+    st.loss_duration = std::min(10000, st.loss_duration + (1 << lm));
+    return 0;
+}
+
 // Serial prefix over per-stream arena sizes -> 4-word headers; returns
 // the total arena words (or -1 if it exceeds capacity).
 int64_t celt_fe_plan_headers(int n, int32_t* header, int64_t arena_words) {

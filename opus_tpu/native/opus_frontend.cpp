@@ -35,6 +35,9 @@ int celt_fe_decode_ec(void* h, void* ec, int frame_bytes, int frame_size48,
                       int32_t* meta, double* pf_gains);
 int celt_fe_decode_lost(void* h, int frame_size48, float* x_out,
                         float* band_log_e_out, int32_t* meta, double* pf_gains);
+int celt_fe_decode_lost_dispatch(void* h, int frame_size48, float* x_out,
+                                 float* band_log_e_out, int32_t* meta,
+                                 double* pf_gains);
 // plan-sink pool (celt_frontend.cpp; the mixed plan serving path)
 void celt_fe_plan_prepare(int n);
 void celt_fe_plan_clear(int sink_idx);
@@ -236,7 +239,7 @@ void opus_fe_set_silk_internal(void* h, int enable) {
 int opus_fe_decode(void* h, const uint8_t* payload, int len, int mode, int bw,
                    int frame48, int sch, float* x_out, float* ble_out,
                    int32_t* meta, float* pf_gains_out, int16_t* silk48,
-                   uint32_t* final_range) {
+                   uint32_t* final_range, int device_plc = 0) {
     OpusFE* st = (OpusFE*)h;
     int cc = st->channels;
     const int fs_silk = st->silk_internal ? 0 : 48000;
@@ -270,7 +273,14 @@ int opus_fe_decode(void* h, const uint8_t* payload, int len, int mode, int bw,
         }
         if (pm != MODE_SILK) {
             double g[3];
-            int rc = celt_fe_decode_lost(st->celt, frame48, x_out, ble_out, meta, g);
+            // device_plc: pitch-regime losses ship zero spectra + the
+            // meta[14]/[15] flags for the device conceal (plc_exec.py);
+            // noise regime (hybrid, long bursts) stays in plane A.
+            int rc = device_plc
+                         ? celt_fe_decode_lost_dispatch(st->celt, frame48, x_out,
+                                                        ble_out, meta, g)
+                         : celt_fe_decode_lost(st->celt, frame48, x_out, ble_out,
+                                               meta, g);
             if (rc != 0) return rc;
             for (int j = 0; j < 3; j++) pf_gains_out[j] = (float)g[j];
         } else {
@@ -306,7 +316,11 @@ int opus_fe_decode(void* h, const uint8_t* payload, int len, int mode, int bw,
         if (rc != 0) return rc;
         if (mode == MODE_HYBRID) {
             double g[3];
-            rc = celt_fe_decode_lost(st->celt, frame48, x_out, ble_out, meta, g);
+            rc = device_plc
+                     ? celt_fe_decode_lost_dispatch(st->celt, frame48, x_out,
+                                                    ble_out, meta, g)
+                     : celt_fe_decode_lost(st->celt, frame48, x_out, ble_out,
+                                           meta, g);
             if (rc != 0) return rc;
             for (int j = 0; j < 3; j++) pf_gains_out[j] = (float)g[j];
         } else {
@@ -383,6 +397,7 @@ int opus_fe_decode(void* h, const uint8_t* payload, int len, int mode, int bw,
 int opus_fe_decode_batch_packed(void** handles, const uint8_t* data, const int32_t* lens,
                                 int n, const int32_t* modes, const int32_t* bws,
                                 int frame48, const int32_t* schs, int mant_bits,
+                                int device_plc,
                                 int32_t* xq_out, int64_t xq_stride,
                                 int16_t* silk48_out, int64_t silk_stride,
                                 float* ble_out, int32_t* meta_out, float* gains_out,
@@ -409,7 +424,8 @@ int opus_fe_decode_batch_packed(void** handles, const uint8_t* data, const int32
             int rc = opus_fe_decode(handles[i], data + offs[i], lens[i], modes[i], bws[i],
                                     frame48, schs[i], xbuf.data(), ble, meta,
                                     gains_out + i * 3,
-                                    silk48_out + (int64_t)i * silk_stride, &ranges[i]);
+                                    silk48_out + (int64_t)i * silk_stride, &ranges[i],
+                                    device_plc);
             rcs[i] = rc;
             if (rc != 0 && lens[i] != 0) {
                 // Corrupt/invalid packet on ONE stream must not kill the
@@ -424,7 +440,8 @@ int opus_fe_decode_batch_packed(void** handles, const uint8_t* data, const int32
                 rc = opus_fe_decode(handles[i], data + offs[i], 0, modes[i], bws[i],
                                     frame48, schs[i], xbuf.data(), ble, meta,
                                     gains_out + i * 3,
-                                    silk48_out + (int64_t)i * silk_stride, &ranges[i]);
+                                    silk48_out + (int64_t)i * silk_stride, &ranges[i],
+                                    device_plc);
             }
             if (rc != 0) {
                 rcs[i] = rc;

@@ -98,11 +98,10 @@ def test_mixed_plan_serve_with_losses():
 
 
 def test_mixed_plan_celt_loss_tracks_scalar():
-    """A lost CELT packet in the mixed PLAN batch now runs the same
-    regime dispatch as the scalar decoder (pitch-LPC on first losses,
-    on device): the scalar path is the oracle.  The PACKED mixed path
-    still conceals noise-regime only — gate it on conformance vs the
-    scalar (legal concealment, different regime)."""
+    """A lost CELT packet in the mixed batch runs the same regime
+    dispatch as the scalar decoder (pitch-LPC on first losses, on
+    device) on BOTH serving transfers — plan AND the packed fallback
+    (celt_fe_decode_lost_dispatch): the scalar path is the oracle."""
     from opus_tpu.batch.opus_pipeline import BatchedOpusDecoder
     from opus_tpu.conformance import PASS_QUALITY, compare
 
@@ -117,15 +116,6 @@ def test_mixed_plan_celt_loss_tracks_scalar():
     d = Decoder()
     ref0 = np.concatenate([np.asarray(d.decode_float(steps[f][0], F)).reshape(F, 2)
                            for f in range(nf)])
-    # noise-regime oracle for the packed path (skip_plc forced, as in
-    # tests/test_native.py::test_serving_path_loss_concealment)
-    dn = Decoder()
-    nz_outs = []
-    for f in range(nf):
-        if steps[f][0] is None:
-            dn.celt.skip_plc = True
-        nz_outs.append(np.asarray(dn.decode_float(steps[f][0], F)).reshape(F, 2))
-    refn = np.concatenate(nz_outs)
 
     pk_dec = BatchedOpusDecoder(2, 2, transfer="p10")
     plan_dec = BatchedOpusDecoder(2, 2, transfer="plan")
@@ -138,7 +128,7 @@ def test_mixed_plan_celt_loss_tracks_scalar():
     plan0 = np.concatenate(plan_outs)
     pk0 = np.concatenate(pk_outs)
     assert compare(ref0, plan0) >= PASS_QUALITY  # pitch regime on device
-    assert compare(refn, pk0) >= PASS_QUALITY    # packed: noise regime
+    assert compare(ref0, pk0) >= PASS_QUALITY   # packed path: same regime
 
 
 def test_mixed_plan_low_rate_hybrid_folding():
@@ -413,3 +403,43 @@ def test_serve_absorbs_corrupt_streams():
             dec.serve([row])
             err0 = float(np.abs(np.asarray(dec._serve_ring)[0] - refs[f]).max())
             assert err0 < 5e-3, (mode, f, err0)
+
+
+def test_packed_fallback_pitch_plc_tracks_scalar():
+    """The PACKED (non-plan) mixed path conceals CELT losses in the pitch
+    regime ON DEVICE too (celt_fe_decode_lost_dispatch + the with_plc
+    packed step): a plan-overflow step under loss no longer degrades to
+    noise-only concealment.  Oracle: the scalar decoder under identical
+    losses, at conformance quality (f32 device vs f64 scalar concealment
+    may pick near-tie pitch candidates differently)."""
+    from opus_tpu import oracle as _oracle, parse_packet
+    from opus_tpu.batch.opus_pipeline import BatchedOpusDecoder
+    from opus_tpu.celt.decoder import CeltDecoder
+    from opus_tpu.conformance import PASS_QUALITY, compare
+
+    F_, NF, B = 960, 16, 2
+    rng = np.random.default_rng(5)
+    t = np.arange(F_ * NF) / 48000.0
+    ph = np.cumsum(2 * np.pi * (160 + 8 * np.sin(2 * np.pi * 1.5 * t)) / 48000.0)
+    sig = (0.5 * np.sin(ph) + 0.25 * np.sin(2 * ph) + 0.1 * np.sin(3 * ph)
+           + 0.01 * rng.standard_normal(t.size))
+    pcm = np.stack([sig, np.roll(sig, 11) * 0.9], -1).astype(np.float32)
+    enc = _oracle.Encoder(48000, 2)
+    enc.ctl(_oracle.SET_BITRATE, 96000)
+    enc.ctl(_oracle.SET_FORCE_MODE, _oracle.MODE_CELT_ONLY)
+    pkts = [enc.encode_float(pcm[i * F_ : (i + 1) * F_].ravel(), F_) for i in range(NF)]
+    # isolated, double, and a 6-frame burst (regime switch at 100 ms)
+    lose = {3, 6, 7} | set(range(9, 15))
+    scal = CeltDecoder(2, 1)
+    pays = [p[parse_packet(p).payload_offset :] for p in pkts]
+    ref = np.concatenate(
+        [scal.decode(None if i in lose else pays[i], F_) for i in range(NF)]
+    )
+    dec = BatchedOpusDecoder(B, 2, transfer="p10")
+    outs = []
+    for i in range(NF):
+        dec.serve([[None if i in lose else pkts[i]] * B])
+        outs.append(np.asarray(dec._serve_ring))
+    ours = np.stack(outs, 1).reshape(B, NF * F_, 2)
+    for b in range(B):
+        assert compare(ref, ours[b]) >= PASS_QUALITY
