@@ -15,9 +15,13 @@ scalar opus_tpu.Decoder.  Loss handling is plane-A native: pass None
 for a lost packet (PLC: exact silk/PLC.c + CNG.c port for SILK/hybrid,
 noise-regime CELT concealment) or ("fec", next_packet) to recover the
 lost frame from the next packet's SILK LBRR.  Mode switches and
-redundancy frames decode with approximate transitions (state resets +
-redundant-block decode for state; the 2.5-5 ms crossfades remain exact
-only in the scalar path — opus_frontend.cpp approx_mode_switch).
+redundancy frames apply the scalar decoder's EXACT transition PCM:
+plane A reports a per-stream transition descriptor, redundant 5 ms CELT
+blocks are shadow-decoded on host (_collect_corrections) and the
+windowed crossfades land on the device ring (dsp/transitions.py) — the
+only remaining approximation is the first <=5 ms of a CELT-entering
+switch, whose transition PLC depends on device-resident CELT decode
+memory (docs/KNOWN_GAPS.md).
 """
 
 from __future__ import annotations
@@ -82,6 +86,7 @@ class BatchedOpusDecoder:
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int, ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
             ctypes.c_int,  # device_plc: pitch losses -> device conceal
+            ctypes.POINTER(ctypes.c_int16),  # trans_out [B, 480*ch]
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int16), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
@@ -102,6 +107,7 @@ class BatchedOpusDecoder:
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,  # arena, capacity
             ctypes.POINTER(ctypes.c_int64),  # used_words out
             ctypes.POINTER(ctypes.c_int16), ctypes.c_int64,  # silk48, stride
+            ctypes.POINTER(ctypes.c_int16),  # trans_out [B, 480*ch]
             ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32),
         ]
         self.lib = lib
@@ -143,6 +149,15 @@ class BatchedOpusDecoder:
         ]
         self._slot = 0
         self._ranges = np.zeros(batch, np.uint32)
+        # Exact batched transition/redundancy crossfades (decoder.py
+        # _smooth_fade semantics): plane A emits a transition descriptor
+        # per stream (rcs > 0) + a SILK-PLC row for to-CELT switches;
+        # redundant 5 ms CELT blocks are re-decoded by a host SHADOW
+        # CeltDecoder per affected stream and the window fades apply to
+        # the device ring after the step (dsp/transitions.py).
+        self._trans = np.zeros((batch, 480 * channels), np.int16)
+        self._shadow: dict = {}
+        self._shadow_warm = np.zeros(batch, bool)
 
     def __del__(self):
         try:
@@ -315,6 +330,7 @@ class BatchedOpusDecoder:
             modes_np.ctypes.data_as(i32p), bws.ctypes.data_as(i32p),
             frame48, schs.ctypes.data_as(i32p), int(self._packed_mode()[1:]),
             1,  # device_plc: the serving steps carry the conceal variant
+            self._trans.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
             slot["xq"].ctypes.data_as(i32p), slot["xq"].shape[1],
             slot["silk"].ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
             slot["silk"].shape[1],
@@ -329,6 +345,65 @@ class BatchedOpusDecoder:
             code = int(rcs[i])
             reason = _FALLBACK_REASON.get(code, f"codec error {code}")
             raise ValueError(f"stream {i}: {reason}")
+        return self._collect_corrections(packets, rcs, modes_np, bws, schs)
+
+    def _collect_corrections(self, packets, rcs, modes_np, bws, schs):
+        '''Turn plane A transition descriptors into crossfade correction
+        rows for the device ring (dsp/transitions.py).  Returns
+        [(stream, kind, pcm240 f32)] - empty on ordinary steps.
+        kind 0 = head replace+fade (to-CELT transition / celt_to_silk
+        redundancy); kind 1 = tail fade (silk_to_celt redundancy).'''
+        from ..celt.decoder import CeltDecoder
+
+        CELT_END_BAND = [13, 17, 17, 19, 21]
+        corrs = []
+        for ii in np.flatnonzero(rcs > 0):
+            i = int(ii)
+            desc = int(rcs[i])
+            pkt = packets[i]
+            if isinstance(pkt, tuple):
+                pkt = pkt[1]
+            red_present = desc & 1
+            celt_to_silk = (desc >> 1) & 1
+            red_bytes = (desc >> 2) & 0x7FF
+            red_off = (desc >> 13) & 0x7FF
+            if desc & (1 << 24) and not red_present:
+                # SILK/hybrid -> CELT transition: plane A 10 ms SILK PLC
+                # row, first 5 ms crossfades the frame head
+                trans = (self._trans[i, : 240 * self.channels]
+                         .reshape(240, self.channels).astype(np.float32)
+                         / 32768.0)
+                corrs.append((i, 0, trans))
+            if red_present:
+                sh = self._shadow.get(i)
+                if sh is None:
+                    sh = self._shadow[i] = CeltDecoder(self.channels, 1)
+                pay = pkt[pkt_mod.parse_packet(pkt).payload_offset :]
+                red = pay[red_off : red_off + red_bytes]
+                if not celt_to_silk:
+                    sh.reset()
+                # celt_to_silk decodes from the WARM celt state; the
+                # shadow only tracks redundant blocks, so a stream whose
+                # last celt activity was a real (device-side) frame
+                # cannot be corrected exactly - skip, stay approximate.
+                do = (not celt_to_silk) or bool(self._shadow_warm[i])
+                if do and len(red) == red_bytes and red_bytes > 0:
+                    sh.start_band = 0
+                    sh.end_band = CELT_END_BAND[int(bws[i])]
+                    sh.stream_channels = int(schs[i])
+                    try:
+                        pcm = np.asarray(sh.decode(red, 240), np.float32)
+                        corrs.append((i, 0 if celt_to_silk else 1, pcm))
+                        self._shadow_warm[i] = True
+                    except Exception:
+                        self._shadow_warm[i] = False
+                else:
+                    self._shadow_warm[i] = False
+        # any real CELT/hybrid frame invalidates the shadow state
+        if self._shadow:
+            for ii in np.flatnonzero(modes_np != 0):
+                self._shadow_warm[int(ii)] = False
+        return corrs
 
     def _packed_mode(self) -> str:
         """Spectral transfer mode for the packed path (also the plan
@@ -401,6 +476,7 @@ class BatchedOpusDecoder:
             ctypes.byref(used),
             slot["silk"].ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
             slot["silk"].shape[1],
+            self._trans.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
             self._ranges.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
             rcs.ctypes.data_as(i32p),
         )
@@ -433,6 +509,7 @@ class BatchedOpusDecoder:
         pack_plan_fixed(slot)
         compact_plan_silk(slot, self._silk_samps(frame48))
         slot["used_words"] = slot["fixed_words"] + int(used.value)
+        slot["corrs"] = self._collect_corrections(packets, rcs, modes_np, bws, schs)
         return slot
 
     def serve(self, batches: list[list[bytes]], n_slots: int = 4):
@@ -496,7 +573,7 @@ class BatchedOpusDecoder:
                         if held is not None:
                             free.put(held)
                         break
-                    slot, pf_chunk, pf_active, has_plc = item
+                    slot, pf_chunk, pf_active, has_plc, corrs = item
                     buf = jnp.array(slot["buf"], copy=True)
                     if held is not None:
                         free.put(held)
@@ -509,6 +586,11 @@ class BatchedOpusDecoder:
                         )
                     else:
                         state, ring, digest = step(state, ring, buf)
+                    if corrs:
+                        from ..dsp.transitions import apply_corrections
+
+                        ring = apply_corrections(ring, corrs, frame48,
+                                                 self.batch, self.channels)
                 self._serve_state = state
                 self._serve_ring = ring
                 self._serve_plc_lpc = plc_lpc
@@ -522,11 +604,11 @@ class BatchedOpusDecoder:
         try:
             for packets in batches:
                 slot = get_slot(free, err)
-                self._plane_a_packed(packets, slot)
+                corrs = self._plane_a_packed(packets, slot)
                 meta = slot["meta"]
                 pf_chunk, pf_active = pf_chunk_for(meta[:, 6:9], slot["gains"])
                 work.put((slot, pf_chunk, pf_active,
-                          bool((meta[:, 14] & 1).any())))
+                          bool((meta[:, 14] & 1).any()), corrs))
         finally:
             work.put(None)
             th.join()
@@ -597,7 +679,7 @@ class BatchedOpusDecoder:
                         if held is not None:
                             release(held)
                         break
-                    slot, pf_chunk, pf_active, has_plc = item
+                    slot, pf_chunk, pf_active, has_plc, corrs = item
                     if slot.get("mode") == "plan":
                         used = slot["used_words"] - slot["fixed_words"]
                         per = -(-used // B) if used > 0 else 1
@@ -628,6 +710,11 @@ class BatchedOpusDecoder:
                         )
                     else:
                         state, ring, digest = step(state, ring, buf)
+                    if corrs:
+                        from ..dsp.transitions import apply_corrections
+
+                        ring = apply_corrections(ring, corrs, frame48,
+                                                 self.batch, self.channels)
                 self._serve_state = state
                 self._serve_ring = ring
                 self._serve_plc_lpc = plc_lpc
@@ -643,19 +730,20 @@ class BatchedOpusDecoder:
                 slot = get_slot(free, err)
                 try:
                     self._plane_a_plan(packets, slot)
+                    corrs = slot.pop("corrs", [])
                 except OverflowError:
                     # Pathological content: ship this step as a packed
                     # spectrum instead of killing the serving session.
                     free.put(slot)
                     slot = get_slot(free_pk, err)
-                    self._plane_a_packed(packets, slot)
+                    corrs = self._plane_a_packed(packets, slot)
                 meta = slot["meta"]
                 pf_chunk, pf_active = pf_chunk_for(meta[:, 6:9], slot["gains"])
                 # The host only picks the step VARIANT; the regime per
                 # stream rides meta[14] (pitch-LPC = empty plan/spectra +
                 # flags; the packed fallback conceals on device too).
                 has_plc = bool((meta[:, 14] & 1).any())
-                work.put((slot, pf_chunk, pf_active, has_plc))
+                work.put((slot, pf_chunk, pf_active, has_plc, corrs))
         finally:
             work.put(None)
             th.join()

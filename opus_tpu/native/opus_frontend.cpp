@@ -236,10 +236,17 @@ void opus_fe_set_silk_internal(void* h, int enable) {
 // incoming codec's state (approx_mode_switch); redundancy blocks are
 // parsed and skipped (skip_redundancy) — both approximations bounded
 // to the 2.5-5 ms crossfade the scalar path performs exactly.
+// tdesc (nullable): transition descriptor for the EXACT batched
+// crossfades (opus_pipeline._apply_transitions):
+//   bit0 redundancy present | bit1 celt_to_silk | bits2-12 red bytes |
+//   bits13-23 red offset (len_eff) | bit24 to-CELT transition PLC row
+//   written to trans_out (480*cc int16 @48 kHz, the scalar's 10 ms SILK
+//   PLC whose first 5 ms crossfades the frame head — decoder.py:268).
 int opus_fe_decode(void* h, const uint8_t* payload, int len, int mode, int bw,
                    int frame48, int sch, float* x_out, float* ble_out,
                    int32_t* meta, float* pf_gains_out, int16_t* silk48,
-                   uint32_t* final_range, int device_plc = 0) {
+                   uint32_t* final_range, int device_plc = 0,
+                   int32_t* tdesc = nullptr, int16_t* trans_out = nullptr) {
     OpusFE* st = (OpusFE*)h;
     int cc = st->channels;
     const int fs_silk = st->silk_internal ? 0 : 48000;
@@ -331,6 +338,20 @@ int opus_fe_decode(void* h, const uint8_t* payload, int len, int mode, int bw,
         return 0;
     }
     if (len < 1 || len > 1275 || bw < 0 || bw > 4) return -1;
+    // SILK/hybrid -> CELT transition: the scalar decodes a 5 ms PLC from
+    // the OLD SILK state before anything else (decoder.py:268-271) and
+    // crossfades it into the frame head.  Emit that PCM (exact, plane A)
+    // so the batched path can apply the same fade on device.
+    if (mode == MODE_CELT && st->prev_mode >= 0 && st->prev_mode != MODE_CELT
+        && !st->prev_redundancy && trans_out) {
+        int khz = st->prev_mode == MODE_HYBRID
+                      ? 16
+                      : (st->last_bw == 0 ? 8 : st->last_bw == 1 ? 12 : 16);
+        int32_t dummy = 0;
+        if (silk_dec_conceal(st->silk, khz, 10, st->last_sch, cc, 48000,
+                             trans_out, &dummy) == 0 && tdesc)
+            *tdesc |= 1 << 24;
+    }
     approx_mode_switch(st, mode);
     st->prev_mode = mode;
     st->last_bw = bw;
@@ -384,6 +405,9 @@ int opus_fe_decode(void* h, const uint8_t* payload, int len, int mode, int bw,
         decode_redundant(st, payload, red, bw, sch);
     st->prev_redundancy = red.present;
     if (st->silk_internal) meta[12] = sdesc;
+    if (tdesc && red.present)
+        *tdesc |= 1 | (red.celt_to_silk ? 2 : 0) | (red.bytes << 2)
+                | (red.len_eff << 13);
     *final_range = dec.rng ^ red.rng;  // decoder.py range_final semantics
     return 0;
 }
@@ -397,7 +421,7 @@ int opus_fe_decode(void* h, const uint8_t* payload, int len, int mode, int bw,
 int opus_fe_decode_batch_packed(void** handles, const uint8_t* data, const int32_t* lens,
                                 int n, const int32_t* modes, const int32_t* bws,
                                 int frame48, const int32_t* schs, int mant_bits,
-                                int device_plc,
+                                int device_plc, int16_t* trans_out,
                                 int32_t* xq_out, int64_t xq_stride,
                                 int16_t* silk48_out, int64_t silk_stride,
                                 float* ble_out, int32_t* meta_out, float* gains_out,
@@ -421,12 +445,15 @@ int opus_fe_decode_batch_packed(void** handles, const uint8_t* data, const int32
             OpusFE fe_save = *st;
             celt_fe_state_get(st->celt, csnap.data());
             silk_dec_snapshot_one(st->silk, i);
+            int32_t tdesc = 0;
             int rc = opus_fe_decode(handles[i], data + offs[i], lens[i], modes[i], bws[i],
                                     frame48, schs[i], xbuf.data(), ble, meta,
                                     gains_out + i * 3,
                                     silk48_out + (int64_t)i * silk_stride, &ranges[i],
-                                    device_plc);
-            rcs[i] = rc;
+                                    device_plc, &tdesc,
+                                    trans_out ? trans_out + (int64_t)i * 480 * st->channels
+                                              : nullptr);
+            rcs[i] = rc == 0 ? tdesc : rc;
             if (rc != 0 && lens[i] != 0) {
                 // Corrupt/invalid packet on ONE stream must not kill the
                 // batch: restore this stream's state and conceal the
@@ -486,6 +513,7 @@ int opus_fe_decode_batch_plan(void** handles, const uint8_t* data, const int32_t
                               float* gains_out, int32_t* bands_out,
                               int32_t* arena, int64_t arena_words, int64_t* used_words_out,
                               int16_t* silk48_out, int64_t silk_stride,
+                              int16_t* trans_out,
                               uint32_t* ranges, int32_t* rcs) {
     std::vector<int64_t> offs(n + 1, 0);
     // lens[i] < 0 marks an FEC entry of |lens[i]| bytes (decode the
@@ -532,6 +560,7 @@ int opus_fe_decode_batch_plan(void** handles, const uint8_t* data, const int32_t
         int16_t* silk48 = silk48_out + (int64_t)i * silk_stride;
         double g[3] = {0.0, 0.0, 0.0};
         int rc = 0;
+        int rc_desc = 0;  // transition descriptor on success (see tdesc)
         int mode = modes[i];
         const int fs_silk = st->silk_internal ? 0 : 48000;
         const size_t silk_samps = silk_out_samps(st, frame48);
@@ -606,6 +635,20 @@ int opus_fe_decode_batch_plan(void** handles, const uint8_t* data, const int32_t
         } else if (lens[i] > 1275 || bws[i] < 0 || bws[i] > 4) {
             rc = -1;
         } else {
+            // to-CELT transition PLC row + descriptor (see opus_fe_decode)
+            int32_t tdesc = 0;
+            if (mode == MODE_CELT && st->prev_mode >= 0
+                && st->prev_mode != MODE_CELT && !st->prev_redundancy
+                && trans_out) {
+                int khz = st->prev_mode == MODE_HYBRID
+                              ? 16
+                              : (st->last_bw == 0 ? 8 : st->last_bw == 1 ? 12 : 16);
+                int32_t dummy = 0;
+                if (silk_dec_conceal(st->silk, khz, 10, st->last_sch, cc, 48000,
+                                     trans_out + (int64_t)i * 480 * cc,
+                                     &dummy) == 0)
+                    tdesc |= 1 << 24;
+            }
             approx_mode_switch(st, mode);
             st->prev_mode = mode;
             st->last_bw = bws[i];
@@ -646,9 +689,13 @@ int opus_fe_decode_batch_plan(void** handles, const uint8_t* data, const int32_t
                     decode_redundant(st, data + offs[i], red, bws[i], schs[i]);
                 st->prev_redundancy = red.present;
                 ranges[i] = dec.rng ^ red.rng;
+                if (red.present)
+                    tdesc |= 1 | (red.celt_to_silk ? 2 : 0) | (red.bytes << 2)
+                           | (red.len_eff << 13);
             }
+            if (rc == 0) rc_desc = tdesc;
         }
-        rcs[i] = rc;
+        rcs[i] = rc == 0 ? rc_desc : rc;
         if (rc != 0 && lens[i] != 0) {
             // A corrupt/invalid packet on ONE stream must not kill the
             // batch (availability): restore this stream's state and

@@ -1721,6 +1721,13 @@ static int silk_driver_decode(SilkDriver& d, RangeDec& dec, int internal_khz, in
         if (raw) {
             raw_internal_out(x1.data(), x2.data(), frame_len, payload_ms,
                              internal_khz, nci, nca, rs_reset, out, desc);
+            // Keep the (otherwise unused) resampler state WARM in raw
+            // mode: mode-switch transition PLC rows resample at 48 kHz
+            // through this state and must match the scalar decoder's.
+            for (int n = 0; n < std::min(nca, nci); n++) {
+                res.clear();
+                d.rs[n].process(res, (n == 0 ? x1.data() : x2.data()) + 1, frame_len);
+            }
         } else {
             int16_t* out_f = out + (int64_t)fi * out_per_frame * nca;
             for (int n = 0; n < std::min(nca, nci); n++) {
@@ -1834,6 +1841,10 @@ static int silk_driver_decode_lbrr(SilkDriver& d, RangeDec& dec, int internal_kh
     if (raw) {
         raw_internal_out(x1.data(), x2.data(), frame_len, payload_ms,
                          internal_khz, nci, nca, rs_reset, out, desc);
+        for (int n = 0; n < std::min(nca, nci); n++) {  // warm rs (see above)
+            res.clear();
+            d.rs[n].process(res, (n == 0 ? x1.data() : x2.data()) + 1, frame_len);
+        }
     } else {
         for (int n = 0; n < std::min(nca, nci); n++) {
             res.clear();
@@ -1924,6 +1935,10 @@ static int silk_driver_conceal(SilkDriver& d, int internal_khz, int payload_ms,
         if (raw) {
             raw_internal_out(x1.data(), x2.data(), frame_len, payload_ms,
                              internal_khz, nci, nca, rs_reset, out, desc);
+            for (int n = 0; n < std::min(nca, nci); n++) {  // warm rs
+                res.clear();
+                d.rs[n].process(res, (n == 0 ? x1.data() : x2.data()) + 1, frame_len);
+            }
         } else {
             int16_t* out_f = out + (int64_t)fi * out_per_frame * nca;
             for (int n = 0; n < std::min(nca, nci); n++) {

@@ -215,12 +215,13 @@ def test_mixed_plan_real_overflow_transactional():
 
 def test_mixed_serve_survives_mode_switches():
     """Real traffic switches modes (voice<->music).  The batched paths
-    approximate libopus's transitions — incoming-codec reset + redundant
-    CELT blocks decoded for their STATE effect (opus_frontend.cpp
-    approx_mode_switch/decode_redundant) — so the serving session
-    survives and re-converges to the scalar decoder within ~2 frames;
-    only the 2.5-5 ms crossfade PCM differs AT the switch (the scalar
-    path keeps the exact fades)."""
+    now apply the scalar decoder's EXACT transition machinery at the
+    PCM level: redundant 5 ms CELT blocks are shadow-decoded on host
+    and window-faded into the device ring, and SILK->CELT switches fade
+    plane A's transition PLC row (dsp/transitions.py).  Every frame is
+    at transfer precision EXCEPT the first <=5 ms of a CELT-entering
+    switch whose transition PLC depends on the device-resident CELT
+    decode memory (docs/KNOWN_GAPS.md) — bounded there, exact after."""
     from opus_tpu.batch.opus_pipeline import BatchedOpusDecoder
 
     nf = 16
@@ -251,11 +252,18 @@ def test_mixed_serve_survives_mode_switches():
         dec = BatchedOpusDecoder(2, 2, transfer=mode)
         for f in range(nf):
             dec.serve([[pkts[f]] * 2])  # must not raise at any switch
-            err = float(np.abs(np.asarray(dec._serve_ring)[0] - refs[f]).max())
-            if f in switch_adjacent:
-                assert err < 0.5, (mode, f, err)  # missing fade, bounded
+            got = np.asarray(dec._serve_ring)[0]
+            err = float(np.abs(got - refs[f]).max())
+            # the only remaining approximation: the first <=5 ms of a
+            # frame ENTERING from CELT decode history (device-resident
+            # memory); everything past 5 ms and all other frames are at
+            # transfer precision
+            tail_err = float(np.abs(got[240:] - refs[f][240:]).max())
+            assert tail_err < 2e-3, (mode, f, tail_err)
+            if f not in switch_adjacent:
+                assert err < 2e-3, (mode, f, err)
             else:
-                assert err < 2e-3, (mode, f, err)  # re-converged
+                assert err < 0.5, (mode, f, err)  # bounded 5 ms head
 
 
 def test_mixed_serve_fec_recovery():
@@ -443,3 +451,39 @@ def test_packed_fallback_pitch_plc_tracks_scalar():
     ours = np.stack(outs, 1).reshape(B, NF * F_, 2)
     for b in range(B):
         assert compare(ref, ours[b]) >= PASS_QUALITY
+
+
+def test_bandwidth_switch_redundancy_bit_exact():
+    """SILK bandwidth switches (NB->WB mid-stream) ship redundant CELT
+    blocks; with the shadow-decode + device-fade machinery the batched
+    paths now match the scalar decoder to f32 rounding (one ULP: the
+    device applies the window fade in f32 vs the scalar's f64) through
+    the switch — this exact scenario previously diverged 0.25-0.5
+    max-abs for two frames."""
+    from opus_tpu.batch.opus_pipeline import BatchedOpusDecoder
+
+    nf = 8
+    rng = np.random.default_rng(4)
+    t = np.arange(F * nf) / 48000.0
+    ph = np.cumsum(2 * np.pi * (130 + 25 * np.sin(2 * np.pi * 2.5 * t)) / 48000.0)
+    voice = (0.35 * np.sign(np.sin(ph))
+             + 0.02 * rng.standard_normal(t.size)).astype(np.float32)
+    enc = oracle.Encoder(48000, 1)
+    enc.ctl(oracle.SET_FORCE_MODE, oracle.MODE_SILK_ONLY)
+    enc.ctl(oracle.SET_BITRATE, 24000)
+    enc.ctl(oracle.SET_MAX_BANDWIDTH, 1101)
+    steps = []
+    for f in range(nf):
+        if f == 4:
+            enc.ctl(oracle.SET_MAX_BANDWIDTH, 1103)
+        steps.append([enc.encode_float(voice[f * F : (f + 1) * F], F)])
+    d = Decoder()
+    ref = [np.asarray(d.decode_float(steps[f][0], F)).reshape(F, 2)
+           for f in range(nf)]
+    for mode in ("plan", "p10"):
+        dec = BatchedOpusDecoder(1, 2, transfer=mode)
+        for f in range(nf):
+            dec.serve([steps[f]])
+            err = float(np.abs(np.asarray(dec._serve_ring)[0] - ref[f]).max())
+            # f32-exact: one device-fade ULP at +-1 scale
+            assert err < 1e-6, (mode, f, err)

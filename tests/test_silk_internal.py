@@ -156,11 +156,10 @@ def test_internal_bandwidth_switch_resets_history():
     internal path mirrors it with the desc reset bit (device history
     zeroed) — it must track the pcm48 twin exactly through the switch.
 
-    (The twin, not the scalar: the encoder wraps bandwidth switches in
-    REDUNDANCY frames, whose 2.5 ms crossfade both batched paths
-    approximate identically — the documented transition gap, not a
-    resampler-history issue.  Scalar parity resumes two frames later
-    and is asserted.)"""
+    With the exact transition crossfades (dsp/transitions.py: shadow-
+    decoded redundant blocks + window fades on the device ring), EVERY
+    frame through the switch now holds scalar parity at the transfer
+    precision — the redundancy frames included."""
     from opus_tpu.batch.opus_pipeline import BatchedOpusDecoder
 
     nf = 8
@@ -190,8 +189,6 @@ def test_internal_bandwidth_switch_resets_history():
         # a stale (un-reset) history would blow past the resampler
         # precision class right at the switch frame
         assert float(np.abs(got - tw).max()) < 6e-4, f
-        if f in (4, 5):  # redundancy-crossfade frames (both paths approx)
-            continue
         err = float(np.abs(got - ref[f]).max())
         assert err < 1.2e-3, (f, err)
 
