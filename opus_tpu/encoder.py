@@ -58,6 +58,25 @@ class EncoderConfiguration:
     fec: bool = False
 
 
+def _try_native_voice(fs_khz: int, in_rate: int):
+    """Native mono voice plane (None when the engine is unavailable)."""
+    try:
+        from .native.frontend import NativeVoiceEncoder
+
+        return NativeVoiceEncoder(fs_khz, in_rate)
+    except Exception:
+        return None
+
+
+def _try_native_hybrid():
+    try:
+        from .native.frontend import NativeHybridEncoder
+
+        return NativeHybridEncoder()
+    except Exception:
+        return None
+
+
 class Encoder:
     """Stateful Opus encoder for one elementary stream."""
 
@@ -78,6 +97,7 @@ class Encoder:
         self._dtx_run = 0
         self._last_toc = None
         self._vbr_reservoir = 0.0
+        self._native_enc = None
         if self.application == "voice":
             from .silk.encoder import SilkEncoder
             from .silk.resampler import Resampler
@@ -88,6 +108,11 @@ class Encoder:
             else:
                 self.silk_fs_khz = 16 if self.rate >= 16000 else self.rate // 1000
             self._lbrr_prev = None
+            if self.channels == 1 and not self.config.fec:
+                # Native plane (silk_encoder.inc VoiceEnc: resampler +
+                # SILK encoder in C++, ~100x the Python path); stereo
+                # and in-band-FEC sessions keep the Python planes.
+                self._native_enc = _try_native_voice(self.silk_fs_khz, self.rate)
             if self.channels == 2:
                 from .silk.stereo_encoder import SilkStereoEncoder
 
@@ -122,6 +147,8 @@ class Encoder:
                 self._lbrr_enc = SilkEncoder(16) if self.config.fec else None
                 self.silk = SilkEncoder(16)
                 self._resampler = Resampler(48000, 16000)
+            if self.channels == 1 and not self.config.fec:
+                self._native_enc = _try_native_hybrid()
             self.celt = CeltEncoder(self.channels)
             self.celt.start_band = 17
             self.celt.end_band = 19  # SWB
@@ -144,6 +171,8 @@ class Encoder:
 
     @property
     def final_range(self) -> int:
+        if self._native_enc is not None:
+            return self._rng
         return self.celt.rng if self.celt is not None else self._rng
 
     def max_encoded_size(self, frame_size: int) -> int:
@@ -315,6 +344,14 @@ class Encoder:
         if ms not in (10, 20, 40, 60) or n * 1000 != ms * self.rate:
             raise BadArguments("voice mode takes 10/20/40/60 ms frames")
         budget = max(10, (self.bitrate * ms) // (1000 * 8))
+        if self._native_enc is not None:
+            x48 = np.clip(pcm[:, 0] * 32768.0, -32768, 32767).astype(np.int16)
+            payload = self._native_enc.encode(x48, budget)
+            self._rng = self._native_enc.final_range
+            off = {10: -1, 20: 0, 40: 1, 60: 2}[ms]
+            toc = (_SILK_20MS_CONFIG[self.silk_fs_khz] + off) << 3
+            self._last_toc = toc
+            return bytes([toc]) + payload
         if self.channels == 2:
             chans = []
             for c in range(2):
@@ -363,6 +400,12 @@ class Encoder:
             raise BadArguments("hybrid mode takes 10/20 ms frames")
         ms = n // 48
         nb_bytes = max(25 * self.channels, min(1275, (self.bitrate * ms) // (1000 * 8)))
+        if self._native_enc is not None:
+            payload = self._native_enc.encode(pcm[:, 0], nb_bytes)
+            self._rng = self._native_enc.final_range
+            toc = (_HYBRID_20MS_SWB - (1 if ms == 10 else 0)) << 3
+            self._last_toc = toc
+            return bytes([toc]) + payload
         silk_in = np.concatenate([self._silk_delay, pcm])
         self._silk_delay = silk_in[n:].astype(np.float32)
         x48 = np.clip(silk_in[:n] * 32768.0, -32768, 32767).astype(np.int16)

@@ -656,6 +656,52 @@ class NativeSilkEncoderBatch:
         return out, sizes
 
 
+class NativeVoiceEncoder:
+    """Native mono voice (SILK-only) encoder with the input-rate
+    conversion inside (silk_encoder.inc VoiceEnc): the public Encoder's
+    voice path was bottlenecked on the pure-Python normative resampler,
+    not the coding."""
+
+    def __init__(self, fs_khz: int, in_rate_hz: int):
+        self.lib = _load()
+        self.lib.voice_enc_create.restype = ctypes.c_void_p
+        self.lib.voice_enc_create.argtypes = [ctypes.c_int, ctypes.c_int]
+        self.lib.voice_enc_destroy.argtypes = [ctypes.c_void_p]
+        self.lib.voice_enc_rng.restype = ctypes.c_uint32
+        self.lib.voice_enc_rng.argtypes = [ctypes.c_void_p]
+        self.lib.voice_enc_encode.restype = ctypes.c_int
+        self.lib.voice_enc_encode.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int16), ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+        ]
+        self.h = self.lib.voice_enc_create(fs_khz, in_rate_hz)
+        if not self.h:
+            raise ValueError(f"bad internal rate {fs_khz}")
+        self._out = np.zeros(1400, np.uint8)
+
+    def __del__(self):
+        try:
+            self.lib.voice_enc_destroy(self.h)
+        except Exception:
+            pass
+
+    @property
+    def final_range(self) -> int:
+        return int(self.lib.voice_enc_rng(self.h))
+
+    def encode(self, x: np.ndarray, budget_bytes: int) -> bytes:
+        """x: int16 at the INPUT rate (10/20/40/60 ms) -> SILK payload."""
+        xi = np.ascontiguousarray(x, dtype=np.int16)
+        rc = self.lib.voice_enc_encode(
+            self.h, xi.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            xi.shape[0], budget_bytes,
+            self._out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        if rc < 0:
+            raise ValueError(f"native voice encode failed: {rc}")
+        return bytes(self._out[:rc])
+
+
 class NativeHybridEncoder:
     """Native hybrid encoder (silk_encoder.inc hybrid driver): SILK WB low
     band + CELT bands 17..19 behind one shared range coder (SWB 20/10 ms

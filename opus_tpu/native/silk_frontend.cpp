@@ -1266,6 +1266,11 @@ constexpr int ORDER_FIR0 = 18, ORDER_FIR1 = 24, ORDER_FIR2 = 36, ORDER_FIR_12 = 
 
 // resampler.c delay_matrix_dec (decoder direction), input-rate samples.
 static int delay_dec(int in_khz, int out_khz) {
+    // Rows for 24/48 kHz inputs are zero (encoder-direction use; matches
+    // opus_tpu/silk/resampler.py _DELAY_DEC) — falling through to the
+    // 16 kHz row would add a spurious 12-sample input delay at 48->16,
+    // skewing the hybrid encoder's SILK band against its CELT band.
+    if (in_khz > 16) return 0;
     static const int tab[3][5] = {
         // out:      8  12  16  24  48
         /* in 8 */ { 4,  0,  2,  0,  0},

@@ -399,6 +399,9 @@ def test_voiced_nlsf_interpolation():
         try:
             enc = Encoder(EncoderConfiguration(SamplingRate.HZ_16000, Channels.MONO,
                                                48000, application="voice"))
+            # White-box test of the Python SILK plane (VOICED_INTERP_BIAS,
+            # last_interp_q2): pin the Python path, not the native plane.
+            enc._native_enc = None
             mine = Decoder(DecoderConfiguration(SamplingRate.HZ_16000, Channels.MONO))
             ref = oracle.Decoder(16000, 1)
             outs, kinds = [], []
