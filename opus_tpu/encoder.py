@@ -68,6 +68,15 @@ def _try_native_voice(fs_khz: int, in_rate: int):
         return None
 
 
+def _try_native_stereo_voice(fs_khz: int, in_rate: int):
+    try:
+        from .native.frontend import NativeStereoVoiceEncoder
+
+        return NativeStereoVoiceEncoder(fs_khz, in_rate)
+    except Exception:
+        return None
+
+
 def _try_native_hybrid():
     try:
         from .native.frontend import NativeHybridEncoder
@@ -108,11 +117,15 @@ class Encoder:
             else:
                 self.silk_fs_khz = 16 if self.rate >= 16000 else self.rate // 1000
             self._lbrr_prev = None
-            if self.channels == 1 and not self.config.fec:
-                # Native plane (silk_encoder.inc VoiceEnc: resampler +
-                # SILK encoder in C++, ~100x the Python path); stereo
-                # and in-band-FEC sessions keep the Python planes.
-                self._native_enc = _try_native_voice(self.silk_fs_khz, self.rate)
+            if not self.config.fec:
+                # Native plane (silk_encoder.inc VoiceEnc/StereoVoiceEnc:
+                # resampler + SILK encoder in C++, ~100-500x the Python
+                # path); in-band-FEC sessions keep the Python planes.
+                self._native_enc = (
+                    _try_native_voice(self.silk_fs_khz, self.rate)
+                    if self.channels == 1
+                    else _try_native_stereo_voice(self.silk_fs_khz, self.rate)
+                )
             if self.channels == 2:
                 from .silk.stereo_encoder import SilkStereoEncoder
 
@@ -345,11 +358,15 @@ class Encoder:
             raise BadArguments("voice mode takes 10/20/40/60 ms frames")
         budget = max(10, (self.bitrate * ms) // (1000 * 8))
         if self._native_enc is not None:
-            x48 = np.clip(pcm[:, 0] * 32768.0, -32768, 32767).astype(np.int16)
-            payload = self._native_enc.encode(x48, budget)
+            xi = np.clip(pcm * 32768.0, -32768, 32767).astype(np.int16)
+            if self.channels == 2:
+                payload = self._native_enc.encode(xi[:, 0], xi[:, 1], budget)
+            else:
+                payload = self._native_enc.encode(xi[:, 0], budget)
             self._rng = self._native_enc.final_range
             off = {10: -1, 20: 0, 40: 1, 60: 2}[ms]
-            toc = (_SILK_20MS_CONFIG[self.silk_fs_khz] + off) << 3
+            toc = ((_SILK_20MS_CONFIG[self.silk_fs_khz] + off) << 3) | (
+                0x4 if self.channels == 2 else 0)
             self._last_toc = toc
             return bytes([toc]) + payload
         if self.channels == 2:

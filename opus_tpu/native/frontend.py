@@ -702,6 +702,55 @@ class NativeVoiceEncoder:
         return bytes(self._out[:rc])
 
 
+class NativeStereoVoiceEncoder:
+    """Native stereo voice (SILK mid/side) encoder with per-channel
+    input-rate conversion inside (silk_encoder.inc StereoVoiceEnc).
+    Mirrors opus_tpu/silk/stereo_encoder.py's closed-loop design."""
+
+    def __init__(self, fs_khz: int, in_rate_hz: int):
+        self.lib = _load()
+        self.lib.stereo_voice_enc_create.restype = ctypes.c_void_p
+        self.lib.stereo_voice_enc_create.argtypes = [ctypes.c_int, ctypes.c_int]
+        self.lib.stereo_voice_enc_destroy.argtypes = [ctypes.c_void_p]
+        self.lib.stereo_voice_enc_rng.restype = ctypes.c_uint32
+        self.lib.stereo_voice_enc_rng.argtypes = [ctypes.c_void_p]
+        self.lib.stereo_voice_enc_encode.restype = ctypes.c_int
+        self.lib.stereo_voice_enc_encode.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int16),
+            ctypes.POINTER(ctypes.c_int16), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        self.h = self.lib.stereo_voice_enc_create(fs_khz, in_rate_hz)
+        if not self.h:
+            raise ValueError(f"bad internal rate {fs_khz}")
+        self._out = np.zeros(1400, np.uint8)
+
+    def __del__(self):
+        try:
+            self.lib.stereo_voice_enc_destroy(self.h)
+        except Exception:
+            pass
+
+    @property
+    def final_range(self) -> int:
+        return int(self.lib.stereo_voice_enc_rng(self.h))
+
+    def encode(self, left: np.ndarray, right: np.ndarray,
+               budget_bytes: int) -> bytes:
+        """left/right: int16 at the INPUT rate (10-60 ms) -> SILK payload."""
+        li = np.ascontiguousarray(left, dtype=np.int16)
+        ri = np.ascontiguousarray(right, dtype=np.int16)
+        rc = self.lib.stereo_voice_enc_encode(
+            self.h, li.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            ri.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            li.shape[0], budget_bytes,
+            self._out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        if rc < 0:
+            raise ValueError(f"native stereo voice encode failed: {rc}")
+        return bytes(self._out[:rc])
+
+
 class NativeHybridEncoder:
     """Native hybrid encoder (silk_encoder.inc hybrid driver): SILK WB low
     band + CELT bands 17..19 behind one shared range coder (SWB 20/10 ms

@@ -181,6 +181,43 @@ def test_silk_stereo_encoder_multiframe_nb():
         assert float(np.abs(m - r).max()) < 1e-6
 
 
+def test_silk_stereo_encoder_native_48k():
+    """48 kHz stereo voice rides the native plane (StereoVoiceEnc: two
+    normative resamplers + mid/side closed-loop coding in C++); libopus
+    must accept the stream with final_range parity."""
+    import math
+
+    enc = Encoder(EncoderConfiguration(SamplingRate.HZ_48000, Channels.STEREO,
+                                       48000, application="voice"))
+    assert enc._native_enc is not None, "native stereo plane not engaged"
+    ref = oracle.Decoder(48000, 2)
+    mine = Decoder(DecoderConfiguration(SamplingRate.HZ_48000, Channels.STEREO))
+    frame, nf = 960, 10
+    t = np.arange(frame * nf) / 48000
+    rng = np.random.default_rng(11)
+    phase = np.cumsum(2 * np.pi * (130 + 25 * np.sin(2 * np.pi * 3 * t)) / 48000)
+    s = 0.35 * np.sign(np.sin(phase)) * np.exp(-3 * (t % 0.01) * 100) + 0.02 * rng.standard_normal(frame * nf)
+    pcm = np.stack([s, np.roll(s, 23) * 0.8], -1).astype(np.float32)
+    outs = []
+    for f in range(nf):
+        pkt = enc.encode(pcm[f * frame : (f + 1) * frame])
+        assert (pkt[0] >> 3) == 9 and (pkt[0] & 0x4)  # SILK WB 20 ms stereo
+        r = np.asarray(ref.decode_float(pkt, frame)).reshape(frame, 2)
+        m = mine.decode_float(pkt, frame)
+        assert ref.final_range == mine.final_range == enc.final_range, f
+        assert float(np.abs(m - r).max()) < 1e-6
+        outs.append(r)
+    out = np.concatenate(outs).reshape(-1)
+    sig = pcm.reshape(-1)
+    best = -99.0
+    for d in range(0, 120):
+        a = sig[2 * frame : len(sig) - 2 * d]
+        b = out[2 * frame + 2 * d : len(sig)]
+        e = a - b
+        best = max(best, 10 * math.log10(float(np.dot(a, a)) / max(float(np.dot(e, e)), 1e-9)))
+    assert best > 9.0, f"native stereo voice snr {best:.1f}"
+
+
 def test_hybrid_stereo_encoder():
     """Hybrid stereo: stereo SILK low band + stereo CELT high band in one
     shared range coder (config 13, stereo ToC bit)."""
