@@ -58,21 +58,21 @@ class EncoderConfiguration:
     fec: bool = False
 
 
-def _try_native_voice(fs_khz: int, in_rate: int):
+def _try_native_voice(fs_khz: int, in_rate: int, fec: bool = False):
     """Native mono voice plane (None when the engine is unavailable)."""
     try:
         from .native.frontend import NativeVoiceEncoder
 
-        return NativeVoiceEncoder(fs_khz, in_rate)
+        return NativeVoiceEncoder(fs_khz, in_rate, fec)
     except Exception:
         return None
 
 
-def _try_native_stereo_voice(fs_khz: int, in_rate: int):
+def _try_native_stereo_voice(fs_khz: int, in_rate: int, fec: bool = False):
     try:
         from .native.frontend import NativeStereoVoiceEncoder
 
-        return NativeStereoVoiceEncoder(fs_khz, in_rate)
+        return NativeStereoVoiceEncoder(fs_khz, in_rate, fec)
     except Exception:
         return None
 
@@ -117,15 +117,15 @@ class Encoder:
             else:
                 self.silk_fs_khz = 16 if self.rate >= 16000 else self.rate // 1000
             self._lbrr_prev = None
-            if not self.config.fec:
-                # Native plane (silk_encoder.inc VoiceEnc/StereoVoiceEnc:
-                # resampler + SILK encoder in C++, ~100-500x the Python
-                # path); in-band-FEC sessions keep the Python planes.
-                self._native_enc = (
-                    _try_native_voice(self.silk_fs_khz, self.rate)
-                    if self.channels == 1
-                    else _try_native_stereo_voice(self.silk_fs_khz, self.rate)
-                )
+            # Native plane (silk_encoder.inc VoiceEnc/StereoVoiceEnc:
+            # resampler + SILK encoder + optional LBRR companion in C++,
+            # ~100-500x the Python path).
+            self._native_enc = (
+                _try_native_voice(self.silk_fs_khz, self.rate, self.config.fec)
+                if self.channels == 1
+                else _try_native_stereo_voice(self.silk_fs_khz, self.rate,
+                                              self.config.fec)
+            )
             if self.channels == 2:
                 from .silk.stereo_encoder import SilkStereoEncoder
 

@@ -662,10 +662,10 @@ class NativeVoiceEncoder:
     voice path was bottlenecked on the pure-Python normative resampler,
     not the coding."""
 
-    def __init__(self, fs_khz: int, in_rate_hz: int):
+    def __init__(self, fs_khz: int, in_rate_hz: int, fec: bool = False):
         self.lib = _load()
         self.lib.voice_enc_create.restype = ctypes.c_void_p
-        self.lib.voice_enc_create.argtypes = [ctypes.c_int, ctypes.c_int]
+        self.lib.voice_enc_create.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int]
         self.lib.voice_enc_destroy.argtypes = [ctypes.c_void_p]
         self.lib.voice_enc_rng.restype = ctypes.c_uint32
         self.lib.voice_enc_rng.argtypes = [ctypes.c_void_p]
@@ -674,7 +674,7 @@ class NativeVoiceEncoder:
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_int16), ctypes.c_int,
             ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
         ]
-        self.h = self.lib.voice_enc_create(fs_khz, in_rate_hz)
+        self.h = self.lib.voice_enc_create(fs_khz, in_rate_hz, int(fec))
         if not self.h:
             raise ValueError(f"bad internal rate {fs_khz}")
         self._out = np.zeros(1400, np.uint8)
@@ -707,10 +707,10 @@ class NativeStereoVoiceEncoder:
     input-rate conversion inside (silk_encoder.inc StereoVoiceEnc).
     Mirrors opus_tpu/silk/stereo_encoder.py's closed-loop design."""
 
-    def __init__(self, fs_khz: int, in_rate_hz: int):
+    def __init__(self, fs_khz: int, in_rate_hz: int, fec: bool = False):
         self.lib = _load()
         self.lib.stereo_voice_enc_create.restype = ctypes.c_void_p
-        self.lib.stereo_voice_enc_create.argtypes = [ctypes.c_int, ctypes.c_int]
+        self.lib.stereo_voice_enc_create.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int]
         self.lib.stereo_voice_enc_destroy.argtypes = [ctypes.c_void_p]
         self.lib.stereo_voice_enc_rng.restype = ctypes.c_uint32
         self.lib.stereo_voice_enc_rng.argtypes = [ctypes.c_void_p]
@@ -720,7 +720,7 @@ class NativeStereoVoiceEncoder:
             ctypes.POINTER(ctypes.c_int16), ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8),
         ]
-        self.h = self.lib.stereo_voice_enc_create(fs_khz, in_rate_hz)
+        self.h = self.lib.stereo_voice_enc_create(fs_khz, in_rate_hz, int(fec))
         if not self.h:
             raise ValueError(f"bad internal rate {fs_khz}")
         self._out = np.zeros(1400, np.uint8)

@@ -11,6 +11,7 @@
 #include <cmath>
 #include <vector>
 #include <algorithm>
+#include <memory>
 
 #include "ec.h"
 #include "silk_tables.h"
