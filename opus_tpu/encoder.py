@@ -77,11 +77,11 @@ def _try_native_stereo_voice(fs_khz: int, in_rate: int, fec: bool = False):
         return None
 
 
-def _try_native_hybrid():
+def _try_native_hybrid(channels: int = 1, fec: bool = False):
     try:
         from .native.frontend import NativeHybridEncoder
 
-        return NativeHybridEncoder()
+        return NativeHybridEncoder(channels, fec)
     except Exception:
         return None
 
@@ -160,8 +160,7 @@ class Encoder:
                 self._lbrr_enc = SilkEncoder(16) if self.config.fec else None
                 self.silk = SilkEncoder(16)
                 self._resampler = Resampler(48000, 16000)
-            if self.channels == 1 and not self.config.fec:
-                self._native_enc = _try_native_hybrid()
+            self._native_enc = _try_native_hybrid(self.channels, self.config.fec)
             self.celt = CeltEncoder(self.channels)
             self.celt.start_band = 17
             self.celt.end_band = 19  # SWB
@@ -418,9 +417,11 @@ class Encoder:
         ms = n // 48
         nb_bytes = max(25 * self.channels, min(1275, (self.bitrate * ms) // (1000 * 8)))
         if self._native_enc is not None:
-            payload = self._native_enc.encode(pcm[:, 0], nb_bytes)
+            payload = self._native_enc.encode(
+                pcm[:, 0] if self.channels == 1 else pcm, nb_bytes)
             self._rng = self._native_enc.final_range
-            toc = (_HYBRID_20MS_SWB - (1 if ms == 10 else 0)) << 3
+            toc = ((_HYBRID_20MS_SWB - (1 if ms == 10 else 0)) << 3) | (
+                0x4 if self.channels == 2 else 0)
             self._last_toc = toc
             return bytes([toc]) + payload
         silk_in = np.concatenate([self._silk_delay, pcm])

@@ -757,10 +757,10 @@ class NativeHybridEncoder:
     mono, CBR).  Payloads carry no ToC (the Opus layer adds config 13).
     Port of opus_tpu/encoder.py _encode_hybrid."""
 
-    def __init__(self):
+    def __init__(self, channels: int = 1, fec: bool = False):
         self.lib = _load()
         self.lib.hybrid_enc_create.restype = ctypes.c_void_p
-        self.lib.hybrid_enc_create.argtypes = []
+        self.lib.hybrid_enc_create.argtypes = [ctypes.c_int, ctypes.c_int]
         self.lib.hybrid_enc_destroy.argtypes = [ctypes.c_void_p]
         self.lib.hybrid_enc_rng.restype = ctypes.c_uint32
         self.lib.hybrid_enc_rng.argtypes = [ctypes.c_void_p]
@@ -769,7 +769,8 @@ class NativeHybridEncoder:
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
             ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
         ]
-        self.h = self.lib.hybrid_enc_create()
+        self.channels = channels
+        self.h = self.lib.hybrid_enc_create(channels, int(fec))
         self._out = np.zeros(1400, np.uint8)
 
     def __del__(self):
@@ -783,11 +784,12 @@ class NativeHybridEncoder:
         return int(self.lib.hybrid_enc_rng(self.h))
 
     def encode(self, pcm: np.ndarray, nb_bytes: int) -> bytes:
-        """pcm: [480|960] float32 mono in ±1 at 48 kHz -> CBR payload."""
+        """pcm: [480|960] (mono) or [n, 2]/interleaved (stereo) float32 in
+        ±1 at 48 kHz -> CBR payload."""
         x = np.ascontiguousarray(pcm, dtype=np.float32).reshape(-1)
         rc = self.lib.hybrid_enc_encode(
             self.h, x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            x.shape[0], nb_bytes,
+            x.shape[0] // self.channels, nb_bytes,
             self._out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         )
         if rc < 0:
@@ -810,7 +812,7 @@ class NativeHybridEncoderBatch:
         ]
         self.batch = batch
         self.handles = (ctypes.c_void_p * batch)(
-            *[self.lib.hybrid_enc_create() for _ in range(batch)]
+            *[self.lib.hybrid_enc_create(1, 0) for _ in range(batch)]
         )
 
     def __del__(self):
