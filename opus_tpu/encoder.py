@@ -86,6 +86,17 @@ def _try_native_hybrid(channels: int = 1, fec: bool = False):
         return None
 
 
+def _try_native_music(channels: int, end_band: int):
+    try:
+        from .native.frontend import NativeCeltEncoder
+
+        enc = NativeCeltEncoder(channels)
+        enc.end_band = end_band
+        return enc
+    except Exception:
+        return None
+
+
 class Encoder:
     """Stateful Opus encoder for one elementary stream."""
 
@@ -176,10 +187,16 @@ class Encoder:
             self.celt = CeltEncoder(self.channels)
             self.celt.end_band = _CELT_BW[self.config.bandwidth][1]
             self.silk = None
+            # Native plane (celt_encoder.inc): conformant CELT bitstreams
+            # at C++ speed; Python keeps the fallback.
+            self._native_enc = _try_native_music(self.channels,
+                                                 self.celt.end_band)
 
     def reset(self) -> None:
         if self.celt is not None:
             self.celt.reset()
+        if self._native_enc is not None and hasattr(self._native_enc, "reset"):
+            self._native_enc.reset()
 
     @property
     def final_range(self) -> int:
@@ -244,6 +261,8 @@ class Encoder:
             raise BadArguments("bandwidth must be NB/WB/SWB/FB")
         self.bandwidth = bandwidth
         self.celt.end_band = _CELT_BW[bandwidth][1]
+        if self._native_enc is not None:
+            self._native_enc.end_band = self.celt.end_band
 
     def ctl(self, name: str, value) -> None:
         """Generic control entry: ctl('bitrate', 64000) etc."""
@@ -307,8 +326,13 @@ class Encoder:
         cfg = _CELT_BW[self.bandwidth][0] + (_CELT_FB_CONFIG[n] - 28)
         toc = (cfg << 3) | (0x4 if self.channels == 2 else 0)
         nb = self._vbr_bytes(pcm, n) if self.vbr else self.frame_bytes(n)
-        self.celt.complexity = self.complexity
-        payload = self.celt.encode(pcm, nb)
+        if self._native_enc is not None:
+            self._native_enc.complexity = self.complexity
+            payload = self._native_enc.encode(pcm, nb)
+            self._rng = self._native_enc.final_range
+        else:
+            self.celt.complexity = self.complexity
+            payload = self.celt.encode(pcm, nb)
         self._last_toc = toc
         return bytes([toc]) + payload
 

@@ -487,7 +487,15 @@ class NativeCeltEncoder:
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
             ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
         ]
+        self.lib.celt_enc_encode2.restype = ctypes.c_int
+        self.lib.celt_enc_encode2.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+            ctypes.c_int,
+        ]
         self.channels = channels
+        self.end_band = 21
+        self.complexity = 10
         self.h = self.lib.celt_enc_create(channels)
 
     def __del__(self):
@@ -507,10 +515,11 @@ class NativeCeltEncoder:
         """pcm [N, channels] float32 in ±1 -> nb_bytes of CELT payload."""
         fr = np.ascontiguousarray(pcm, dtype=np.float32)
         out = np.zeros(nb_bytes, np.uint8)
-        rc = self.lib.celt_enc_encode(
+        rc = self.lib.celt_enc_encode2(
             self.h, fr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             fr.shape[0], nb_bytes,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            self.end_band, self.complexity,
         )
         if rc != 0:
             raise ValueError(f"native celt encode failed: {rc}")

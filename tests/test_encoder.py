@@ -99,6 +99,7 @@ def test_transient_frames_roundtrip():
     CE.CeltEncoder._transient_decision = counting
     try:
         enc = Encoder(EncoderConfiguration(SamplingRate.HZ_48000, Channels.MONO, 96000))
+        enc._native_enc = None  # white-box test of the Python CELT plane
         ref = oracle.Decoder(48000, 1)
         mine = Decoder(DecoderConfiguration(SamplingRate.HZ_48000, Channels.MONO))
         for f in range(nf):
@@ -198,6 +199,7 @@ def test_spread_decision_tonal_vs_noise():
         CE.CeltEncoder._spread_decision = lambda self, *a: got.append(orig(self, *a)) or got[-1]
         enc = Encoder(EncoderConfiguration(SamplingRate.HZ_48000, Channels.MONO, 64000,
                                            application="music"))
+        enc._native_enc = None  # white-box test of the Python CELT plane
         ref = oracle.Decoder(48000, 1)
         for f in range(8):
             ref.decode_float(enc.encode(sig[f * frame : (f + 1) * frame, None]), frame)
@@ -276,6 +278,7 @@ def test_celt_prefilter_pitched_content():
 
     def run(complexity):
         enc = Encoder(EncoderConfiguration(bitrate=48000, application="music"))
+        enc._native_enc = None  # white-box test of the Python CELT plane
         enc.set_complexity(complexity)
         ref = oracle.Decoder(48000, 2)
         ours = opus_tpu.Decoder()
