@@ -25,6 +25,9 @@ while [ "$(date +%s)" -lt "$END" ]; do
   if tail -20 /tmp/tpu_window_bench.jsonl 2>/dev/null | grep -q '"phase": "done"'; then
     timeout 2400 python tools/tpu_exec_bisect.py >> /tmp/tpu_sup.out 2>&1
     timeout 3000 python tools/tpu_bsweep.py >> /tmp/tpu_sup.out 2>&1
+    # Refresh the committed last-known-good headline while the window
+    # holds (bench.py rewrites docs/LAST_GOOD_BENCH.json on a full run).
+    timeout 1800 python bench.py > /tmp/bench_tpu_window.json 2>> /tmp/tpu_sup.out
     if tail -5 /tmp/tpu_bsweep.jsonl 2>/dev/null | grep -q '"phase": "done"'; then
       echo "{\"supervisor\": \"all_done\"}" >> /tmp/tpu_sup.out
       exit 0
