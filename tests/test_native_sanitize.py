@@ -259,6 +259,81 @@ def test_silk_and_hybrid_encoders_hostile_pcm():
     hb.encode_batch(np.stack([hostile[2]] * 2), 120)
 
 
+def test_voice_stereo_fec_encoders_hostile_pcm():
+    """The public-Encoder planes (VoiceEnc/StereoVoiceEnc/HybridEnc with
+    resamplers, mid/side closed loop, and LBRR companions) on hostile PCM
+    across rates, channel layouts, FEC, and budget extremes."""
+    from opus_tpu.native.frontend import (
+        NativeCeltEncoder, NativeHybridEncoder, NativeStereoVoiceEncoder,
+        NativeVoiceEncoder,
+    )
+
+    rng = np.random.default_rng(21)
+
+    def cases(n):
+        imp = np.zeros(n, np.int16)
+        imp[:: max(1, n // 9)] = 30000
+        return [
+            np.zeros(n, np.int16),
+            np.full(n, -32768, np.int16),
+            rng.integers(-32768, 32767, n).astype(np.int16),
+            imp,
+        ]
+
+    for fs in (8, 12, 16):
+        for in_rate in (fs * 1000, 48000):
+            for fec in (False, True):
+                enc = NativeVoiceEncoder(fs, in_rate, fec)
+                n = in_rate // 50  # 20 ms
+                for pcm in cases(n):
+                    for nb in (10, 60, 400):
+                        try:
+                            enc.encode(pcm, nb)  # repeated: LBRR engages
+                            enc.encode(pcm, nb)
+                        except ValueError:
+                            pass
+                st = NativeStereoVoiceEncoder(fs, in_rate, fec)
+                for pcm in cases(n):
+                    for nb in (15, 120, 500):
+                        try:
+                            st.encode(pcm, pcm[::-1].copy(), nb)
+                            st.encode(pcm, pcm, nb)
+                        except ValueError:
+                            pass
+    # 40/60 ms multiframe + frame-size switch mid-stream (FEC prev-block
+    # length mismatch path).
+    enc = NativeVoiceEncoder(16, 48000, True)
+    enc.encode(cases(2880)[2], 90)
+    enc.encode(cases(960)[2], 60)
+    enc.encode(cases(1920)[2], 80)
+    st = NativeStereoVoiceEncoder(16, 48000, True)
+    st.encode(cases(2880)[2], cases(2880)[3], 180)
+    st.encode(cases(960)[2], cases(960)[3], 120)
+
+    # Hybrid stereo + FEC on hostile floats (interleaved).
+    nan = rng.standard_normal(960 * 2).astype(np.float32) * 4
+    nan[7] = np.nan
+    nan[-3] = -np.inf
+    for fec in (False, True):
+        he = NativeHybridEncoder(2, fec)
+        for pcm in (np.zeros(960 * 2, np.float32), nan):
+            for nb in (40, 200, 1275):
+                try:
+                    he.encode(pcm, nb)
+                    he.encode(pcm, nb)
+                except ValueError:
+                    pass
+        he.encode(nan[: 480 * 2], 100)  # 10 ms
+
+    # Band-limited public music entry at the end-band extremes.
+    ce = NativeCeltEncoder(2)
+    for end_band in (13, 17, 19, 21):
+        ce.end_band = end_band
+        for comp in (0, 10):
+            ce.complexity = comp
+            ce.encode(nan.reshape(960, 2), 90)
+
+
 def test_opus_driver_random_bytes():
     """The native opus-level driver (mode mux + SILK/hybrid/LBRR entry
     points in opus_frontend.cpp) through the scalar Decoder on random
