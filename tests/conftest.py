@@ -30,4 +30,15 @@ for _k in [k for k in os.environ if "AXON" in k.upper()]:
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/opus_tpu_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
+# The env vars above are too late when the ambient sitecustomize
+# (PYTHONPATH=/root/.axon_site) has ALREADY imported jax to register the
+# axon TPU plugin: jax snapshots JAX_PLATFORMS at import, so the suite
+# would still try to initialize the axon backend — which fails hard once
+# the AXON_* trigger vars are popped (pool-mode registration with its
+# client env deleted).  Rewrite the live config too.
+if "jax" in sys.modules:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
