@@ -433,12 +433,28 @@ class BatchedOpusDecoder:
         B = self.batch
         return (0, B // 8, B // 4, B // 2, (3 * B) // 4, B)
 
+    #: Executor size classes — see BatchedCeltDecoder.PLAN_CLASSES.
+    PLAN_CLASSES = ((112, 8, 128), (160, 16, 160), (192, 64, 192))
+
+    def _plan_size_class(self, slot) -> tuple:
+        c = slot["header"][:, 1]
+        pvq_mx = int((c & 0x1FF).max(initial=0))
+        fill_mx = int(((c >> 9) & 0x1FF).max(initial=0))
+        iyw_mx = int(slot["iy_spans"].max(initial=0)) + 1
+        for cls in self.PLAN_CLASSES:
+            if pvq_mx <= cls[0] and fill_mx <= cls[1] and iyw_mx <= cls[2]:
+                return cls
+        return self.PLAN_CLASSES[-1]
+
     def _mixed_plan_serving_step(self, lm: int, pf_chunk: int, pf_active: bool,
                                  bucket_words: int, silk_rows: int,
-                                 with_plc: bool = False):
+                                 with_plc: bool = False,
+                                 size_class: tuple | None = None):
         from ..dsp.synthesis import make_plan_serving_step
 
-        key = ("plan", lm, pf_chunk, pf_active, bucket_words, silk_rows, with_plc)
+        cls = size_class or self.PLAN_CLASSES[-1]
+        key = ("plan", lm, pf_chunk, pf_active, bucket_words, silk_rows,
+               with_plc, cls)
         if key not in self._steps:
             self._steps[key] = make_plan_serving_step(
                 lm, self.batch, self.channels, 1,
@@ -446,6 +462,7 @@ class BatchedOpusDecoder:
                 arena_words=bucket_words, silk_mix=True,
                 silk_rows=silk_rows, with_plc=with_plc,
                 silk_internal=self.silk_internal,
+                size_class=cls,
             )
         return self._steps[key]
 
@@ -503,7 +520,8 @@ class BatchedOpusDecoder:
         )
 
         try:
-            check_plan_iy_span(slot)
+            # Stashed for the uploader's executor size-class pick.
+            slot["iy_spans"] = check_plan_iy_span(slot)
         except OverflowError as e:
             raise RuntimeError(f"native plan guard missed: {e}") from None
         pack_plan_fixed(slot)
@@ -694,6 +712,7 @@ class BatchedOpusDecoder:
                         step = self._mixed_plan_serving_step(
                             lm, pf_chunk, pf_active, bucket, rbucket,
                             with_plc=has_plc,
+                            size_class=self._plan_size_class(slot),
                         )
                         prefix = pack_plan_silk(slot, bucket, rbucket)
                         buf = jnp.array(slot["buf"][:prefix], copy=True)

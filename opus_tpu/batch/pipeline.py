@@ -194,16 +194,39 @@ class BatchedCeltDecoder:
     #: bucket step is 128 B/stream of upload.
     PLAN_BUCKETS = (64, 96, 128, 160, 192, 224, 256, 320, 384, 512)
 
+    #: Executor size classes (p_max, f_max, iyw): every leaf gather,
+    #: interval-mask build, and field einsum in the plan executor scales
+    #: linearly with these, and worst-case capacity (192/64/192) is ~2x
+    #: what typical content needs (96 kbps stereo music measures
+    #: pvq<=105, fill<=3, iyw<=114).  The serve loop picks the smallest
+    #: class the step's actual maxima fit; anything larger runs the full
+    #: capacity class.  iyw must stay a multiple of 16.
+    PLAN_CLASSES = ((112, 8, 128), (160, 16, 160), (192, 64, 192))
+
+    def _plan_size_class(self, slot) -> tuple:
+        c = slot["header"][:, 1]
+        pvq_mx = int((c & 0x1FF).max(initial=0))
+        fill_mx = int(((c >> 9) & 0x1FF).max(initial=0))
+        # the fetch window may touch one word past the last started one
+        iyw_mx = int(slot["iy_spans"].max(initial=0)) + 1
+        for cls in self.PLAN_CLASSES:
+            if pvq_mx <= cls[0] and fill_mx <= cls[1] and iyw_mx <= cls[2]:
+                return cls
+        return self.PLAN_CLASSES[-1]
+
     def _plan_serving_step(self, lm: int, pf_chunk: int, pf_active: bool,
-                           bucket_words: int, with_plc: bool = False):
+                           bucket_words: int, with_plc: bool = False,
+                           size_class: tuple | None = None):
         from ..dsp.synthesis import make_plan_serving_step
 
-        key = ("plan", lm, pf_chunk, pf_active, bucket_words, with_plc)
+        cls = size_class or self.PLAN_CLASSES[-1]
+        key = ("plan", lm, pf_chunk, pf_active, bucket_words, with_plc, cls)
         if key not in self._steps:
             self._steps[key] = make_plan_serving_step(
                 lm, self.batch, self.channels, self.downsample,
                 pf_chunk=pf_chunk, pf_active=pf_active,
                 arena_words=bucket_words, with_plc=with_plc,
+                size_class=cls,
             )
         return self._steps[key]
 
@@ -268,7 +291,7 @@ class BatchedCeltDecoder:
                         if held is not None:
                             release(held)
                         break
-                    slot, lm, pf_chunk, pf_active, bucket, has_plc = item
+                    slot, lm, pf_chunk, pf_active, bucket, has_plc, cls = item
                     if bucket < 0:
                         # p10 fallback step (arena overflow on this frame):
                         # SynthState is shared between the two step kinds,
@@ -288,13 +311,15 @@ class BatchedCeltDecoder:
                         state, ring, digest = step(state, ring, buf)
                     elif has_plc:
                         step = self._plan_serving_step(lm, pf_chunk, pf_active, bucket,
-                                                       with_plc=True)
+                                                       with_plc=True,
+                                                       size_class=cls)
                         state, ring, digest, plc_lpc, plc_pitch = step(
                             state, ring, buf, plc_lpc, plc_pitch
                         )
                     else:
                         step = self._plan_serving_step(lm, pf_chunk, pf_active, bucket,
-                                                       with_plc=False)
+                                                       with_plc=False,
+                                                       size_class=cls)
                         state, ring, digest = step(state, ring, buf)
                 self._serve_state = state
                 self._serve_ring = ring
@@ -325,7 +350,7 @@ class BatchedCeltDecoder:
                     if not (meta[:, 2] == lm).all():
                         raise ValueError("mixed frame sizes in one step not supported")
                     pf_chunk, pf_active = pf_chunk_for(meta[:, 6:9], slot["gains"])
-                    work.put((slot, lm, pf_chunk, pf_active, -1, False))
+                    work.put((slot, lm, pf_chunk, pf_active, -1, False, None))
                     continue
                 meta = slot["meta"]
                 lm = int(meta[0, 2])
@@ -340,7 +365,8 @@ class BatchedCeltDecoder:
                 )
                 # Steps with pitch-regime losses run the PLC step variant.
                 has_plc = bool((meta[:, 14] & 1).any())
-                work.put((slot, lm, pf_chunk, pf_active, bucket, has_plc))
+                work.put((slot, lm, pf_chunk, pf_active, bucket, has_plc,
+                          self._plan_size_class(slot)))
         finally:
             work.put(None)
             th.join()

@@ -525,7 +525,8 @@ def _valid_cfg(n: int, b_frame: int, rec: int, td: int) -> bool:
 
 
 def make_plan_executor(lm: int, batch: int, p_max: int = 192, f_max: int = 64,
-                       a_max: int = 42, stop_after: str | None = None):
+                       a_max: int = 42, stop_after: str | None = None,
+                       iyw: int = PLAN_IYW):
     """Build the jitted plan executor for one frame shape.
 
     Returns f(header[B,3] i32, bands[B,29] i32, meta[B,16] i32,
@@ -537,7 +538,17 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, f_max: int = 64,
     stop_after (profiling only, tools/tpu_exec_bisect.py): one of
     "leaves", "posmap", "iy", "norm", "noise", "rot", "bands" — the
     executor returns a digest scalar right after that stage, with every
-    prior intermediate summed in so nothing is dead-code-eliminated."""
+    prior intermediate summed in so nothing is dead-code-eliminated.
+
+    p_max / f_max / iyw are the SIZE CLASS: every leaf-table gather,
+    interval-mask build, and field einsum scales linearly with them, so
+    the serve loop compiles a small-class variant and picks per step
+    from the slot's actual maxima (batch/pipeline.py PLAN_CLASSES) —
+    worst-case capacity (192/64/192) costs ~2x the gathered elements
+    and einsum FLOPs of what 96 kbps content needs (105/3/114 measured).
+    iyw must be a multiple of 16 (the chunked one-hot fetch works in
+    16-word windows)."""
+    assert iyw % 16 == 0 and iyw <= PLAN_IYW
     m = 1 << lm
     n = m * modes.SHORT_MDCT_SIZE
     e = (modes.E_BANDS.astype(np.int64) * m).astype(np.int32)
@@ -773,10 +784,12 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, f_max: int = 64,
         # position's word pair: two flat 2M-element gathers (~17 ms each
         # on TPU) become one 0.2M gather plus MXU work.  Words are full
         # u32, so they ride the matmul as two exact 16-bit halves.
-        # PLAN_IYW bounds the fetch window; plane A guarantees it
-        # (decode_batch_plan_into raises OverflowError past it, and the
-        # serve loops fall back to a spectral step for that frame).
-        IYW = PLAN_IYW
+        # The iyw size class bounds the fetch window; plane A guarantees
+        # PLAN_IYW (decode_batch_plan_into raises OverflowError past it,
+        # the serve loops fall back to a spectral step for that frame)
+        # and the serve loop only picks a smaller class when every
+        # stream's span fits it (slot["iy_spans"]).
+        IYW = iyw
         QCH = IYW // 16
         kidx = iy_w0[:, None] + jnp.arange(IYW)[None, :]
         rows = jnp.take(arena, jnp.clip(kidx, 0, amax))  # [B, IYW] u32

@@ -771,7 +771,8 @@ def make_plan_serving_step(lm: int, batch: int, channels: int = 2,
                            downsample: int = 1, pf_chunk: int = _CHUNK,
                            pf_active: bool = True, arena_words: int = 0,
                            with_plc: bool = False, silk_mix: bool = False,
-                           silk_rows: int = 0, silk_internal: bool = False):
+                           silk_rows: int = 0, silk_internal: bool = False,
+                           size_class: tuple = (192, 64, 192)):
     """Serving step over a plan-executor slot (opus_tpu/dsp/plan_exec.py).
 
     Same contract as make_serving_step, but the uploaded buffer holds
@@ -818,7 +819,12 @@ def make_plan_serving_step(lm: int, batch: int, channels: int = 2,
     o_arena = o_smap + (B if silk_mix else 0)
     # compacted silk rows land right after this step's arena bucket
     o_srows = o_arena + B * arena_words
-    executor = make_plan_executor(lm, batch)
+    # size_class = (p_max, f_max, iyw): the executor's gather windows and
+    # interval-einsum widths, picked per step by the serve loop from the
+    # slot's actual maxima (batch/pipeline.py PLAN_CLASSES).
+    p_max, f_max, iyw = size_class
+    executor = make_plan_executor(lm, batch, p_max=p_max, f_max=f_max,
+                                  iyw=iyw)
     core = _make_serving_core(lm, batch, channels, downsample, pf_chunk,
                               pf_active, silk_mix)
 

@@ -384,7 +384,9 @@ class NativeBatchFrontEnd:
                 "native plan guard missed a capacity the executor needs"
             )
         try:
-            check_plan_iy_span(slot)
+            # Stash the spans: the serve loop picks the executor size
+            # class (batch/pipeline.py PLAN_CLASSES) from their maximum.
+            slot["iy_spans"] = check_plan_iy_span(slot)
         except OverflowError as e:
             raise RuntimeError(f"native plan guard missed: {e}") from None
         self._pack_plan_fixed(slot)

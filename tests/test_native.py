@@ -346,6 +346,58 @@ def test_plan_executor_matches_reference_spectra():
             assert np.abs(ref - xj[b, :c_]).max() < 1e-3
 
 
+def test_plan_executor_size_classes_match_full():
+    """The small/medium size-class executors (batch/pipeline.py
+    PLAN_CLASSES) are pure gather-window/einsum-width reductions: when a
+    step's maxima fit a class, its output must equal the full-capacity
+    executor's bit for bit."""
+    from opus_tpu.native.frontend import NativeBatchFrontEnd
+    from opus_tpu.dsp.plan_exec import make_plan_executor, plan_executor_args
+    from opus_tpu.batch.pipeline import BatchedCeltDecoder
+    import jax
+    import jax.numpy as jnp
+
+    B, F, NF = 2, 960, 4
+    t = np.arange(F * NF) / 48000.0
+    sig = np.sin(2 * np.pi * 220 * t) * 0.4 + np.sin(2 * np.pi * 3000 * t) * 0.2
+    enc = oracle.Encoder(48000, 2)
+    enc.ctl(oracle.SET_BITRATE, 96000)
+    enc.ctl(oracle.SET_FORCE_MODE, oracle.MODE_CELT_ONLY)
+    pcm = np.stack([sig, np.roll(sig, 13)], -1).astype(np.float32)
+    pk = [enc.encode_float(pcm[i * F : (i + 1) * F].ravel(), F) for i in range(NF)]
+    payloads = [p[parse_packet(p).payload_offset :] for p in pk]
+
+    fe = NativeBatchFrontEnd(B, 2, 1)
+    slots = fe.alloc_plan_slots(1)
+    ex_full = jax.jit(make_plan_executor(3, B))
+    ex_by_cls = {
+        cls: jax.jit(make_plan_executor(3, B, p_max=cls[0], f_max=cls[1],
+                                        iyw=cls[2]))
+        for cls in BatchedCeltDecoder.PLAN_CLASSES[:-1]
+    }
+    picker = BatchedCeltDecoder.__new__(BatchedCeltDecoder)
+    picked_small = 0
+    for fr in range(NF):
+        slot = fe.decode_batch_plan_into([payloads[fr]] * B, F, slots[0])
+        args = tuple(map(jnp.asarray, plan_executor_args(slot)))
+        ref = np.asarray(ex_full(*args))
+        cls = BatchedCeltDecoder._plan_size_class(picker, slot)
+        c = slot["header"][:, 1]
+        for test_cls, exj in ex_by_cls.items():
+            fits = (int((c & 0x1FF).max()) <= test_cls[0]
+                    and int(((c >> 9) & 0x1FF).max()) <= test_cls[1]
+                    and int(slot["iy_spans"].max()) + 1 <= test_cls[2])
+            if not fits:
+                continue
+            got = np.asarray(exj(*args))
+            np.testing.assert_array_equal(got, ref)
+            picked_small += 1
+        assert cls in BatchedCeltDecoder.PLAN_CLASSES
+    # 96 kbps stereo music must actually hit a sub-capacity class,
+    # otherwise the feature is dead weight.
+    assert picked_small > 0
+
+
 def test_plan_transfer_mode_conformance():
     """transfer="plan" through the full serve() loop clears the RFC 8251
     conformance gate vs the float reference path (state carry, postfilter,

@@ -90,7 +90,7 @@ def main():
 
     # Phase 1: device step cost, plan vs p10 (true-synced chained).
     def step_cost(mode):
-        if mode == "plan":
+        if mode in ("plan", "plan_fullcap"):
             slots = front.native.alloc_plan_slots(1)
             slot = front.native.decode_batch_plan_into(step_pk, FRAME, slots[0])
             meta = slot["meta"]
@@ -98,7 +98,14 @@ def main():
             arena_used = slot["used_words"] - slot["fixed_words"]
             per = -(-arena_used // BATCH)
             bucket = next(bw for bw in front.PLAN_BUCKETS if bw >= per)
-            sstep = front._plan_serving_step(3, pf_chunk, pf_active, bucket)
+            # "plan" = production (serve()'s per-step size-class pick);
+            # "plan_fullcap" = the worst-case-capacity executor, the A/B
+            # baseline the size classes are measured against.
+            cls = (front._plan_size_class(slot) if mode == "plan"
+                   else front.PLAN_CLASSES[-1])
+            log({"phase": f"{mode}_size_class", "cls": list(cls)})
+            sstep = front._plan_serving_step(3, pf_chunk, pf_active, bucket,
+                                             size_class=cls)
             buf = jnp.asarray(slot["buf"][: slot["fixed_words"] + BATCH * bucket])
         else:
             # _serving_step specialises its unpack on the front's transfer
@@ -123,7 +130,7 @@ def main():
             best = min(best, time.perf_counter() - t1)
         return best / 20
 
-    for mode in ("plan", "p10"):
+    for mode in ("plan", "plan_fullcap", "p10"):
         try:
             ms = guarded(lambda: step_cost(mode), 900, f"step-{mode}") * 1e3
             log({"phase": f"device_step_{mode}", "ms": round(ms, 2),
