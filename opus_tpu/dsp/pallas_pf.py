@@ -1,21 +1,38 @@
-"""Pallas VMEM-resident CELT pitch post-filter (opt-in).
+"""Pallas VMEM-resident CELT pitch post-filter (barrel-roll formulation).
 
 The XLA serving postfilter (opus_tpu/dsp/synthesis.py _postfilter) is
-gather-latency bound: every lag-safe chunk issues one HBM
-take_along_axis over the whole [B, C, W] plane (~1.3 ms per iteration at
-B=1024 on the shared chip), so worst-case lags cost 80 iterations
-(DEVICE_PROFILE.md).  This kernel keeps each 128-stream block's delay
-line resident in VMEM across the whole chunk loop, so the per-iteration
-gathers hit on-chip memory instead of HBM.
+gather-latency bound: ~13 sequential take_along_axis calls per step cost
+~1 ms each on TPU regardless of size (DEVICE_PROFILE.md), i.e. ~12.7 ms
+of a 37.4 ms B=1024 plan step.  This kernel removes every gather:
 
-Semantics are identical to _postfilter (two crossfade segments, 5-tap
-combs, per-stream lags/gains/tapsets); the fixed chunk is 12 (always
-lag-safe) because VMEM-resident iterations are cheap enough not to need
-the lag-adaptive variants.
+* The per-row lagged window fetch z[r, j] = y[r, j - T_r] is an 11-stage
+  BARREL ROLL: for bit k, conditionally shift by 2^k where (T_r >> k)&1.
+  `pltpu.roll` with a static shift + per-row select lowers cleanly on
+  Mosaic (the probe that motivated this measured the full 80-chunk
+  workload at ~0.33 ms for 256 rows; the tpu.dynamic_gather the previous
+  kernel used crashes the backend compiler outright).
 
-Opt-in (OPUS_TPU_PALLAS_PF=1): the kernel is validated in interpreter
-mode on CPU (tests/test_pallas_pf.py) but NOT yet profiled on real TPU
-hardware — the XLA postfilter stays the serving default until it is.
+* The 5-tap comb and the alignment COMMUTE (per-row tap gains are
+  constant over the frame), so each iteration combines taps first with
+  four static rolls shared by all three filters, then aligns the
+  combined signal once per filter.
+
+* The two crossfade segments of the reference recurrence
+  (/root/reference/src/celt/comb_filter rewrite of libopus
+  comb_filter(): filter0 -> filter1 over the first 120 samples,
+  filter1 -> filter2 over the next 120, filter2 alone after) become
+  three precomputed per-sample weight envelopes wf[3, W], so the chunk
+  loop body is position-independent and runs under lax.fori_loop —
+  compile time stays flat in the chunk count (the fully unrolled variant
+  took 29 minutes to compile; this compiles in seconds).
+
+The chunked recurrence itself is unchanged: chunk <= every active lag
+minus 2 (pf_chunk_for), so chunk ci only reads samples finalized before
+its start.  Semantics are identical to _postfilter.
+
+Opt-in via OPUS_TPU_PALLAS_PF=1 until the TPU A/B (tpu_window_bench
+phase device_step_plan_pallas_pf) confirms the win; validated in
+interpreter mode on CPU (tests/test_pallas_pf.py).
 """
 
 from __future__ import annotations
@@ -30,156 +47,126 @@ from ..celt import modes
 from ..celt.comb_filter import GAINS
 
 OVERLAP = modes.OVERLAP
-_CHUNK = 12
 _BS = 128  # streams per grid block
 
+#: COMBFILTER_MINPERIOD / MAXPERIOD (RFC 6716 / celt.h) bound the barrel
+#: stage count: lags live in [15, 1024] -> 11 shift bits.
+_MIN_PERIOD, _MAX_PERIOD = 15, 1024
+_BITS = 11
 
-def _pf_kernel(y_ref, par_ref, w2_ref, gt_ref, out_ref, *, n, lm, hist, channels, interpret):
-    """One 128-stream block: chunked comb recurrence on VMEM-resident y.
 
-    y_ref: [BS, C, hist+n] the history+frame plane (block slice).
-    par_ref: [BS, 16] f32 params: periods p0..p2 (as float), gains g0..g2,
-             tapsets t0..t2 (as float), window flags.
-    out_ref: [BS, C, hist+n] updated plane.
+@functools.lru_cache(maxsize=None)
+def _envelopes(n: int, lm: int, hist: int, w: int) -> np.ndarray:
+    """Per-filter per-sample crossfade weights wf[4, W] (row 3 is pad).
 
-    Mosaic constraints shape the whole kernel (jax pallas/mosaic
-    lowering.py _gather_lowering_rule): the ONLY supported gather is 2D,
-    same-shape, batched along one dim — so the plane is flattened to
-    [BS*C, W] rows, the per-row lagged window is fetched as a full-width
-    same-shape row gather (VMEM-resident, bandwidth is free), the tiny
-    tapset table is resolved by 3-way select instead of indexing, and
-    every loop is unrolled at trace time (chunk counts are static) so
-    all slices are static.
+    Mirrors _postfilter's segment structure: the first SHORT_MDCT_SIZE
+    samples crossfade filter 0 -> 1 under WINDOW^2, the remainder
+    crossfades 1 -> 2 over OVERLAP samples then runs filter 2 alone.
+    Zero outside [hist, hist+n) — the frame mask rides the envelope.
     """
-    import jax.numpy as jnp
-
-    w2 = w2_ref[...]
-    gains_tbl = gt_ref[...]
-
-    chunk = _CHUNK
-    bs = y_ref.shape[0]
-    W = y_ref.shape[2]
-    R = bs * channels
-    # Mosaic TC kernels implement neither scatter nor value-level
-    # dynamic_update_slice: the running plane lives in out_ref and every
-    # chunk update is a static-slice REF store (the loop re-reads the
-    # full plane from VMEM each iteration — bandwidth there is free).
-    out_ref[...] = y_ref[...]
-    par = par_ref[...]
-    rep = lambda v: jnp.repeat(v, channels, axis=0)  # [BS,k] -> [R,k]
-    p = rep(par[:, 0:3]).astype(jnp.int32)
-    g = rep(par[:, 3:6])
-    ts = rep(par[:, 6:9]).astype(jnp.int32)
-
-    def taps_of(t):  # [R] tapset -> [R, 3] taps, gather-free
-        out = jnp.zeros((R, 3), jnp.float32)
-        for k in range(3):
-            out = out + jnp.where((t == k)[:, None], gains_tbl[k][None, :], 0.0)
-        return out
-
-    def seg(off, ln, pa_, ga_, ta_, pb_, gb_, tb_):
-        ga = taps_of(ta_) * ga_[:, None]
-        gb = taps_of(tb_) * gb_[:, None]
-        same = (ga_ == gb_) & (pa_ == pb_) & (ta_ == tb_)
-        zero = (ga_ == 0.0) & (gb_ == 0.0)
-        zero_b = gb_ == 0.0
-        pa = jnp.maximum(pa_, 15)
-        pb = jnp.maximum(pb_, 15)
-        wlen = chunk + 4
-
-        def window(yv, i0, t):
-            # same-shape batched row gather -> tpu.dynamic_gather
-            start = jnp.clip(i0 - 2 - t[:, None], 0, W - wlen)
-            idx = jnp.minimum(start + jnp.arange(W)[None, :], W - 1)
-            return jnp.take_along_axis(yv, idx, axis=-1)[:, :wlen]
-
-        def tap5(win, taps):
-            s = win[:, 2 : 2 + chunk]
-            s1 = win[:, 1 : 1 + chunk] + win[:, 3 : 3 + chunk]
-            s2 = win[:, 0:chunk] + win[:, 4 : 4 + chunk]
-            return (taps[:, 0][:, None] * s
-                    + taps[:, 1][:, None] * s1
-                    + taps[:, 2][:, None] * s2)
-
-        ncf = min(ln, OVERLAP) // chunk
-        for ci in range(ncf):  # static unroll: all slices static
-            i0 = off + ci * chunk
-            y = out_ref[...].reshape(R, W)
-            wh = w2[ci * chunk : (ci + 1) * chunk][None, :]
-            wh = jnp.where(same[:, None], 1.0, wh)
-            contrib = (1.0 - wh) * tap5(window(y, i0, pa), ga) + wh * tap5(
-                window(y, i0, pb), gb
-            )
-            contrib = jnp.where(zero[:, None], 0.0, contrib)
-            upd = (y[:, i0 : i0 + chunk] + contrib).reshape(bs, channels, chunk)
-            out_ref[:, :, i0 : i0 + chunk] = upd
-        ntail = (ln - ncf * chunk) // chunk
-        for ci in range(ntail):
-            i0 = off + ncf * chunk + ci * chunk
-            y = out_ref[...].reshape(R, W)
-            contrib = tap5(window(y, i0, pb), gb)
-            contrib = jnp.where(zero_b[:, None], 0.0, contrib)
-            upd = (y[:, i0 : i0 + chunk] + contrib).reshape(bs, channels, chunk)
-            out_ref[:, :, i0 : i0 + chunk] = upd
-
-    seg(hist, modes.SHORT_MDCT_SIZE,
-        p[:, 0], g[:, 0], ts[:, 0], p[:, 1], g[:, 1], ts[:, 1])
+    w2 = (modes.WINDOW.astype(np.float64) ** 2).astype(np.float32)
+    s = modes.SHORT_MDCT_SIZE
+    wf = np.zeros((4, w), np.float32)
+    wf[0, hist : hist + s] = 1.0 - w2
+    wf[1, hist : hist + s] = w2
     if lm != 0:
-        seg(hist + modes.SHORT_MDCT_SIZE, n - modes.SHORT_MDCT_SIZE,
-            p[:, 1], g[:, 1], ts[:, 1], p[:, 2], g[:, 2], ts[:, 2])
+        wf[1, hist + s : hist + 2 * s] = 1.0 - w2
+        wf[2, hist + s : hist + 2 * s] = w2
+        wf[2, hist + 2 * s : hist + n] = 1.0
+    return wf
+
+
+def _pf_kernel(y_ref, lag_ref, tg_ref, wf_ref, out_ref, *, n, hist, chunk,
+               nf, roll):
+    """One row block: chunked comb recurrence, gather-free.
+
+    y_ref   [R, W] f32 — history+frame rows (R = streams*channels).
+    lag_ref [R, 8] i32 — clipped lags, filter f at column f.
+    tg_ref  [R, 16] f32 — tap gains, filter f taps at columns 3f..3f+2.
+    wf_ref  [4, W] f32 — per-filter crossfade envelopes.
+    out_ref [R, W] f32 — aliased with y_ref's buffer (in/out alias 0).
+    """
+    w = y_ref.shape[1]
+    lags = lag_ref[...]
+    tg = tg_ref[...]
+    wf = wf_ref[...]
+    nc = -(-n // chunk)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+
+    def body(ci, y):
+        i0 = hist + ci * chunk
+        # Shared 5-tap neighbourhoods (static circular rolls; wraparound
+        # can't reach the frame region: j - T - 2 >= hist - 1026 >= 0).
+        s1 = roll(y, 1, 1) + roll(y, w - 1, 1)
+        s2 = roll(y, 2, 1) + roll(y, w - 2, 1)
+        contrib = jnp.zeros_like(y)
+        for f in range(nf):
+            cf = (tg[:, 3 * f][:, None] * y
+                  + tg[:, 3 * f + 1][:, None] * s1
+                  + tg[:, 3 * f + 2][:, None] * s2)
+            t = lags[:, f][:, None]
+            # Barrel roll: z[r, j] = cf[r, j - T_r].
+            z = cf
+            for k in range(_BITS):
+                zr = roll(z, 1 << k, 1)
+                z = jnp.where((t >> k) & 1 == 1, zr, z)
+            contrib = contrib + wf[f][None, :] * z
+        upd = jnp.where((pos >= i0) & (pos < i0 + chunk), contrib, 0.0)
+        return y + upd
+
+    out_ref[...] = jax.lax.fori_loop(0, nc, body, y_ref[...])
 
 
 def pallas_postfilter(y, hist, n, lm, pf_periods, pf_gains, pf_tapsets,
-                      interpret: bool = False):
+                      chunk: int = 12, interpret: bool = False):
     """Drop-in for synthesis._postfilter via a Pallas kernel.
 
     y [B, C, hist+n] f32; per-stream periods/gains/tapsets as in the XLA
-    path.  B must be a multiple of 128 (serving batches are)."""
+    path; `chunk` must satisfy chunk + 2 <= every active lag
+    (pf_chunk_for picks it).  B*C must be a multiple of the row block."""
     from jax.experimental import pallas as pl
-    try:
+
+    roll = jnp.roll
+    if not interpret:
         from jax.experimental.pallas import tpu as pltpu
-        vmem = pltpu.VMEM
-    except Exception:  # pragma: no cover - cpu-only environments
-        vmem = None
+
+        roll = pltpu.roll
 
     B, C, W = y.shape
-    bs = min(_BS, B)
-    assert B % bs == 0
-    par = jnp.concatenate(
-        [pf_periods.astype(jnp.float32), pf_gains.astype(jnp.float32),
-         pf_tapsets.astype(jnp.float32), jnp.zeros((B, 7), jnp.float32)],
-        axis=1,
-    )
+    R = B * C
+    bs = min(_BS * 2, R)
+    assert R % bs == 0
+    rep = lambda a: jnp.repeat(a, C, axis=0)
+    lags = jnp.clip(rep(pf_periods).astype(jnp.int32), _MIN_PERIOD, _MAX_PERIOD)
+    lags = jnp.pad(lags, ((0, 0), (0, 8 - lags.shape[1])))
+    # Tap gains: GAINS[tapset] * gain, resolved outside the kernel.
+    gt = jnp.asarray(np.array(GAINS, np.float32))  # [3 tapsets, 3 taps]
+    tg = gt[rep(pf_tapsets)] * rep(pf_gains)[..., None]  # [R, 3, 3]
+    tg = jnp.pad(tg.reshape(R, 9), ((0, 0), (0, 7)))
+    wf = jnp.asarray(_envelopes(n, lm, hist, W))
+
     kernel = functools.partial(
-        _pf_kernel, n=n, lm=lm, hist=hist, channels=C, interpret=interpret
+        _pf_kernel, n=n, hist=hist, chunk=chunk,
+        nf=2 if lm == 0 else 3, roll=roll,
     )
-    kwargs = {}
-    w2 = jnp.asarray((modes.WINDOW.astype(np.float64) ** 2).astype(np.float32))
-    gt = jnp.asarray(np.array(GAINS, np.float32))
-    if vmem is not None and not interpret:
-        kwargs = dict(
-            in_specs=[
-                pl.BlockSpec((bs, C, W), lambda i: (i, 0, 0), memory_space=vmem),
-                pl.BlockSpec((bs, 16), lambda i: (i, 0), memory_space=vmem),
-                pl.BlockSpec((OVERLAP,), lambda i: (0,), memory_space=vmem),
-                pl.BlockSpec((3, 3), lambda i: (0, 0), memory_space=vmem),
-            ],
-            out_specs=pl.BlockSpec((bs, C, W), lambda i: (i, 0, 0), memory_space=vmem),
-        )
+    if interpret:
+        mem = {}
     else:
-        kwargs = dict(
-            in_specs=[
-                pl.BlockSpec((bs, C, W), lambda i: (i, 0, 0)),
-                pl.BlockSpec((bs, 16), lambda i: (i, 0)),
-                pl.BlockSpec((OVERLAP,), lambda i: (0,)),
-                pl.BlockSpec((3, 3), lambda i: (0, 0)),
-            ],
-            out_specs=pl.BlockSpec((bs, C, W), lambda i: (i, 0, 0)),
-        )
-    return pl.pallas_call(
+        from jax.experimental.pallas import tpu as pltpu
+
+        mem = {"memory_space": pltpu.VMEM}
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct(y.shape, y.dtype),
-        grid=(B // bs,),
+        out_shape=jax.ShapeDtypeStruct((R, W), y.dtype),
+        grid=(R // bs,),
+        in_specs=[
+            pl.BlockSpec((bs, W), lambda i: (i, 0), **mem),
+            pl.BlockSpec((bs, 8), lambda i: (i, 0), **mem),
+            pl.BlockSpec((bs, 16), lambda i: (i, 0), **mem),
+            pl.BlockSpec((4, W), lambda i: (0, 0), **mem),
+        ],
+        out_specs=pl.BlockSpec((bs, W), lambda i: (i, 0), **mem),
+        input_output_aliases={0: 0},
         interpret=interpret,
-        **kwargs,
-    )(y, par, w2, gt)
+    )(y.reshape(R, W), lags, tg, wf)
+    return out.reshape(B, C, W)

@@ -620,7 +620,8 @@ def _make_serving_core(lm: int, batch: int, channels: int, downsample: int,
             if use_pallas_pf:
                 from .pallas_pf import pallas_postfilter
 
-                y = pallas_postfilter(y, hist, n, lm, periods, gains, tapsets)
+                y = pallas_postfilter(y, hist, n, lm, periods, gains, tapsets,
+                                      pf_chunk)
             else:
                 y = _postfilter(y, hist, n, lm, periods, gains, tapsets, pf_chunk)
         out_f = y[..., hist:]

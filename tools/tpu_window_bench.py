@@ -138,10 +138,11 @@ def main():
         except Exception as e:
             log({"phase": f"device_step_{mode}", "error": str(e)[:200]})
 
-    # Phase 2: Pallas postfilter A/B (same plan step, kernel swapped).
+    # Phase 2: Pallas barrel-roll postfilter A/B (same plan step, kernel
+    # swapped) + on-TPU correctness: the pallas step's digest must match
+    # the XLA step's from identical inputs.
     try:
         def pallas_cost():
-            os.environ["OPUS_TPU_PALLAS_PF"] = "1"
             f2 = BatchedCeltDecoder(BATCH, 2, use_native=True, transfer="plan")
             slots = f2.native.alloc_plan_slots(1)
             slot = f2.native.decode_batch_plan_into(step_pk, FRAME, slots[0])
@@ -150,12 +151,25 @@ def main():
             arena_used = slot["used_words"] - slot["fixed_words"]
             per = -(-arena_used // BATCH)
             bucket = next(bw for bw in f2.PLAN_BUCKETS if bw >= per)
-            sstep = f2._plan_serving_step(3, pf_chunk, pf_active, bucket)
+            cls = f2._plan_size_class(slot)
             buf = jnp.asarray(slot["buf"][: slot["fixed_words"] + BATCH * bucket])
+            xstep = f2._plan_serving_step(3, pf_chunk, pf_active, bucket,
+                                          size_class=cls)
+            st = init_state(BATCH, 2)
+            ring = jnp.zeros((BATCH, FRAME, 2), jnp.float32)
+            _, _, dg_x = xstep(st, ring, buf)
+            dg_x = np.asarray(dg_x)
+            os.environ["OPUS_TPU_PALLAS_PF"] = "1"
+            f2._steps.clear()
+            sstep = f2._plan_serving_step(3, pf_chunk, pf_active, bucket,
+                                          size_class=cls)
             st = init_state(BATCH, 2)
             ring = jnp.zeros((BATCH, FRAME, 2), jnp.float32)
             st, ring, dg = sstep(st, ring, buf)
-            _ = np.asarray(dg)
+            dg = np.asarray(dg)
+            rel = float(np.abs(dg - dg_x).max() / (np.abs(dg_x).max() + 1e-9))
+            log({"phase": "pallas_pf_digest_vs_xla", "rel_err": rel,
+                 "pf_chunk": pf_chunk})
             best = 1e9
             for _ in range(3):
                 t1 = time.perf_counter()
@@ -167,8 +181,10 @@ def main():
             return best / 20
 
         ms = guarded(pallas_cost, 900, "pallas") * 1e3
-        log({"phase": "device_step_plan_pallas_pf", "ms": round(ms, 2)})
+        log({"phase": "device_step_plan_pallas_pf", "ms": round(ms, 2),
+             "audio_s_per_s": round(BATCH * 0.02 / (ms / 1e3), 1)})
     except Exception as e:
+        os.environ["OPUS_TPU_PALLAS_PF"] = "0"
         log({"phase": "device_step_plan_pallas_pf", "error": str(e)[:300]})
 
     # Phase 3: e2e serve, plan mode.
