@@ -577,10 +577,21 @@ def _make_serving_core(lm: int, batch: int, channels: int, downsample: int,
 
     import os
 
-    # Opt-in Pallas VMEM-resident postfilter (dsp/pallas_pf.py): validated
-    # in interpreter mode; not yet profiled on real TPU, so the XLA
-    # lag-adaptive postfilter stays the default.
-    use_pallas_pf = os.environ.get("OPUS_TPU_PALLAS_PF", "0") == "1"
+    # Pallas VMEM-resident postfilter (dsp/pallas_pf.py): the TPU default.
+    # True-synced TPU A/B at B=1024 stereo (2026-08-19) measured it
+    # faster at EVERY lag class and bit-exact vs the XLA postfilter:
+    #   chunk 12 (worst-case lags): 22.7 vs 40.5 ms
+    #   chunk 60: 5.7 vs 24.3 | chunk 120: 3.5 vs 12.0 | chunk 240: 2.4 vs 11.3
+    # CPU/other backends keep the XLA lag-adaptive postfilter (the Pallas
+    # kernel's pltpu.roll path is TPU-only; interpret mode is test-only).
+    # OPUS_TPU_PALLAS_PF=1/0 force-overrides either way.
+    _pf_env = os.environ.get("OPUS_TPU_PALLAS_PF", "")
+    if _pf_env in ("0", "1"):
+        use_pallas_pf = _pf_env == "1"
+    else:
+        import jax
+
+        use_pallas_pf = jax.default_backend() == "tpu"
 
     def core(state: SynthState, xs, ble, meta, gains, silk, plc=None):
         silence = meta[:, 0] != 0
@@ -617,7 +628,10 @@ def _make_serving_core(lm: int, batch: int, channels: int, downsample: int,
         hist = DECODE_BUFFER_SIZE - n
         y = jnp.concatenate([state.mem[..., n:DECODE_BUFFER_SIZE], out], axis=-1)
         if pf_active:
-            if use_pallas_pf:
+            # Row count must tile into Mosaic-friendly blocks; odd batch
+            # shapes keep the XLA path rather than risk a whole-array
+            # VMEM block.
+            if use_pallas_pf and (y.shape[0] * y.shape[1]) % 8 == 0:
                 from .pallas_pf import pallas_postfilter
 
                 y = pallas_postfilter(y, hist, n, lm, periods, gains, tapsets,
