@@ -217,6 +217,12 @@ def _watchdog() -> None:
 
 def main() -> None:
     _watchdog()
+    # Persistent compilation cache: the bench compiles ~10 distinct step
+    # variants (plan/p10/lossy/mixed/multistream); cold they eat most of
+    # the wall budget and the optional rows record 0.0.  A warm cache
+    # (any earlier run this machine-image) spends the budget measuring.
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/opus_tpu_jax_cache")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
     from opus_tpu import oracle, parse_packet
     from opus_tpu.batch.pipeline import BatchedCeltDecoder
 
@@ -623,6 +629,16 @@ def main() -> None:
         "e2e_5pct_loss_audio_sec_per_sec": round(lossy_rate, 1),
         "ambisonics8_multistream_sessions_audio_sec_per_sec": round(ms_rate, 1),
     }
+    # A budget-skipped optional row must not read as "measured 0.0" —
+    # omit it (the capability is CI-gated; only the measurement was
+    # skipped this window).
+    for k in ("mixed_celt_silk_hybrid_audio_sec_per_sec",
+              "device_plane_4096_streams_audio_sec_per_sec",
+              "device_plane_8192_streams_audio_sec_per_sec",
+              "e2e_5pct_loss_audio_sec_per_sec",
+              "ambisonics8_multistream_sessions_audio_sec_per_sec"):
+        if not result[k]:
+            del result[k]
     _PARTIAL["done"] = True
     _save_partial()
     if not smoke:
