@@ -637,19 +637,34 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, f_max: int = 64,
         pos = jnp.arange(n2)[None, :]
         amax = arena.shape[0] - 1
 
-        # ---- pvq leaf table [B, P] (2-word records) ----
-        # One contiguous row fetch per stream covers every pvq record
-        # (TPU gathers charge ~8.5 ms/M elements + ~1 ms/call; merging
-        # the w0/w1 takes halves the calls for the same elements).
+        # ---- merged arena window fetch (all four leaf tables) ----
+        # The four per-stream window reads (pvq records, fill records,
+        # anti-collapse records, iy words) each paid a flat ~1 ms of TPU
+        # gather-call latency on top of their element cost.  Every start
+        # offset is header-affine, so ONE take fetches all four windows
+        # at once; the tables are then static column slices.
         # Rows read past a stream's records into neighbours' data; every
         # downstream use is masked by `valid` / flatdst>=n2, and the f16
         # gain is zeroed explicitly (garbage halfwords can decode to NaN).
+        pvq_words = 2 * n_pvq
+        fill_off = hdr_off + pvq_words
+        ac_off = fill_off + 3 * n_fill
+        iy_w0 = hdr_off + iy_rel
+        idx = jnp.concatenate(
+            [st[:, None] + jnp.arange(w)[None, :]
+             for st, w in ((hdr_off, 2 * p_max), (fill_off, 3 * f_max),
+                           (ac_off, 2 * a_max), (iy_w0, iyw))],
+            axis=1,
+        )
+        merged = jnp.take(arena, jnp.clip(idx, 0, amax))
+        s0 = 2 * p_max
+        s1 = s0 + 3 * f_max
+        s2 = s1 + 2 * a_max
+
+        # ---- pvq leaf table [B, P] (2-word records) ----
         p = jnp.arange(p_max)[None, :]
         valid = p < n_pvq[:, None]
-        rec = jnp.take(
-            arena,
-            jnp.clip(hdr_off[:, None] + jnp.arange(2 * p_max)[None, :], 0, amax),
-        ).reshape(B, p_max, 2)
+        rec = merged[:, :s0].reshape(B, p_max, 2)
         w0 = rec[:, :, 0]
         w1 = rec[:, :, 1]
         dst = (w0 & 0x7FF).astype(jnp.int32)
@@ -662,17 +677,11 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, f_max: int = 64,
 
         iyb = jnp.where(valid, ln * wid, 0)
         iybase = jnp.cumsum(iyb, axis=1) - iyb
-        iy_w0 = hdr_off + iy_rel
 
         # ---- fill leaf table [B, F] (3-word records) ----
-        pvq_words = 2 * n_pvq
         f = jnp.arange(f_max)[None, :]
         fvalid = f < n_fill[:, None]
-        frec = jnp.take(
-            arena,
-            jnp.clip((hdr_off + pvq_words)[:, None]
-                     + jnp.arange(3 * f_max)[None, :], 0, amax),
-        ).reshape(B, f_max, 3)
+        frec = merged[:, s0:s1].reshape(B, f_max, 3)
         fw0 = frec[:, :, 0]
         fw1 = frec[:, :, 1]
         fseed = jnp.where(fvalid, frec[:, :, 2], jnp.uint32(0))
@@ -791,8 +800,7 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, f_max: int = 64,
         # stream's span fits it (slot["iy_spans"]).
         IYW = iyw
         QCH = IYW // 16
-        kidx = iy_w0[:, None] + jnp.arange(IYW)[None, :]
-        rows = jnp.take(arena, jnp.clip(kidx, 0, amax))  # [B, IYW] u32
+        rows = merged[:, s2:]  # [B, IYW] u32 (merged window fetch above)
         rows_pad = jnp.pad(rows, ((0, 0), (0, 32)))
         rows_w = jnp.stack(
             [rows_pad[:, 16 * q : 16 * q + 17] for q in range(QCH)], axis=1
@@ -1168,11 +1176,7 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, f_max: int = 64,
         # ---- anti-collapse ----
         ap = jnp.arange(a_max)[None, :]
         avalid = ap < n_acents[:, None]
-        arec = jnp.take(
-            arena,
-            jnp.clip((hdr_off + pvq_words + 3 * n_fill)[:, None]
-                     + jnp.arange(2 * a_max)[None, :], 0, amax),
-        ).reshape(B, a_max, 2)
+        arec = merged[:, s1:s2].reshape(B, a_max, 2)
         a0 = jnp.where(avalid, arec[:, :, 0], jnp.uint32(0))
         a1 = jnp.where(avalid, arec[:, :, 1], jnp.uint32(0))
         ab = (a0 & 0x1F).astype(jnp.int32)
