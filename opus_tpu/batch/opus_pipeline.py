@@ -435,6 +435,8 @@ class BatchedOpusDecoder:
 
     #: Executor size classes — see BatchedCeltDecoder.PLAN_CLASSES.
     PLAN_CLASSES = ((112, 8, 128), (160, 16, 160), (192, 64, 192))
+    #: Compact-PLC capacity — see BatchedCeltDecoder.PLC_COMPACT_K.
+    PLC_COMPACT_K = 128
 
     def _plan_size_class(self, slot) -> tuple:
         c = slot["header"][:, 1]
@@ -625,8 +627,11 @@ class BatchedOpusDecoder:
                 corrs = self._plane_a_packed(packets, slot)
                 meta = slot["meta"]
                 pf_chunk, pf_active = pf_chunk_for(meta[:, 6:9], slot["gains"])
-                work.put((slot, pf_chunk, pf_active,
-                          bool((meta[:, 14] & 1).any()), corrs))
+                n_lost = int((meta[:, 14] & 1).sum())
+                has_plc: bool | int = n_lost > 0
+                if 0 < n_lost <= self.PLC_COMPACT_K < self.batch:
+                    has_plc = self.PLC_COMPACT_K
+                work.put((slot, pf_chunk, pf_active, has_plc, corrs))
         finally:
             work.put(None)
             th.join()
@@ -761,7 +766,13 @@ class BatchedOpusDecoder:
                 # The host only picks the step VARIANT; the regime per
                 # stream rides meta[14] (pitch-LPC = empty plan/spectra +
                 # flags; the packed fallback conceals on device too).
-                has_plc = bool((meta[:, 14] & 1).any())
+                # Compact capacity mirrors BatchedCeltDecoder.PLC_COMPACT_K:
+                # conceal a fixed-size sub-batch when the loss count fits.
+                n_lost = int((meta[:, 14] & 1).sum())
+                has_plc: bool | int = n_lost > 0
+                kcap = self.PLC_COMPACT_K
+                if 0 < n_lost <= kcap < self.batch:
+                    has_plc = kcap
                 work.put((slot, pf_chunk, pf_active, has_plc, corrs))
         finally:
             work.put(None)

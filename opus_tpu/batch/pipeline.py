@@ -202,6 +202,12 @@ class BatchedCeltDecoder:
     #: class the step's actual maxima fit; anything larger runs the full
     #: capacity class.  iyw must stay a multiple of 16.
     PLAN_CLASSES = ((112, 8, 128), (160, 16, 160), (192, 64, 192))
+    #: Compact-PLC capacity: lossy steps whose pitch-regime loss count is
+    #: <= this run the conceal on a compacted sub-batch (plc_exec
+    #: make_plc_conceal_compact).  At 5% loss and B=1024 the count is
+    #: ~51 +- 7, so 128 covers ~11 sigma; overflow falls back to the
+    #: full-batch variant.
+    PLC_COMPACT_K = 128
 
     def _plan_size_class(self, slot) -> tuple:
         c = slot["header"][:, 1]
@@ -215,7 +221,7 @@ class BatchedCeltDecoder:
         return self.PLAN_CLASSES[-1]
 
     def _plan_serving_step(self, lm: int, pf_chunk: int, pf_active: bool,
-                           bucket_words: int, with_plc: bool = False,
+                           bucket_words: int, with_plc: bool | int = False,
                            size_class: tuple | None = None):
         from ..dsp.synthesis import make_plan_serving_step
 
@@ -311,7 +317,7 @@ class BatchedCeltDecoder:
                         state, ring, digest = step(state, ring, buf)
                     elif has_plc:
                         step = self._plan_serving_step(lm, pf_chunk, pf_active, bucket,
-                                                       with_plc=True,
+                                                       with_plc=has_plc,
                                                        size_class=cls)
                         state, ring, digest, plc_lpc, plc_pitch = step(
                             state, ring, buf, plc_lpc, plc_pitch
@@ -363,8 +369,15 @@ class BatchedCeltDecoder:
                     (bw for bw in self.PLAN_BUCKETS if bw >= per_stream),
                     self.PLAN_BUCKETS[-1],
                 )
-                # Steps with pitch-regime losses run the PLC step variant.
-                has_plc = bool((meta[:, 14] & 1).any())
+                # Steps with pitch-regime losses run a PLC step variant:
+                # the COMPACT one (conceal only a fixed-capacity sub-batch
+                # of the flagged streams; full-batch conceal measured
+                # ~120 ms at B=1024 on TPU vs ~23 ms clean) whenever the
+                # loss count fits, the full-batch one otherwise.
+                n_lost = int((meta[:, 14] & 1).sum())
+                has_plc: bool | int = n_lost > 0
+                if 0 < n_lost <= self.PLC_COMPACT_K < self.batch:
+                    has_plc = self.PLC_COMPACT_K
                 work.put((slot, lm, pf_chunk, pf_active, bucket, has_plc,
                           self._plan_size_class(slot)))
         finally:

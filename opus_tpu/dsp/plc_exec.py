@@ -338,3 +338,63 @@ def make_plc_conceal(lm: int, batch: int, channels: int = 2):
         return buf, lpc, pitch, out_f
 
     return conceal
+
+
+def make_plc_conceal_compact(lm: int, batch: int, k: int, channels: int = 2):
+    """Fixed-capacity concealment: conceal only the flagged streams.
+
+    The full-batch conceal costs ~120 ms at B=1024 on TPU (pitch-search
+    xcorrs + the order-24 IIR scan over every stream) while a 5%-loss
+    step conceals ~51.  This wrapper compacts the <=k flagged streams
+    into a [k, ...] sub-batch (k a compile-time capacity; the serve loop
+    picks this variant only when the step's loss count fits), runs the
+    same conceal at batch=k, and expands the results back:
+
+    * the lost indices come from top_k over the mask ON DEVICE (stable:
+      ties break toward lower index), so no extra upload is needed;
+    * compact AND expand of the [B, C, W] planes are one-hot f32
+      matmuls on the MXU — exact (each output sums exactly one value
+      multiplied by 1.0) and free of the scatter lowering that
+      serializes on TPU; per-stream scalars ride tiny takes.
+
+    conceal(mem, lpc_state, pitch_state, plc_mask, first, pf_period,
+    pf_gain, pf_tapset) -> (mem_c, lpc_c, pitch_c, out_f) with the same
+    shapes/merge contract as make_plc_conceal; rows outside plc_mask
+    are ZERO (the caller's where(plc_mask, ...) merge never reads them).
+    """
+    inner = make_plc_conceal(lm, k, channels)
+    B = batch
+    hp = jax.lax.Precision.HIGHEST
+
+    def conceal(mem, lpc_state, pitch_state, plc_mask, first, pf_period,
+                pf_gain, pf_tapset):
+        vals, idx = jax.lax.top_k(plc_mask.astype(jnp.float32), k)
+        validk = vals > 0.5  # [k] — padding rows (count < k) are inert
+        oh = (idx[:, None] == jnp.arange(B)[None, :]) & validk[:, None]
+        ohf = oh.astype(jnp.float32)  # [k, B]
+        memk = jnp.einsum("kb,bcw->kcw", ohf, mem, precision=hp)
+        # Padding rows would feed an all-zero memory into Levinson
+        # (0/0 -> NaN, which 0-weight matmul rows still poison: 0*NaN is
+        # NaN) — give them an impulse instead and zero their outputs.
+        imp = (jnp.arange(memk.shape[-1]) == DECODE_BUFFER_SIZE - 1)
+        memk = jnp.where(validk[:, None, None], memk,
+                         imp[None, None, :].astype(memk.dtype))
+        lpck = jnp.einsum("kb,bco->kco", ohf, lpc_state, precision=hp)
+        ci = jnp.clip(idx, 0, B - 1)
+        pitchk = jnp.where(validk, pitch_state[ci], LAG_MIN)
+        firstk = first[ci] & validk
+        periodk = jnp.where(validk, pf_period[ci], 15)
+        gaink = jnp.where(validk, pf_gain[ci], 0.0)
+        tapsetk = jnp.where(validk, pf_tapset[ci], 0)
+        mem_ck, lpck2, pitchk2, out_fk = inner(
+            memk, lpck, pitchk, firstk, periodk, gaink, tapsetk)
+        zk = lambda a: jnp.where(
+            validk.reshape((k,) + (1,) * (a.ndim - 1)), a,
+            jnp.zeros((), a.dtype))
+        mem_c = jnp.einsum("kb,kcw->bcw", ohf, zk(mem_ck), precision=hp)
+        out_f = jnp.einsum("kb,kcn->bcn", ohf, zk(out_fk), precision=hp)
+        lpc_c = jnp.einsum("kb,kco->bco", ohf, zk(lpck2), precision=hp)
+        pitch_c = jnp.sum(jnp.where(oh, pitchk2[:, None], 0), axis=0)
+        return mem_c, lpc_c, pitch_c, out_f
+
+    return conceal

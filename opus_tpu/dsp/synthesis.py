@@ -674,7 +674,8 @@ def _make_serving_core(lm: int, batch: int, channels: int, downsample: int,
 def make_serving_step(lm: int, batch: int, channels: int = 2, downsample: int = 1,
                       pf_chunk: int = _CHUNK, pf_active: bool = True,
                       transfer: str = "q14", silk_mix: bool = False,
-                      silk_internal: bool = False, with_plc: bool = False):
+                      silk_internal: bool = False,
+                      with_plc: bool | int = False):
     """Single-dispatch serving step over one packed plane-A buffer.
 
     step(state, ring, buf) -> (state, ring, digest[2]); jitted with
@@ -753,9 +754,14 @@ def make_serving_step(lm: int, batch: int, channels: int = 2, downsample: int = 
     # for the mixed pipeline's spectral fallback: lost streams flagged in
     # meta[14] conceal from the device decode memory.
     from .plan_exec import _f16_to_f32_j as _f16j
-    from .plc_exec import make_plc_conceal
+    from .plc_exec import make_plc_conceal, make_plc_conceal_compact
 
-    conceal = make_plc_conceal(lm, batch, channels)
+    # with_plc=True: full-batch conceal; int k: compact capacity (see
+    # make_plan_serving_step — same contract, same serve-loop pick).
+    if with_plc is True:
+        conceal = make_plc_conceal(lm, batch, channels)
+    else:
+        conceal = make_plc_conceal_compact(lm, batch, int(with_plc), channels)
 
     def step_plc(state: SynthState, ring, buf, plc_lpc, plc_pitch):
         xs, ble, meta, gains, silk = unpack(buf)
@@ -766,9 +772,16 @@ def make_serving_step(lm: int, batch: int, channels: int = 2, downsample: int = 
         u_period = (m15 & 0x7FF).astype(jnp.int32)
         u_tapset = ((m15 >> 11) & 3).astype(jnp.int32)
         u_gain = _f16j((m15 >> 16) & 0xFFFF)
-        mem_c, new_lpc, new_pitch, out_f_c = conceal(
-            state.mem, plc_lpc, plc_pitch, first, u_period, u_gain, u_tapset
-        )
+        if with_plc is True:
+            mem_c, new_lpc, new_pitch, out_f_c = conceal(
+                state.mem, plc_lpc, plc_pitch, first, u_period, u_gain,
+                u_tapset
+            )
+        else:
+            mem_c, new_lpc, new_pitch, out_f_c = conceal(
+                state.mem, plc_lpc, plc_pitch, plc_mask, first, u_period,
+                u_gain, u_tapset
+            )
         new_state, pcm_out, digest = core(
             state, xs, ble, meta, gains, silk,
             plc=(plc_mask, out_f_c, mem_c),
@@ -785,7 +798,7 @@ def make_serving_step(lm: int, batch: int, channels: int = 2, downsample: int = 
 def make_plan_serving_step(lm: int, batch: int, channels: int = 2,
                            downsample: int = 1, pf_chunk: int = _CHUNK,
                            pf_active: bool = True, arena_words: int = 0,
-                           with_plc: bool = False, silk_mix: bool = False,
+                           with_plc: bool | int = False, silk_mix: bool = False,
                            silk_rows: int = 0, silk_internal: bool = False,
                            size_class: tuple = (192, 64, 192)):
     """Serving step over a plan-executor slot (opus_tpu/dsp/plan_exec.py).
@@ -940,13 +953,21 @@ def make_plan_serving_step(lm: int, batch: int, channels: int = 2,
 
         return _maybe_checkify(step, donate=(0, 1))
 
-    from .plc_exec import make_plc_conceal
+    from .plc_exec import make_plc_conceal, make_plc_conceal_compact
 
     # with_plc compiles the device pitch-regime conceal into the step; in
     # the mixed (silk_mix) loop it serves steps whose CELT-only members
     # hit a first loss (SILK/hybrid losses are still concealed in plane A
     # — a pitch-regime CELT stream ships an empty plan + meta flags).
-    conceal = make_plc_conceal(lm, batch, channels)
+    # with_plc=True conceals the FULL batch (~120 ms at B=1024 on TPU);
+    # with_plc=<int k> is the COMPACT variant — the conceal runs on a
+    # k-capacity sub-batch of the flagged streams (the serve loop picks
+    # it when the step's loss count fits, i.e. almost always: at 5% loss
+    # and B=1024 the count is ~51 +- 7).
+    if with_plc is True:
+        conceal = make_plc_conceal(lm, batch, channels)
+    else:
+        conceal = make_plc_conceal_compact(lm, batch, int(with_plc), channels)
 
     def step_plc(state: SynthState, ring, buf, plc_lpc, plc_pitch):
         header, ble, meta, gains, bands, silk, arena = unpack(buf)
@@ -958,9 +979,16 @@ def make_plan_serving_step(lm: int, batch: int, channels: int = 2,
         u_period = (m15 & 0x7FF).astype(jnp.int32)
         u_tapset = ((m15 >> 11) & 3).astype(jnp.int32)
         u_gain = _f16_to_f32_j((m15 >> 16) & 0xFFFF)
-        mem_c, new_lpc, new_pitch, out_f_c = conceal(
-            state.mem, plc_lpc, plc_pitch, first, u_period, u_gain, u_tapset
-        )
+        if with_plc is True:
+            mem_c, new_lpc, new_pitch, out_f_c = conceal(
+                state.mem, plc_lpc, plc_pitch, first, u_period, u_gain,
+                u_tapset
+            )
+        else:
+            mem_c, new_lpc, new_pitch, out_f_c = conceal(
+                state.mem, plc_lpc, plc_pitch, plc_mask, first, u_period,
+                u_gain, u_tapset
+            )
         new_state, pcm_out, digest = core(
             state, xs, ble, meta, gains, silk,
             plc=(plc_mask, out_f_c, mem_c),

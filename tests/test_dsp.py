@@ -134,3 +134,43 @@ def test_checkify_wrapper_mechanics(monkeypatch):
     monkeypatch.setenv("OPUS_TPU_CHECKIFY", "0")
     g = S._maybe_checkify(lambda x: x + 1.0)
     assert float(g(jnp.asarray([1.0], jnp.float32))[0]) == 2.0
+
+
+def test_plc_compact_matches_full():
+    """The fixed-capacity compact conceal (plc_exec
+    make_plc_conceal_compact — the serving default whenever a step's
+    loss count fits the capacity) is BIT-EXACT vs the full-batch conceal
+    on the flagged rows, including non-first (continued-loss) streams
+    and a capacity larger than the loss count (padding rows inert)."""
+    import jax
+
+    from opus_tpu.celt.decoder import DECODE_BUFFER_SIZE
+    from opus_tpu.dsp.plc_exec import (
+        LPC_ORDER, make_plc_conceal, make_plc_conceal_compact,
+    )
+
+    B, C, k, lm = 16, 2, 8, 3
+    W = DECODE_BUFFER_SIZE + S.OVERLAP
+    rng = np.random.default_rng(0)
+    mem = jnp.asarray((rng.standard_normal((B, C, W)) * 0.1).astype(np.float32))
+    lpc = jnp.asarray((rng.standard_normal((B, C, LPC_ORDER)) * 0.01).astype(np.float32))
+    pitch = jnp.asarray(rng.integers(100, 720, B).astype(np.int32))
+    mask = jnp.asarray(np.isin(np.arange(B), [3, 7, 8, 12, 15]))
+    first = mask & jnp.asarray(np.isin(np.arange(B), [3, 8, 15]))  # 7, 12 continue
+    period = jnp.asarray(rng.integers(15, 1024, B).astype(np.int32))
+    gain = jnp.asarray((rng.integers(0, 4, B) * 0.09375).astype(np.float32))
+    tapset = jnp.asarray(rng.integers(0, 3, B).astype(np.int32))
+
+    full = jax.jit(make_plc_conceal(lm, B, C))
+    comp = jax.jit(make_plc_conceal_compact(lm, B, k, C))
+    mf, lf, pf, of = full(mem, lpc, pitch, first, period, gain, tapset)
+    mc, lc, pc, oc = comp(mem, lpc, pitch, mask, first, period, gain, tapset)
+    m = np.asarray(mask)
+    for a, b in ((mf, mc), (lf, lc), (of, oc)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert not np.isnan(b).any()
+        np.testing.assert_array_equal(a[m], b[m])
+    np.testing.assert_array_equal(np.asarray(pf)[m], np.asarray(pc)[m])
+    # un-flagged rows are zero in the compact outputs (merge never reads
+    # them, but NaN there would poison the expansion matmul)
+    assert float(np.abs(np.asarray(oc)[~m]).max()) == 0.0
