@@ -947,37 +947,56 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, f_max: int = 64,
             return out
 
         # pass A (stride2): chain-permute gather, scan, inverse gather.
-        stA = jnp.where(in_rot & (st2_p >= 2), st2_p, 1)
-        q_ = L_p // stA
-        r0 = L_p - q_ * stA  # L % stA
-        # forward map: chain-order slot t -> natural offset
-        t_ = rel2
-        big = t_ < r0 * (q_ + 1)
-        row = jnp.where(big, t_ // jnp.maximum(q_ + 1, 1), r0 + (t_ - r0 * (q_ + 1)) // jnp.maximum(q_, 1))
-        col = jnp.where(big, t_ % jnp.maximum(q_ + 1, 1), (t_ - r0 * (q_ + 1)) % jnp.maximum(q_, 1))
-        nat = col * stA + row
-        xa = banded_permute(x, segbase + nat, in_rot)
-        mA = jnp.where(in_rot, jnp.where(big, q_ + 1, q_), 1)
-        kA = jnp.where(in_rot, col, 0)
-        # pass A coefficients are swapped: exp_rotation1(seg, L, st2, s, c)
-        ccA = jnp.where(in_rot & (st2_p >= 2), s_p, 1.0)
-        ssA = jnp.where(in_rot & (st2_p >= 2), c_p, 0.0)
-        mA = jnp.where(st2_p >= 2, mA, 1)
-        kA = jnp.where(st2_p >= 2, kA, 0)
-        xa = _rot_pass(xa, ccA, ssA, kA, mA)
-        # inverse map: natural offset p -> chain slot
-        p_ = rel2
-        rowI = p_ % jnp.maximum(stA, 1)
-        colI = p_ // jnp.maximum(stA, 1)
-        tI = rowI * q_ + jnp.minimum(rowI, r0) + colI
-        x = banded_permute(xa, segbase + tI, in_rot)
+        # When no position in the step has a stride-2 rotation (st2 < 2
+        # everywhere — long blocks / high-rate bands, i.e. typical music
+        # at LM=3), the whole pass is exactly identity: stA==1 makes both
+        # banded permutes delta==0 and forces mA==1 chains through
+        # _rot_pass (first==last -> y==x).  A scalar lax.cond skips the
+        # two permute transports and the two _seg_scan ladders in that
+        # case; the executor is never vmapped (synthesis.py calls it on
+        # the full batch), so this lowers to a real XLA conditional.
+        has_st2 = jnp.any(in_rot & (st2_p >= 2))
 
-        # pass B (stride 1): contiguous chains of length L.
-        ccB = jnp.where(in_rot, c_p, 1.0)
-        ssB = jnp.where(in_rot, s_p, 0.0)
-        mB = jnp.where(in_rot, L_p, 1)
-        kB = jnp.where(in_rot, rel2, 0)
-        x = _rot_pass(x, ccB, ssB, kB, mB)
+        def _pass_a(xin):
+            stA = jnp.where(in_rot & (st2_p >= 2), st2_p, 1)
+            q_ = L_p // stA
+            r0 = L_p - q_ * stA  # L % stA
+            # forward map: chain-order slot t -> natural offset
+            t_ = rel2
+            big = t_ < r0 * (q_ + 1)
+            row = jnp.where(big, t_ // jnp.maximum(q_ + 1, 1), r0 + (t_ - r0 * (q_ + 1)) // jnp.maximum(q_, 1))
+            col = jnp.where(big, t_ % jnp.maximum(q_ + 1, 1), (t_ - r0 * (q_ + 1)) % jnp.maximum(q_, 1))
+            nat = col * stA + row
+            xa = banded_permute(xin, segbase + nat, in_rot)
+            mA = jnp.where(in_rot, jnp.where(big, q_ + 1, q_), 1)
+            kA = jnp.where(in_rot, col, 0)
+            # pass A coefficients are swapped: exp_rotation1(seg, L, st2, s, c)
+            ccA = jnp.where(in_rot & (st2_p >= 2), s_p, 1.0)
+            ssA = jnp.where(in_rot & (st2_p >= 2), c_p, 0.0)
+            mA = jnp.where(st2_p >= 2, mA, 1)
+            kA = jnp.where(st2_p >= 2, kA, 0)
+            xa = _rot_pass(xa, ccA, ssA, kA, mA)
+            # inverse map: natural offset p -> chain slot
+            p_ = rel2
+            rowI = p_ % jnp.maximum(stA, 1)
+            colI = p_ // jnp.maximum(stA, 1)
+            tI = rowI * q_ + jnp.minimum(rowI, r0) + colI
+            return banded_permute(xa, segbase + tI, in_rot)
+
+        x = jax.lax.cond(has_st2, _pass_a, lambda xin: xin, x)
+
+        # pass B (stride 1): contiguous chains of length L.  Same skip
+        # logic: with no active rotation anywhere (spread==0 frames or
+        # all-high-rate leaves) the masked coefficients make _rot_pass
+        # exactly identity, so skip its two scan ladders.
+        def _pass_b(xin):
+            ccB = jnp.where(in_rot, c_p, 1.0)
+            ssB = jnp.where(in_rot, s_p, 0.0)
+            mB = jnp.where(in_rot, L_p, 1)
+            kB = jnp.where(in_rot, rel2, 0)
+            return _rot_pass(xin, ccB, ssB, kB, mB)
+
+        x = jax.lax.cond(jnp.any(in_rot), _pass_b, lambda xin: xin, x)
 
         if stop_after == "rot":
             return jnp.sum(x)
