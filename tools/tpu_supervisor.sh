@@ -6,18 +6,26 @@
 # interpreter permanently.
 #
 #   TPU_SUP_BUDGET_S  total budget (default 10h)
-#   order: B-cliff causal experiment (VERDICT r3 weak #9, the one
-#          unexplained perf datum) > bench.py TWICE (first run fills
-#          the persistent jit cache, second measures warm and rewrites
-#          docs/LAST_GOOD_BENCH.json with the Pallas-default numbers).
+#   order: leaves-stage barrel microbench (tools/tpu_barrelbench.py —
+#          decides whether the executor's 8 ms leaf fetch becomes a
+#          block-row take + row-uniform barrel) > headline window bench
+#          (tools/tpu_window_bench.py — measures the rot-skip conds and
+#          the size-class A/B, plan vs plan_fullcap vs p10, Pallas pf,
+#          e2e) > bench.py TWICE (warm the persistent jit cache, then
+#          measure and refresh docs/LAST_GOOD_BENCH.json).
 
 cd "$(dirname "$0")/.."
 BUDGET=${TPU_SUP_BUDGET_S:-36000}
 END=$(( $(date +%s) + BUDGET ))
-[ -f /tmp/tpu_cliff.jsonl ] && mv /tmp/tpu_cliff.jsonl "/tmp/tpu_cliff.jsonl.$(date +%H%M%S).old"
 while [ "$(date +%s)" -lt "$END" ]; do
-  timeout 3000 python tools/tpu_cliff.py >> /tmp/tpu_sup.out 2>&1
-  if tail -3 /tmp/tpu_cliff.jsonl 2>/dev/null | grep -q '"phase": "done"'; then
+  if ! grep -q '"phase": "done"' /tmp/tpu_barrelbench.jsonl 2>/dev/null; then
+    timeout 2400 python tools/tpu_barrelbench.py >> /tmp/tpu_sup.out 2>&1
+  fi
+  if grep -q '"phase": "done"' /tmp/tpu_barrelbench.jsonl 2>/dev/null \
+     && ! grep -q '"phase": "done"' /tmp/tpu_window_bench.jsonl 2>/dev/null; then
+    TPU_PROBE_CHILD=1 timeout 5400 python tools/tpu_window_bench.py >> /tmp/tpu_sup.out 2>&1
+  fi
+  if grep -q '"phase": "done"' /tmp/tpu_window_bench.jsonl 2>/dev/null; then
     timeout 900 python bench.py > /tmp/bench_tpu_warmup.json 2>> /tmp/tpu_sup.out
     timeout 900 python bench.py > /tmp/bench_tpu_window.json 2>> /tmp/tpu_sup.out
     echo "{\"supervisor\": \"all_done\"}" >> /tmp/tpu_sup.out
