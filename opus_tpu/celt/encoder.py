@@ -21,11 +21,13 @@ from ..rc import RangeEncoder
 from . import modes
 from .bands import compute_band_energies, normalise_bands, quant_all_bands
 from .decoder import SPREAD_ICDF, TAPSET_ICDF, TF_SELECT_TABLE, TRIM_ICDF
-from .energy_encode import amp2_log2, quant_coarse_energy, quant_energy_finalise, quant_fine_energy
+from .energy_encode import E_MEANS, amp2_log2, quant_coarse_energy, quant_energy_finalise, quant_fine_energy
 from .comb_filter import comb_filter_into
 from .mdct import mdct_forward
 from .rate import BITRES, compute_allocation, init_caps
 from .vq import SPREAD_NORMAL
+
+E_MEANS_F = np.asarray(E_MEANS, dtype=np.float64)
 
 
 class CeltEncoder:
@@ -257,7 +259,9 @@ class CeltEncoder:
         # neighbourhood (tonal peaks leak into neighbours unless they get
         # extra shape bits).  Emission mirrors the decoder's budget loop
         # exactly (decoder.py dynalloc: adaptive logp, quanta, caps).
-        want = self._dynalloc_analysis(band_log_e, start, eff_end, lm, c_, cap)
+        want = self._dynalloc_analysis(band_log_e, start, eff_end, lm, c_, cap,
+                                       is_transient=is_transient,
+                                       effective_bytes=nb_bytes)
         dynalloc_logp = 6
         total_bits_frac = total_bits << BITRES
         tell_frac = enc.tell_frac()
@@ -388,26 +392,87 @@ class CeltEncoder:
             return SPREAD_LIGHT
         return SPREAD_NORMAL
 
-    def _dynalloc_analysis(self, band_log_e, start, end, lm, c_, cap):
-        """Per-band boost targets (1/8-bit units): bands whose log-energy
-        exceeds a +/-2-band median neighbourhood by > 2 log2 get one quantum
-        per extra log2, up to 3 quanta (cf. the reference decode scope's
-        dynalloc; encoder analysis is ours)."""
+    def _dynalloc_analysis(self, band_log_e, start, end, lm, c_, cap,
+                           is_transient=False, effective_bytes=0):
+        """Per-band boost targets (1/8-bit units) from a masking-floor
+        follower (the celt_encoder.c dynalloc_analysis semantics, authored
+        fresh; cf. reference scope celt/decoder.rs:25 build note).
+
+        A leaky min-envelope tracks the spectral floor per channel (rise
+        limited to 1.5 log2/band going up, 2.0 coming back down, stopping
+        at the last ascending band so band-limited signals don't boost
+        their empty tail), is floored by a +/-2-band median - 1 and by the
+        per-band noise floor of the input depth.  A band's boost is the
+        bits needed to push coding noise down to that floor: one bit per
+        sample per log2 of excess (excess capped at 4), doubled below
+        band 8, halved from band 12 up, halved again on CBR non-transient
+        frames, with the total capped at 2/3 of the frame bytes."""
         want = [0] * modes.NB_E_BANDS
-        if end - start < 3:
+        n = end - start
+        if n < 3 or effective_bytes <= 50 or lm < 1:
             return want
-        e = np.max(band_log_e[:c_, start:end], axis=0)
+        e = band_log_e[:c_, :end].astype(np.float64)
+        follow = np.empty((c_, n))
+        for c in range(c_):
+            ec = e[c, start:end]
+            f = np.empty(n)
+            f[0] = ec[0]
+            last = 0
+            for i in range(1, n):
+                if ec[i] > ec[i - 1] + 0.5:
+                    last = i
+                f[i] = min(f[i - 1] + 1.5, ec[i])
+            for i in range(last - 1, -1, -1):
+                f[i] = min(f[i], min(f[i + 1] + 2.0, ec[i]))
+            # median guard: never below the local median - 1 (stops the
+            # follower from calling an ordinary spectral slope "excess")
+            med = np.empty(n)
+            for i in range(n):
+                lo = max(0, i - 2)
+                hi = min(n, i + 3)
+                med[i] = np.median(ec[lo:hi])
+            f = np.maximum(f, med - 1.0)
+            # noise floor of a 24-bit input at this band's width/centre
+            idx = np.arange(start, end)
+            nf = (0.0625 * modes.LOG_N[idx] + 0.5 + 9.0 - 24.0
+                  - E_MEANS_F[idx] + 0.0062 * (idx + 5.0) ** 2)
+            follow[c] = np.maximum(f, nf)
+        if c_ == 2:
+            # 24 dB cross-talk: a band audible in one channel masks its
+            # twin; excess is the mean of the per-channel excesses
+            f0 = np.maximum(follow[0], follow[1] - 4.0)
+            f1 = np.maximum(follow[1], follow[0] - 4.0)
+            exc = 0.5 * (np.maximum(0.0, e[0, start:end] - f0)
+                         + np.maximum(0.0, e[1, start:end] - f1))
+        else:
+            exc = np.maximum(0.0, e[0, start:end] - follow[0])
+        if not getattr(self, "vbr", False) and not is_transient:
+            exc *= 0.5
+        total_cap = (2 * effective_bytes // 3) << (BITRES + 3)
+        tot = 0
         for i in range(start, end):
-            lo = max(start, i - 2) - start
-            hi = min(end, i + 3) - start
-            neigh = np.median(np.concatenate([e[lo : i - start], e[i - start + 1 : hi]]))
-            excess = float(e[i - start] - neigh) - 2.5
-            if excess <= 0:
+            x = float(exc[i - start])
+            if i < 8:
+                x *= 2.0
+            if i >= 12:
+                x *= 0.5
+            x = min(x, 4.0)
+            if x <= 0.0:
                 continue
             width = c_ * int(modes.E_BANDS[i + 1] - modes.E_BANDS[i]) << lm
-            quanta = min(width << BITRES, max(6 << BITRES, width))
-            k = min(2, 1 + int(excess))
-            want[i] = min(int(cap[i]), k * quanta)
+            # one bit per sample per log2 of excess, quantised per width
+            # class so narrow bands move in >=1-bit steps
+            if width < 6:
+                bb = int(x) * width << BITRES
+            elif width > 48:
+                bb = (int(8 * x) * width << BITRES) >> 3
+            else:
+                bb = (int(x * width / 6.0) * 6) << BITRES
+            bb = min(bb, int(cap[i]))
+            if tot + bb > total_cap:
+                bb = max(0, total_cap - tot)
+            want[i] = bb
+            tot += bb
         return want
 
     def _trim_decision(self, band_log_e, start, end, c_) -> int:
