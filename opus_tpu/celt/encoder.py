@@ -15,6 +15,8 @@ audio exactly — validated by final_range equality in tests.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..rc import RangeEncoder
@@ -241,8 +243,9 @@ class CeltEncoder:
             total_bits, nb_bytes,
         )
 
-        tf_res = self._tf_analysis(x_, start, eff_end, lm, m, c_, is_transient)
-        tf_res = self._tf_encode(enc, start, end, is_transient, lm, nb_bytes, tf_res)
+        tf_res, tf_sel = self._tf_analysis(x_, start, eff_end, lm, m, c_, is_transient,
+                                           nb_bytes)
+        tf_res = self._tf_encode(enc, start, end, is_transient, lm, nb_bytes, tf_res, tf_sel)
 
         spread = self._spread_decision(x_, band_e, start, eff_end, m, c_)
         if enc.tell() + 4 <= total_bits:
@@ -500,32 +503,82 @@ class CeltEncoder:
         ratio = float(np.max(e[1:] / np.maximum(floor[1:], 1e-9)))
         return ratio > 6.0
 
-    def _tf_analysis(self, x_, start, end, lm, m, c_, is_transient):
-        """Per-band time/frequency resolution choice: on transient frames a
-        band whose interleaved short-block coefficients get sparser (biased
-        L1) after one Haar recombine prefers frequency resolution
-        (tf_res=1).  Cf. the reference decoder's tf scope; the analysis
-        metric is libopus-style L1-after-haar, decision simplified to a
-        per-band flag (the inter-band switch cost is carried by the
-        delta-coded flags themselves)."""
+    def _tf_analysis(self, x_, start, end, lm, m, c_, is_transient,
+                     nb_bytes=1 << 30):
+        """Per-band time/frequency resolution choice on EVERY frame.
+
+        The decoder's quant_band runs one of two Haar ladders per band
+        (bands.py:470-487): tf_change>0 recombines interleaved short
+        blocks (frequency resolution), tf_change<0 splits a band into
+        halves (time resolution inside a long MDCT — the lever that
+        tracks decaying attacks; libopus uses it heavily on click tails
+        where we previously always signalled 0).  The bitstream carries
+        one flag per band plus a global tf_select; the executed
+        tf_change is TF_SELECT_TABLE[lm][4*T + 2*sel + flag].
+
+        Analysis (authored fresh): for each band, apply the EXACT
+        ladder the decoder would run for each achievable tf_change and
+        score it by biased L1 (sparser post-transform coefficients are
+        cheaper to shape-code; 4% penalty per Haar step, slight extra
+        preference for flag=0).  Per sel option, each band picks its
+        best flag; the sel with the lower corpus-of-bands total wins.
+        Returns (tf_res flags, tf_select)."""
         from .bands import haar1
 
         tf_res = [0] * modes.NB_E_BANDS
-        if not is_transient or lm == 0:
-            return tf_res
+        if lm == 0 or end - start < 1:
+            return tf_res, 0
+        # At very low rates (<100-byte frames ~= 32 kbps stereo) the PVQ
+        # has too few pulses for the time-split resolution to pay for
+        # itself: corpus-measured, every 32k signal lost 0.4-1.6 dB with
+        # non-transient tf active while 64k+ gained 2-5 dB.  Transient
+        # frames keep the analysis at every rate.
+        if not is_transient and nb_bytes < 100:
+            return tf_res, 0
+        base = 4 if is_transient else 0
+        table = TF_SELECT_TABLE[lm]
+
+        def ladder_l1(band: np.ndarray, n: int, v: int) -> float:
+            x = band.copy()
+            steps = 0
+            if v > 0:
+                for k in range(v):
+                    if (n >> k) < 2:
+                        break
+                    haar1(x, n >> k, 1 << k)
+                    steps += 1
+            elif v < 0:
+                n_b, bb = (n // m, m) if is_transient else (n, 1)
+                while (n_b & 1) == 0 and v < 0:
+                    haar1(x, n_b, bb)
+                    bb <<= 1
+                    n_b >>= 1
+                    v += 1
+                    steps += 1
+            return float(np.abs(x).sum()) * (1.0 + 0.04 * steps)
+
+        # Score both flag values under both sel options in one pass.
+        cost = np.zeros((2, 2, end - start))  # [sel][flag][band]
         for i in range(start, end):
             n = m * int(modes.E_BANDS[i + 1] - modes.E_BANDS[i])
-            if n < 2 or (n & 1):
+            b0 = x_[m * int(modes.E_BANDS[i]) : m * int(modes.E_BANDS[i]) + n]
+            if n < 2:
                 continue
-            band = x_[m * int(modes.E_BANDS[i]) : m * int(modes.E_BANDS[i]) + n].copy()
-            l1_plain = float(np.abs(band).sum())
-            haar1(band, n, 1)
-            # Bias toward keeping time resolution on transients (~6%).
-            if float(np.abs(band).sum()) * 1.06 < l1_plain:
-                tf_res[i] = 1
-        return tf_res
+            seen: dict[int, float] = {}
+            for sel in (0, 1):
+                for flag in (0, 1):
+                    v = table[base + 2 * sel + flag]
+                    if v not in seen:
+                        seen[v] = ladder_l1(b0, n, v)
+                    cost[sel, flag, i - start] = seen[v] * (1.005 if flag else 1.0)
+        best = np.minimum(cost[:, 0, :], cost[:, 1, :]).sum(axis=1)
+        sel = int(best[1] < best[0])
+        for i in range(start, end):
+            tf_res[i] = int(cost[sel, 1, i - start] < cost[sel, 0, i - start])
+        return tf_res, sel
 
-    def _tf_encode(self, enc, start, end, is_transient, lm, nb_bytes, tf_res):
+    def _tf_encode(self, enc, start, end, is_transient, lm, nb_bytes, tf_res,
+                   tf_select=0):
         """Write the per-band tf flags exactly as tf_decode reads them
         (delta-coded with budget gating) and return the decoder-visible
         tf_res after TF_SELECT mapping — quant_all_bands must see the same
@@ -547,9 +600,12 @@ class CeltEncoder:
             out[i] = curr
             logp = 4 if is_transient else 5
         base = 4 if is_transient else 0
-        tf_select = 0
+        # The select bit is only coded when it changes an executed value
+        # (tf_decode's gate); otherwise the decoder derives sel=0.
         if tf_select_rsv and TF_SELECT_TABLE[lm][base + tf_changed] != TF_SELECT_TABLE[lm][base + 2 + tf_changed]:
             enc.encode_bit_logp(tf_select, 1)
+        else:
+            tf_select = 0
         for i in range(start, end):
             out[i] = TF_SELECT_TABLE[lm][base + 2 * tf_select + out[i]]
         return out
