@@ -67,6 +67,9 @@ class CeltEncoder:
         #: the middle one — matching the 3 tapsets the decoder implements
         #: (/root/reference/src/celt/comb_filter/mod.rs:45-55).
         self.tapset_decision = 0
+        #: Last 2.5 ms sub-block energy of the previous frame (None =
+        #: none yet): transient-floor seed across the frame boundary.
+        self._prev_sub_energy = None
 
     def _run_prefilter(self, prebuf: np.ndarray, n: int, nb_available_bytes: int,
                        enabled: bool):
@@ -493,14 +496,21 @@ class CeltEncoder:
 
     def _transient_decision(self, pre: np.ndarray, m: int) -> bool:
         """Energy-ratio transient heuristic: short blocks when one 2.5 ms
-        sub-block jumps far above the frame's trailing energy floor."""
+        sub-block jumps far above the running energy floor.  The floor is
+        seeded with the PREVIOUS frame's last sub-block so an attack in
+        the first 2.5 ms of a frame can fire too (castanet clicks landing
+        at a frame boundary were invisible to the old in-frame-only
+        floor)."""
         n = pre.shape[1]
         sub = n // m if m > 1 else n
         e = (pre.reshape(pre.shape[0], -1, sub) ** 2).sum(axis=2).max(axis=0) + 1e-9
+        prev_tail = getattr(self, "_prev_sub_energy", None)
+        self._prev_sub_energy = float(e[-1])
         if len(e) < 2:
             return False
-        floor = np.minimum.accumulate(np.concatenate([[e[0]], e[:-1]]))
-        ratio = float(np.max(e[1:] / np.maximum(floor[1:], 1e-9)))
+        seed = float(e[0]) if prev_tail is None else prev_tail
+        floor = np.minimum.accumulate(np.concatenate([[seed], e[:-1]]))
+        ratio = float(np.max(e / np.maximum(floor, 1e-9)))
         return ratio > 6.0
 
     def _tf_analysis(self, x_, start, end, lm, m, c_, is_transient,
