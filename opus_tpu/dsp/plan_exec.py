@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -50,6 +51,13 @@ EPSILON = 1e-15
 #: loops fall back to a spectral step for that frame.
 PLAN_IYW = 192
 _SPREAD_FACTOR = (15, 10, 5)
+
+#: Arena window fetch strategy: "blockrow" (block-row take + row-uniform
+#: barrels; 3-5x faster on TPU, tools/tpu_barrelbench.py 2026-08-20) or
+#: "gather" (one merged element gather; kept for A/B and as the reference
+#: formulation).  Read once at import; set OPUS_TPU_LEAVES_FETCH to
+#: override.
+_LEAVES_FETCH = os.environ.get("OPUS_TPU_LEAVES_FETCH", "gather")
 
 # Merged-view leaf types (oracle; the wire format splits the tables).
 LEAF_PVQ, LEAF_FOLD, LEAF_NOISE = 0, 1, 2
@@ -526,7 +534,7 @@ def _valid_cfg(n: int, b_frame: int, rec: int, td: int) -> bool:
 
 def make_plan_executor(lm: int, batch: int, p_max: int = 192, f_max: int = 64,
                        a_max: int = 42, stop_after: str | None = None,
-                       iyw: int = PLAN_IYW):
+                       iyw: int = PLAN_IYW, leaves_fetch: str | None = None):
     """Build the jitted plan executor for one frame shape.
 
     Returns f(header[B,3] i32, bands[B,29] i32, meta[B,16] i32,
@@ -549,6 +557,8 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, f_max: int = 64,
     iyw must be a multiple of 16 (the chunked one-hot fetch works in
     16-word windows)."""
     assert iyw % 16 == 0 and iyw <= PLAN_IYW
+    if leaves_fetch is None:
+        leaves_fetch = _LEAVES_FETCH
     m = 1 << lm
     n = m * modes.SHORT_MDCT_SIZE
     e = (modes.E_BANDS.astype(np.int64) * m).astype(np.int32)
@@ -641,7 +651,7 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, f_max: int = 64,
         # The four per-stream window reads (pvq records, fill records,
         # anti-collapse records, iy words) each paid a flat ~1 ms of TPU
         # gather-call latency on top of their element cost.  Every start
-        # offset is header-affine, so ONE take fetches all four windows
+        # offset is header-affine, so ONE fetch covers all four windows
         # at once; the tables are then static column slices.
         # Rows read past a stream's records into neighbours' data; every
         # downstream use is masked by `valid` / flatdst>=n2, and the f16
@@ -649,17 +659,54 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, f_max: int = 64,
         pvq_words = 2 * n_pvq
         fill_off = hdr_off + pvq_words
         ac_off = fill_off + 3 * n_fill
-        iy_w0 = hdr_off + iy_rel
-        idx = jnp.concatenate(
-            [st[:, None] + jnp.arange(w)[None, :]
-             for st, w in ((hdr_off, 2 * p_max), (fill_off, 3 * f_max),
-                           (ac_off, 2 * a_max), (iy_w0, iyw))],
-            axis=1,
-        )
-        merged = jnp.take(arena, jnp.clip(idx, 0, amax))
         s0 = 2 * p_max
         s1 = s0 + 3 * f_max
         s2 = s1 + 2 * a_max
+        W = s2 + iyw
+        if leaves_fetch == "gather":
+            # element gather: ~18 ms/M elements flat on TPU (kept for A/B)
+            iy_w0 = hdr_off + iy_rel
+            idx = jnp.concatenate(
+                [st[:, None] + jnp.arange(w)[None, :]
+                 for st, w in ((hdr_off, 2 * p_max), (fill_off, 3 * f_max),
+                               (ac_off, 2 * a_max), (iy_w0, iyw))],
+                axis=1,
+            )
+            merged = jnp.take(arena, jnp.clip(idx, 0, amax))
+        else:
+            # block-row take + row-UNIFORM barrels (tools/tpu_barrelbench:
+            # 1.4 ms vs 4.6-7.6 ms for the element gather at B=1024).
+            # Every per-stream start is a scalar, so each window fetch has
+            # row-uniform shift structure: take NROWS contiguous 256-word
+            # arena rows covering [hdr_off & ~255, hdr_off + W), then
+            # align each table with a barrel of rolls whose select bit is
+            # constant along the row (the composition is exact; per-
+            # POSITION shifts would not compose this way).  Columns past
+            # a stream's content wrap block-start garbage — masked
+            # downstream exactly like the gather's neighbour reads.
+            nrows = (255 + W + 255) // 256
+            nblk = (arena.shape[0] + 255) // 256
+            pad_a = jnp.pad(arena, (0, nblk * 256 - arena.shape[0]))
+            a2 = pad_a.reshape(nblk, 256)
+            blk0 = jnp.clip(hdr_off >> 8, 0, nblk - 1)
+            rows4 = jnp.take(
+                a2, jnp.clip(blk0[:, None] + jnp.arange(nrows)[None, :],
+                             0, nblk - 1), axis=0)
+            xw = rows4.reshape(B, nrows * 256)
+
+            def _barrel(x, s, smax):
+                for k in range(max(int(smax).bit_length(), 1)):
+                    bit = ((s >> k) & 1) == 1
+                    x = jnp.where(bit[:, None], jnp.roll(x, -(1 << k), axis=1), x)
+                return x
+
+            base = _barrel(xw, hdr_off & 255, 255)
+            fill_x = _barrel(base, pvq_words, 2 * p_max)
+            ac_x = _barrel(fill_x, 3 * n_fill, 3 * f_max)
+            iy_x = _barrel(base, iy_rel, s2)
+            merged = jnp.concatenate(
+                [base[:, :s0], fill_x[:, :3 * f_max],
+                 ac_x[:, :2 * a_max], iy_x[:, :iyw]], axis=1)
 
         # ---- pvq leaf table [B, P] (2-word records) ----
         p = jnp.arange(p_max)[None, :]

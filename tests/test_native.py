@@ -702,3 +702,55 @@ def test_batched_multistream_plan_transfer():
     bmd.core.transfer = "plan"
     out = bmd.serve(steps, FRAME)
     assert float(np.abs(out[0] - refs[-1]).max()) < 4e-3
+
+
+def test_plan_executor_blockrow_fetch_matches_gather():
+    """The block-row + row-uniform-barrel arena fetch is a pure
+    reformulation of the merged element gather: identical output bit for
+    bit, at full capacity and at a sub-capacity size class, including a
+    PLC (noise-leaf) stream whose header region is empty."""
+    from opus_tpu.native.frontend import NativeBatchFrontEnd
+    from opus_tpu.dsp.plan_exec import make_plan_executor, plan_executor_args
+    import jax
+    import jax.numpy as jnp
+
+    B, F, NF = 3, 960, 4
+    rng = np.random.default_rng(7)
+    t = np.arange(F * NF) / 48000.0
+    sig = np.sin(2 * np.pi * 220 * t) * 0.4 + np.sin(2 * np.pi * 3000 * t) * 0.2
+    sig[F : F + 400] += rng.standard_normal(400) * 0.8
+    streams = []
+    for kbps in (48, 96, 160):
+        enc = oracle.Encoder(48000, 2)
+        enc.ctl(oracle.SET_BITRATE, kbps * 1000)
+        enc.ctl(oracle.SET_FORCE_MODE, oracle.MODE_CELT_ONLY)
+        pcm = np.stack([sig, np.roll(sig, 13)], -1).astype(np.float32)
+        pk = [enc.encode_float(pcm[i * F : (i + 1) * F].ravel(), F) for i in range(NF)]
+        streams.append([p[parse_packet(p).payload_offset :] for p in pk])
+    fe = NativeBatchFrontEnd(B, 2, 1)
+    slots = fe.alloc_plan_slots(1)
+    variants = [
+        (dict(), dict()),                                   # full capacity
+        (dict(p_max=112, f_max=8, iyw=128),) * 2,           # sub-capacity class
+    ]
+    built = [
+        (jax.jit(make_plan_executor(3, B, leaves_fetch="gather", **kwg)),
+         jax.jit(make_plan_executor(3, B, leaves_fetch="blockrow", **kwb)))
+        for kwg, kwb in variants
+    ]
+    for fr in range(NF):
+        pkts = [streams[b][fr] for b in range(B)]
+        if fr == 2:
+            pkts[0] = None  # PLC noise leaves
+        slot = fe.decode_batch_plan_into(pkts, F, slots[0])
+        args = tuple(map(jnp.asarray, plan_executor_args(slot)))
+        c = slot["header"][:, 1]
+        fits_small = (int((c & 0x1FF).max()) <= 112
+                      and int(((c >> 9) & 0x1FF).max()) <= 8
+                      and int(slot["iy_spans"].max()) + 1 <= 128)
+        for vi, (exg, exb) in enumerate(built):
+            if vi == 1 and not fits_small:
+                continue
+            ref = np.asarray(exg(*args))
+            got = np.asarray(exb(*args))
+            np.testing.assert_array_equal(got, ref)
