@@ -57,7 +57,7 @@ _SPREAD_FACTOR = (15, 10, 5)
 #: "gather" (one merged element gather; kept for A/B and as the reference
 #: formulation).  Read once at import; set OPUS_TPU_LEAVES_FETCH to
 #: override.
-_LEAVES_FETCH = os.environ.get("OPUS_TPU_LEAVES_FETCH", "gather")
+_LEAVES_FETCH = os.environ.get("OPUS_TPU_LEAVES_FETCH", "blockrow")
 
 # Merged-view leaf types (oracle; the wire format splits the tables).
 LEAF_PVQ, LEAF_FOLD, LEAF_NOISE = 0, 1, 2
