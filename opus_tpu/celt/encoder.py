@@ -15,7 +15,6 @@ audio exactly — validated by final_range equality in tests.
 
 from __future__ import annotations
 
-import os
 
 import numpy as np
 
