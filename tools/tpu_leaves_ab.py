@@ -68,8 +68,22 @@ def main():
             best = min(best, time.perf_counter() - t1)
         return best / iters * 1e3
 
+    # Class-fit guard (ADVICE r4): the sub-capacity class A/B is only
+    # meaningful if the stream actually fits (112, 8, 128) — past the
+    # caps BOTH modes produce truncated-table garbage and the bitexact
+    # line proves nothing.  Mirror the unit test's fits_small check.
+    counts = slot["header"][:, 1]
+    fits_small = (int((counts & 0x1FF).max()) <= 112
+                  and int(((counts >> 9) & 0x1FF).max()) <= 8
+                  and int(slot["iy_spans"].max()) <= 127)
     classes = [("cls112", dict(p_max=112, f_max=8, iyw=128)),
                ("full", dict())]
+    if not fits_small:
+        log({"phase": "cls112_class_overflow",
+             "n_pvq_max": int((counts & 0x1FF).max()),
+             "n_fill_max": int(((counts >> 9) & 0x1FF).max()),
+             "iy_span_max": int(slot["iy_spans"].max())})
+        classes = classes[1:]
     for cname, kw in classes:
         outs = {}
         for mode in ("gather", "blockrow"):

@@ -18,6 +18,11 @@
 # build.
 
 cd "$(dirname "$0")/.."
+# Rotate any stale bisect log from a previous round so its "done" marker
+# cannot gate-skip the refresh we are here to run (ADVICE r4).
+if [ -f /tmp/tpu_exec_bisect.jsonl ]; then
+  mv /tmp/tpu_exec_bisect.jsonl "/tmp/tpu_exec_bisect.$(date +%Y%m%d%H%M%S).jsonl"
+fi
 BUDGET=${TPU_SUP_BUDGET_S:-36000}
 END=$(( $(date +%s) + BUDGET ))
 while [ "$(date +%s)" -lt "$END" ]; do
