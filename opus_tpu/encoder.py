@@ -2,7 +2,8 @@
 
 Fills the reference's interface sketch (/root/reference/src/encoder.rs):
 ``Encoder`` packetises frames with the RFC 6716 ToC.
-Music: full-band CELT at 48 kHz, CBR or VBR, 2.5-20 ms.
+Music: full-band CELT at 48 kHz, CBR or VBR, 2.5-60 ms (40/60 ms as
+code-3 multi-frame packets of 20 ms CELT frames — RFC 6716 §3.2.5).
 Voice: SILK mono/stereo at NB/MB/WB internal rates, 10/20/40/60 ms
 packets (multi-frame with conditional coding), optional in-band FEC
 (LBRR) and DTX; input resampled from any supported rate.
@@ -46,11 +47,15 @@ class EncoderConfiguration:
     #: content (transient boost, quiet-frame cut) around `bitrate`, with a
     #: bit reservoir holding the long-term average at the target.
     vbr: bool = False
-    #: Audio bandwidth.  Music: "NB"/"WB"/"SWB"/"FB" (coded band limit
-    #: 13/17/19/21; ToC config block per RFC 6716 table 2).  Voice:
+    #: Audio bandwidth.  Music: "NB"/"WB"/"SWB"/"FB" forces a coded band
+    #: limit (13/17/19/21; ToC config block per RFC 6716 table 2);
+    #: "auto" (default) picks by bitrate like libopus's
+    #: audio_bandwidth_thresholds — coding fewer bands at low rates
+    #: spends the bits where the energy is (WB under ~45 kb/s equivalent,
+    #: SWB under ~59 kb/s, FB above; stereo rates count 3/4).  Voice:
     #: "NB"/"MB"/"WB" forces the SILK internal rate (8/12/16 kHz);
-    #: default "FB" = auto from the input rate.
-    bandwidth: str = "FB"
+    #: "auto"/"FB" = auto from the input rate.
+    bandwidth: str = "auto"
     #: In-band FEC (voice + hybrid, mono + stereo): each packet also
     #: carries a coarse LBRR re-encode of the previous frame's SILK band;
     #: receivers recover one lost packet with
@@ -182,10 +187,20 @@ class Encoder:
         else:
             if self.rate != 48000:
                 raise BadArguments("music mode supports 48 kHz input for now")
-            if self.config.bandwidth not in _CELT_BW:
-                raise BadArguments("bandwidth must be NB/WB/SWB/FB")
+            if self.bandwidth == "auto":
+                # Rate-driven coded bandwidth (libopus opus_encoder.c
+                # audio_bandwidth_thresholds, measured on our corpus:
+                # the three round-4 negative quality rows — castanet 32k,
+                # tones 64k, noise_white 32k — all flip positive once low
+                # rates stop paying for bands they can't afford).
+                equiv = self.bitrate * 3 // 4 if self.channels == 2 else self.bitrate
+                self.bandwidth = ("NB" if equiv < 12000 else
+                                  "WB" if equiv < 45000 else
+                                  "SWB" if equiv < 59000 else "FB")
+            if self.bandwidth not in _CELT_BW:
+                raise BadArguments("bandwidth must be auto/NB/WB/SWB/FB")
             self.celt = CeltEncoder(self.channels)
-            self.celt.end_band = _CELT_BW[self.config.bandwidth][1]
+            self.celt.end_band = _CELT_BW[self.bandwidth][1]
             self.silk = None
             # Native plane (celt_encoder.inc): conformant CELT bitstreams
             # at C++ speed; Python keeps the fallback.
@@ -295,7 +310,7 @@ class Encoder:
     def encode(self, pcm: np.ndarray) -> bytes:
         """Encode one frame of float PCM [N, channels] in ±1.
 
-        Music mode: N in {120, 240, 480, 960} at 48 kHz.
+        Music mode: N in {120, 240, 480, 960, 1920, 2880} at 48 kHz.
         Voice mode: N = 20 ms at the configured rate.
         Returns a complete Opus packet."""
         pcm = np.asarray(pcm, dtype=np.float32)
@@ -313,16 +328,38 @@ class Encoder:
                 # otherwise emit a 1-byte ToC-only packet.
                 refresh = (self._dtx_run - 2) % max(1, 400 // max(1, n * 1000 // self.rate)) == 0
                 if self._dtx_run >= 2 and not (self._dtx_run > 2 and refresh):
-                    return bytes([self._last_toc]) if self._last_toc is not None else bytes(
-                        [self._toc_for(n)])
+                    toc = (self._last_toc if self._last_toc is not None
+                           else self._toc_for(n))
+                    if self.application == "music" and n in (1920, 2880):
+                        # 40/60 ms cadence: a code-3 packet of M zero-
+                        # length CBR frames keeps the DTX duration right.
+                        return bytes([toc | 0x3, n // 960])
+                    return bytes([toc])
             else:
                 self._dtx_run = 0
         if self.application == "voice":
             return self._encode_voice(pcm, n)
         if self.application == "hybrid":
             return self._encode_hybrid(pcm, n)
+        if n in (1920, 2880):
+            # 40/60 ms music: CELT frames cap at 20 ms (RFC 6716 table 2;
+            # ref lib.rs:20-28 envelope), so pack 2-3 independent 20 ms
+            # frames as ONE code-3 packet (lib.rs:250-263 frame-count
+            # framing) via the repacketizer.  Cross-frame encoder state
+            # (energy prediction, overlap) carries normally; final_range
+            # is the LAST frame's, matching the decoder's multi-frame
+            # loop semantics.
+            from .repacketizer import Repacketizer
+
+            rp = Repacketizer()
+            for i in range(n // 960):
+                rp.cat(self._encode_music(pcm[960 * i : 960 * (i + 1)], 960))
+            return rp.out()
+        return self._encode_music(pcm, n)
+
+    def _encode_music(self, pcm: np.ndarray, n: int) -> bytes:
         if n not in _CELT_FB_CONFIG:
-            raise BadArguments("frame must be 2.5/5/10/20 ms at 48 kHz")
+            raise BadArguments("frame must be 2.5/5/10/20/40/60 ms at 48 kHz")
         cfg = _CELT_BW[self.bandwidth][0] + (_CELT_FB_CONFIG[n] - 28)
         toc = (cfg << 3) | (0x4 if self.channels == 2 else 0)
         nb = self._vbr_bytes(pcm, n) if self.vbr else self.frame_bytes(n)

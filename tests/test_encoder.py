@@ -302,3 +302,61 @@ def test_celt_prefilter_pitched_content():
     assert fired_off == 0
     assert fired_on >= NF * 3 // 4, fired_on
     assert snr_on >= snr_off - 0.25, (snr_on, snr_off)
+
+
+@pytest.mark.parametrize("channels,frame,kbps,vbr", [
+    (2, 1920, 96, False), (1, 2880, 64, False), (2, 2880, 128, True),
+])
+def test_encoder_music_40_60ms_code3(channels, frame, kbps, vbr):
+    """40/60 ms music packets: CELT caps at 20 ms, so the encoder packs
+    2-3 independent 20 ms frames as one code-3 packet (ref lib.rs:250-263
+    frame-count framing; envelope lib.rs:20-28).  Conformance gates: the
+    ToC/framing parses to the right frame count and duration, libopus
+    decodes the packet, and all three range-coder states agree
+    (final_range = the LAST frame's, per the decoder's multi-frame
+    loop)."""
+    from opus_tpu import (
+        parse_packet, query_packet_frame_count, query_packet_sample_count,
+    )
+
+    enc = Encoder(EncoderConfiguration(
+        SamplingRate.HZ_48000, Channels(channels), kbps * 1000, vbr=vbr))
+    dec_lib = oracle.Decoder(48000, channels)
+    dec_mine = Decoder(DecoderConfiguration(
+        SamplingRate.HZ_48000, Channels(channels)))
+    pcm = _sig(frame * 4, channels)
+    m = frame // 960
+    for f in range(4):
+        pkt = enc.encode(pcm[f * frame : (f + 1) * frame])
+        # 2 equal frames may compact to code 1; 3 frames / VBR use code 3
+        assert pkt[0] & 0x3 == (1 if (m == 2 and not vbr) else 3), hex(pkt[0])
+        assert query_packet_frame_count(pkt) == m
+        assert query_packet_sample_count(pkt, SamplingRate.HZ_48000) == frame
+        parsed = parse_packet(pkt)
+        assert len(parsed.frame_sizes) == m
+        r = dec_lib.decode_float(pkt, frame)
+        mm = dec_mine.decode_float(pkt, frame)
+        assert dec_lib.final_range == enc.final_range, f
+        assert dec_mine.final_range == enc.final_range, f
+        assert np.asarray(r).size == frame * channels
+        assert float(np.abs(np.asarray(r) - np.asarray(mm)).max()) < 2e-5, f
+
+
+def test_encoder_music_40ms_dtx_silence():
+    """DTX during a 40 ms music stream emits 2-byte code-3 packets of
+    zero-length frames — the silence packet keeps the 40 ms cadence."""
+    from opus_tpu import query_packet_sample_count
+
+    enc = Encoder(EncoderConfiguration(
+        SamplingRate.HZ_48000, Channels.MONO, 64000, dtx=True))
+    dec_lib = oracle.Decoder(48000, 1)
+    pcm = _sig(1920 * 6, 1)
+    pcm[1920 * 2 :] = 0.0  # silence from frame 2 on
+    sizes = []
+    for f in range(6):
+        pkt = enc.encode(pcm[f * 1920 : (f + 1) * 1920])
+        sizes.append(len(pkt))
+        assert query_packet_sample_count(pkt, SamplingRate.HZ_48000) == 1920
+        out = dec_lib.decode_float(pkt, 1920)  # libopus accepts every packet
+        assert np.asarray(out).size == 1920
+    assert min(sizes[3:]) <= 2  # ToC+count silence packets after hangover

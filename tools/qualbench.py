@@ -116,9 +116,51 @@ def make_corpus() -> dict[str, np.ndarray]:
     sp = fmt + burst
     sig["speech_like"] = 0.5 * sp / np.abs(sp).max()
 
+    sig.update(_real_corpus(n))
     for k2 in sig:
         sig[k2] = np.clip(sig[k2], -0.95, 0.95).astype(np.float32)
     return sig
+
+
+def _real_corpus(n: int) -> dict[str, np.ndarray]:
+    """Recorded (NON-synthetic) content so the corpus isn't purely
+    generated signals: pygame's sample recordings shipped in this image
+    (8-bit 11025 Hz WAVs — low-fi, but real spectra, real envelopes,
+    real noise floors), upsampled 11025->48000 (640/147 polyphase).
+    real_music = the house_lo music loop; real_perc = recorded
+    percussive hits tiled to length.  Skipped when unavailable."""
+    try:
+        import importlib.util
+        import os
+        import warnings
+
+        from scipy.io import wavfile
+        from scipy.signal import resample_poly
+
+        spec = importlib.util.find_spec("pygame")
+        if spec is None or not spec.submodule_search_locations:
+            return {}
+        base = os.path.join(list(spec.submodule_search_locations)[0],
+                            "examples", "data")
+
+        def load(fn: str) -> np.ndarray:
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                r, d = wavfile.read(os.path.join(base, fn))
+            assert r == 11025 and d.dtype == np.uint8, (fn, r, d.dtype)
+            x = (d.astype(np.float32) - 128.0) / 128.0
+            return resample_poly(x, 640, 147).astype(np.float32)
+
+        music = load("house_lo.wav")
+        perc = np.concatenate([load("car_door.wav"), load("boom.wav"),
+                               load("punch.wav")])
+        out = {}
+        for name, x in (("real_music", music), ("real_perc", perc)):
+            x = np.tile(x, -(-n // len(x)))[:n]
+            out[name] = 0.7 * x / max(float(np.abs(x).max()), 1e-9)
+        return out
+    except Exception:
+        return {}
 
 
 def stereoize(mono: np.ndarray) -> np.ndarray:
