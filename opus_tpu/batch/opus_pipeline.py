@@ -434,7 +434,7 @@ class BatchedOpusDecoder:
         return (0, B // 8, B // 4, B // 2, (3 * B) // 4, B)
 
     #: Executor size classes — see BatchedCeltDecoder.PLAN_CLASSES.
-    PLAN_CLASSES = ((112, 8, 128), (160, 16, 160), (192, 64, 192))
+    PLAN_CLASSES = ((112, 8, 128), (160, 16, 160), (224, 64, 192))
     #: Compact-PLC capacity — see BatchedCeltDecoder.PLC_COMPACT_K.
     PLC_COMPACT_K = 128
 
@@ -509,7 +509,7 @@ class BatchedOpusDecoder:
             reason = _FALLBACK_REASON.get(code, f"codec error {code}")
             raise ValueError(f"stream {i}: {reason}")
         counts = slot["header"][:, 1]
-        if (int((counts & 0x1FF).max(initial=0)) > 192
+        if (int((counts & 0x1FF).max(initial=0)) > 224
                 or int(((counts >> 9) & 0x1FF).max(initial=0)) > 64
                 or int((counts >> 18).max(initial=0)) > 42):
             # celt_fe_plan_headers enforces these transactionally; see

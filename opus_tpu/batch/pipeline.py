@@ -201,7 +201,7 @@ class BatchedCeltDecoder:
     #: pvq<=105, fill<=3, iyw<=114).  The serve loop picks the smallest
     #: class the step's actual maxima fit; anything larger runs the full
     #: capacity class.  iyw must stay a multiple of 16.
-    PLAN_CLASSES = ((112, 8, 128), (160, 16, 160), (192, 64, 192))
+    PLAN_CLASSES = ((112, 8, 128), (160, 16, 160), (224, 64, 192))
     #: Compact-PLC capacity: lossy steps whose pitch-regime loss count is
     #: <= this run the conceal on a compacted sub-batch (plc_exec
     #: make_plc_conceal_compact).  At 5% loss and B=1024 the count is

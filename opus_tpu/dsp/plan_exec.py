@@ -3,9 +3,10 @@
 Plane A (opus_tpu/native/celt_frontend.cpp, celt_fe_decode_batch_plan)
 walks the range-coded symbols and emits, per stream:
 
-* 2-word PVQ leaf records + a variable-width bit-packed stream of integer
-  PVQ pulse vectors, sorted by position in the band-transform
-  (deinterleaved) domain,
+* one-word PVQ leaf records (v4: no dst/plane — derived from the tiling
+  invariant — and no K — derived as sum(|iy|)) + a variable-width
+  bit-packed stream of integer PVQ pulse vectors, sorted by position in
+  the band-transform (deinterleaved) domain,
 * 3-word fill (fold/noise) leaf records with explicit LCG seeds
   (order-independent replay),
 * per-band records (interleave/haar config, stereo angle, fold source
@@ -57,7 +58,11 @@ _SPREAD_FACTOR = (15, 10, 5)
 #: "gather" (one merged element gather; kept for A/B and as the reference
 #: formulation).  Read once at import; set OPUS_TPU_LEAVES_FETCH to
 #: override.
-_LEAVES_FETCH = os.environ.get("OPUS_TPU_LEAVES_FETCH", "blockrow")
+_LEAVES_FETCH = os.environ.get("OPUS_TPU_LEAVES_FETCH", "blockrow").strip().lower()
+if _LEAVES_FETCH not in ("gather", "blockrow"):
+    raise ValueError(
+        f"OPUS_TPU_LEAVES_FETCH={_LEAVES_FETCH!r}: must be 'gather' or 'blockrow'"
+    )
 
 # Merged-view leaf types (oracle; the wire format splits the tables).
 LEAF_PVQ, LEAF_FOLD, LEAF_NOISE = 0, 1, 2
@@ -215,12 +220,17 @@ def band_transforms(n: int, b_frame: int, recombine: int, time_divide: int,
 
 # --- record parsing (numpy oracle side) -------------------------------------
 
-def parse_leaves(arena: np.ndarray, hdr: np.ndarray):
+def parse_leaves(arena: np.ndarray, hdr: np.ndarray, n_total: int,
+                 e_s: int, e_e: int):
     """Decode one stream's leaf tables -> merged dict of field arrays.
 
     hdr is the 4-word staging header {off, n_pvq|n_fill<<9|n_ac<<18,
     n_ac, iy_rel}.  The merged view (pvq leaves first, then fills)
-    carries per-leaf seeds explicitly."""
+    carries per-leaf seeds explicitly.  v4: pvq records are one u32
+    word and carry neither dst/plane (derived from the tiling
+    invariant, which needs the frame geometry: n_total = bins per
+    plane, e_s/e_e = coded span bounds in bins) nor K (derived as
+    sum(|iy|) after the pulse unpack)."""
     off, counts, iy_off = int(hdr[0]), int(hdr[1]), int(hdr[3])
     np_, nf = counts & 0x1FF, (counts >> 9) & 0x1FF
     na = counts >> 18
@@ -233,22 +243,18 @@ def parse_leaves(arena: np.ndarray, hdr: np.ndarray):
     width = np.zeros(nl, np.int64)
     bq = np.ones(nl, np.int64)
     norm2 = np.zeros(nl, np.int64)
-    k = np.ones(nl, np.int64)
     srcrel = np.zeros(nl, np.int64)
     gain = np.zeros(nl, np.float32)
     seeds = np.zeros(nl, np.uint32)
+    pb = np.zeros(nf, np.int64)
     for i in range(np_):
-        w0 = int(words[2 * i])
-        w1 = int(words[2 * i + 1])
-        dst[i] = w0 & 0x7FF
-        plane[i] = (w0 >> 11) & 1
-        n[i] = ((w0 >> 12) & 0xFF) + 1
-        width[i] = (w0 >> 20) & 0xF
-        bq[i] = ((w0 >> 24) & 0xF) + 1
-        k[i] = (w1 & 0xFF) + 1
-        gain[i] = f16_bits_to_f32(np.array([(w1 >> 16) & 0xFFFF], np.uint16))[0]
+        v = int(words[i])
+        n[i] = (v & 0xFF) + 1
+        width[i] = (v >> 8) & 0xF  # 0 = zero partition
+        bq[i] = ((v >> 12) & 0xF) + 1
+        gain[i] = f16_bits_to_f32(np.array([(v >> 16) & 0xFFFF], np.uint16))[0]
         typ[i] = LEAF_PVQ
-    pvq_words = 2 * np_
+    pvq_words = np_
     for j in range(nf):
         w0 = int(words[pvq_words + 3 * j])
         w1 = int(words[pvq_words + 3 * j + 1])
@@ -258,13 +264,25 @@ def parse_leaves(arena: np.ndarray, hdr: np.ndarray):
         n[i] = ((w0 >> 12) & 0xFF) + 1
         typ[i] = LEAF_NOISE if (w0 >> 20) & 1 else LEAF_FOLD
         norm2[i] = (w0 >> 21) & 1
+        pb[j] = (w0 >> 22) & 0x1FF
         srcrel[i] = w1 & 0x7FF
         gain[i] = f16_bits_to_f32(np.array([(w1 >> 16) & 0xFFFF], np.uint16))[0]
         seeds[i] = np.uint32(words[pvq_words + 3 * j + 2])
+    # Derive pvq dst/plane: exclusive length prefix + fills sorted before
+    # (pvq_before), mapped through the two-segment coded-span layout.
+    if np_:
+        fl = n[np_:nl]
+        excl = np.cumsum(n[:np_]) - n[:np_]
+        fb = ((pb[None, :] <= np.arange(np_)[:, None]) * fl[None, :]).sum(axis=1)
+        r = excl + fb
+        L0 = e_e - e_s
+        flat = np.where(r < L0, e_s + r, n_total + e_s + (r - L0))
+        plane[:np_] = flat >= n_total
+        dst[:np_] = flat - plane[:np_] * n_total
     ac = words[pvq_words + 3 * nf : pvq_words + 3 * nf + 2 * na].reshape(na, 2)
     iy_words = words[iy_off:]
     return dict(dst=dst, plane=plane, n=n, typ=typ, width=width, bq=bq,
-                norm2=norm2, k=k, srcrel=srcrel, gain=gain, seeds=seeds,
+                norm2=norm2, srcrel=srcrel, gain=gain, seeds=seeds,
                 acents=ac, iy_words=iy_words, n_pvq=np_)
 
 
@@ -274,8 +292,8 @@ def unpack_iy(leaves: dict) -> list:
     words = leaves["iy_words"].astype(np.uint32)
     bit = 0
     for li in range(leaves["dst"].size):
-        if leaves["typ"][li] != LEAF_PVQ:
-            out.append(None)
+        if leaves["typ"][li] != LEAF_PVQ or leaves["width"][li] == 0:
+            out.append(None)  # fill leaf or zero partition: no iy bits
             continue
         w = int(leaves["width"][li])
         n = int(leaves["n"][li])
@@ -316,7 +334,9 @@ def execute_plan_numpy(slot: dict, lm: int) -> np.ndarray:
         c_ = int(mt[3])
         spread = int(mt[13])
         hyb = int(mt[4]) == 17  # hybrid: eff offsets are e[17]-relative
-        lv = parse_leaves(arena, header[bi])
+        e_s = int(e[17]) if hyb else 0
+        e_e = int(e[min(max(int(mt[5]), 0), NB)])
+        lv = parse_leaves(arena, header[bi], n_total, e_s, e_e)
         iys = unpack_iy(lv)
         X = np.zeros((2, n_total), np.float64)
         norm = np.zeros((2, norm_len), np.float64)
@@ -332,11 +352,15 @@ def execute_plan_numpy(slot: dict, lm: int) -> np.ndarray:
             pl, dst, n = int(lv["plane"][li]), int(lv["dst"][li]), int(lv["n"][li])
             gain = float(lv["gain"][li])
             if t == LEAF_PVQ:
+                if int(lv["width"][li]) == 0:
+                    continue  # zero partition: X stays 0
                 iy = iys[li]
                 ryy = float(np.sum(iy.astype(np.float64) ** 2))
                 g = gain / math.sqrt(np.float32(ryy))
                 x = (g * iy).astype(np.float64)
-                rotate_leaf(x, n, int(lv["k"][li]), spread, int(lv["bq"][li]))
+                # v4: K is not on the wire — derive it from the pulses.
+                rotate_leaf(x, n, int(np.abs(iy).sum()), spread,
+                            int(lv["bq"][li]))
                 X[pl, dst : dst + n] = x
             elif t == LEAF_NOISE:
                 seed = int(leaf_seed[li])
@@ -532,7 +556,7 @@ def _valid_cfg(n: int, b_frame: int, rec: int, td: int) -> bool:
     return True
 
 
-def make_plan_executor(lm: int, batch: int, p_max: int = 192, f_max: int = 64,
+def make_plan_executor(lm: int, batch: int, p_max: int = 224, f_max: int = 64,
                        a_max: int = 42, stop_after: str | None = None,
                        iyw: int = PLAN_IYW, leaves_fetch: str | None = None):
     """Build the jitted plan executor for one frame shape.
@@ -552,13 +576,14 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, f_max: int = 64,
     interval-mask build, and field einsum scales linearly with them, so
     the serve loop compiles a small-class variant and picks per step
     from the slot's actual maxima (batch/pipeline.py PLAN_CLASSES) —
-    worst-case capacity (192/64/192) costs ~2x the gathered elements
+    worst-case capacity (224/64/192) costs ~2x the gathered elements
     and einsum FLOPs of what 96 kbps content needs (105/3/114 measured).
     iyw must be a multiple of 16 (the chunked one-hot fetch works in
     16-word windows)."""
     assert iyw % 16 == 0 and iyw <= PLAN_IYW
     if leaves_fetch is None:
         leaves_fetch = _LEAVES_FETCH
+    assert leaves_fetch in ("gather", "blockrow"), leaves_fetch
     m = 1 << lm
     n = m * modes.SHORT_MDCT_SIZE
     e = (modes.E_BANDS.astype(np.int64) * m).astype(np.int32)
@@ -603,11 +628,26 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, f_max: int = 64,
             span *= 2
         return Bv
 
+    # Fused Pallas rotation pass (dsp/pallas_rot.py): one VMEM-resident
+    # kernel instead of ~32 XLA memory passes per _rot_pass; the TPU
+    # default (bit-identical — same ops, same order).  The XLA ladder
+    # below stays the CPU/default-backend path and the
+    # OPUS_TPU_PALLAS_ROT=0 escape hatch.
+    _rot_env = os.environ.get("OPUS_TPU_PALLAS_ROT", "")
+    if _rot_env in ("0", "1"):
+        use_pallas_rot = _rot_env == "1"
+    else:
+        use_pallas_rot = jax.default_backend() == "tpu"
+
     def _rot_pass(x, cc, ss, k_pos, m_pos):
         """One exp_rotation1 pass over contiguous chains in x [B, n2].
 
         cc/ss: per-position pass coefficients; k_pos: index within chain;
         m_pos: chain length (1 = identity)."""
+        if use_pallas_rot:
+            from .pallas_rot import pallas_rot_pass
+
+            return pallas_rot_pass(x, cc, ss, k_pos, m_pos)
         first = k_pos == 0
         last = k_pos == m_pos - 1
         a = jnp.where(first, 0.0, ss)
@@ -656,10 +696,10 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, f_max: int = 64,
         # Rows read past a stream's records into neighbours' data; every
         # downstream use is masked by `valid` / flatdst>=n2, and the f16
         # gain is zeroed explicitly (garbage halfwords can decode to NaN).
-        pvq_words = 2 * n_pvq
+        pvq_words = n_pvq  # one u32 per record (v4)
         fill_off = hdr_off + pvq_words
         ac_off = fill_off + 3 * n_fill
-        s0 = 2 * p_max
+        s0 = p_max
         s1 = s0 + 3 * f_max
         s2 = s1 + 2 * a_max
         W = s2 + iyw
@@ -668,7 +708,7 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, f_max: int = 64,
             iy_w0 = hdr_off + iy_rel
             idx = jnp.concatenate(
                 [st[:, None] + jnp.arange(w)[None, :]
-                 for st, w in ((hdr_off, 2 * p_max), (fill_off, 3 * f_max),
+                 for st, w in ((hdr_off, s0), (fill_off, 3 * f_max),
                                (ac_off, 2 * a_max), (iy_w0, iyw))],
                 axis=1,
             )
@@ -700,27 +740,32 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, f_max: int = 64,
                     x = jnp.where(bit[:, None], jnp.roll(x, -(1 << k), axis=1), x)
                 return x
 
+            # PRECONDITION (barrel == gather equivalence): each shift must
+            # fit its declared max — pvq_words <= s0, 3*n_fill <=
+            # 3*f_max, iy_rel <= s2 — or high shift bits are silently
+            # dropped and the modes produce DIFFERENTLY-wrong tables.
+            # Guaranteed today by the native capacity guard + the serve
+            # loop's class-fit pick (_plan_size_class); a sub-capacity
+            # executor built without that check is out of contract.
             base = _barrel(xw, hdr_off & 255, 255)
-            fill_x = _barrel(base, pvq_words, 2 * p_max)
+            fill_x = _barrel(base, pvq_words, s0)
             ac_x = _barrel(fill_x, 3 * n_fill, 3 * f_max)
             iy_x = _barrel(base, iy_rel, s2)
             merged = jnp.concatenate(
                 [base[:, :s0], fill_x[:, :3 * f_max],
                  ac_x[:, :2 * a_max], iy_x[:, :iyw]], axis=1)
 
-        # ---- pvq leaf table [B, P] (2-word records) ----
+        # ---- pvq leaf table [B, P] (one-word records, v4) ----
+        # dst/plane are NOT on the wire (derived below from the tiling
+        # invariant) and neither is K (derived as sum(|iy|) after the
+        # pulse unpack — see the rotation-parameter block there).
         p = jnp.arange(p_max)[None, :]
         valid = p < n_pvq[:, None]
-        rec = merged[:, :s0].reshape(B, p_max, 2)
-        w0 = rec[:, :, 0]
-        w1 = rec[:, :, 1]
-        dst = (w0 & 0x7FF).astype(jnp.int32)
-        plane = ((w0 >> 11) & 1).astype(jnp.int32)
-        ln = ((w0 >> 12) & 0xFF).astype(jnp.int32) + 1
-        wid = ((w0 >> 20) & 0xF).astype(jnp.int32)
-        bq = ((w0 >> 24) & 0xF).astype(jnp.int32) + 1
-        kk = (w1 & 0xFF).astype(jnp.int32) + 1
-        gain = jnp.where(valid, _f16_to_f32_j((w1 >> 16) & 0xFFFF), 0.0)
+        vcat = merged[:, :s0]  # [B, p_max] u32, one record per word
+        ln = (vcat & 0xFF).astype(jnp.int32) + 1
+        wid = ((vcat >> 8) & 0xF).astype(jnp.int32)  # 0 = zero partition
+        bq = ((vcat >> 12) & 0xF).astype(jnp.int32) + 1
+        gain = jnp.where(valid, _f16_to_f32_j((vcat >> 16) & 0xFFFF), 0.0)
 
         iyb = jnp.where(valid, ln * wid, 0)
         iybase = jnp.cumsum(iyb, axis=1) - iyb
@@ -737,12 +782,39 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, f_max: int = 64,
         fln = ((fw0 >> 12) & 0xFF).astype(jnp.int32) + 1
         fnoise = ((fw0 >> 20) & 1).astype(jnp.int32)
         fnorm2 = ((fw0 >> 21) & 1).astype(jnp.int32)
+        fpb = ((fw0 >> 22) & 0x1FF).astype(jnp.int32)
         fsrc = (fw1 & 0x7FF).astype(jnp.int32)
         fgain = jnp.where(fvalid, _f16_to_f32_j((fw1 >> 16) & 0xFFFF), 0.0)
 
+        # ---- derive pvq flatdst from the tiling invariant ----
+        # pvq + zero + fill leaves jointly tile each coded plane
+        # contiguously from e[start] (plane A emits w==0 zero-partition
+        # leaves so the !fill memset path leaves no holes), so a pvq
+        # leaf's coded rank is its exclusive length prefix plus the
+        # lengths of the fills sorted before it (the fills' pvq_before
+        # field); rank -> flat position is a two-segment affine map.
+        ln_z = jnp.where(valid, ln, 0)
+        excl = jnp.cumsum(ln_z, axis=1) - ln_z
+        fln_z = jnp.where(fvalid, fln, 0)
+        pb_mask = (jnp.arange(p_max)[None, :, None] >= fpb[:, None, :]).astype(
+            jnp.float32
+        )
+        fb_ = jnp.einsum("bpf,bf->bp", pb_mask, fln_z.astype(jnp.float32),
+                         preferred_element_type=jnp.float32,
+                         precision="highest").astype(jnp.int32)
+        r_rank = excl + fb_
+        e_s = jnp.where(meta[:, 4] == 17, jnp.int32(int(e[17])), 0)[:, None]
+        e_e = jnp.take(jnp.asarray(e), jnp.clip(meta[:, 5], 0, NB))[:, None]
+        L0 = e_e - e_s
+        flatdst = jnp.where(
+            valid,
+            jnp.where(r_rank < L0, e_s + r_rank, n + e_s + (r_rank - L0)),
+            n2,
+        )
+
         if stop_after == "leaves":
             return (jnp.sum(gain) + jnp.sum(fgain)
-                    + jnp.sum((dst + plane + ln + wid + bq + kk + iybase
+                    + jnp.sum((flatdst + ln + wid + bq + iybase
                                ).astype(jnp.float32))
                     + jnp.sum((fdst + fplane + fln + fnoise + fnorm2 + fsrc
                                ).astype(jnp.float32))
@@ -756,15 +828,10 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, f_max: int = 64,
         # gathers (slow per-element fetches on TPU) AND the scatter-based
         # position->leaf map.  Zero-adds are exact in f32, every integer
         # field is < 2^24, and u32 seeds ride as two 16-bit halves.
+        # (the k-dependent rotation fields — active/cos/sin — are derived
+        # AFTER the iy unpack, since v4 ships no K; see the rotation-
+        # parameter block past the normalise stage)
         sp_f = spread[:, None].astype(jnp.int32)
-        factor = jnp.take(
-            jnp.asarray(np.array([15, 15, 10, 5], np.int32)), jnp.clip(sp_f, 0, 3)
-        )
-        active = (2 * kk < ln) & (sp_f > 0) & valid
-        gr = ln.astype(jnp.float32) / (ln + factor * kk).astype(jnp.float32)
-        th = 0.5 * gr * gr
-        c_l = jnp.cos(0.5 * jnp.pi * th)
-        s_l = jnp.cos(0.5 * jnp.pi * (1.0 - th))
         L_l = ln // bq
         st2 = jnp.ones_like(ln)
         for t in range(1, 15):
@@ -773,14 +840,13 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, f_max: int = 64,
 
         f32 = lambda t: t.astype(jnp.float32)  # noqa: E731
         pos3 = jnp.arange(n2)[None, :, None]
-        flatdst = jnp.where(valid, plane * n + dst, n2)
         startP = flatdst[:, None, :]
         inP = ((startP <= pos3) & (pos3 < startP + ln[:, None, :])).astype(
             jnp.float32
         )
         fieldsP = jnp.stack(
             [f32(flatdst), f32(ln), f32(wid), f32(iybase), gain,
-             f32(active), f32(L_l), f32(st2), c_l, s_l, f32(bq),
+             f32(L_l), f32(st2), f32(bq),
              jnp.ones_like(gain)],
             axis=-1,
         )
@@ -793,13 +859,10 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, f_max: int = 64,
         wid_p = i32v(2)
         iyb_p = i32v(3)
         gain_p = valsP[:, :, 4]
-        act_p = valsP[:, :, 5] > 0.5
-        L_p = jnp.maximum(i32v(6), 1)
-        st2_p = i32v(7)
-        c_p = valsP[:, :, 8]
-        s_p = valsP[:, :, 9]
-        bq_p = jnp.maximum(i32v(10), 1)
-        cov = valsP[:, :, 11] > 0.5
+        L_p = jnp.maximum(i32v(5), 1)
+        st2_p = i32v(6)
+        bq_p = jnp.maximum(i32v(7), 1)
+        cov = valsP[:, :, 8] > 0.5
         rel = pos - fd_p
 
         fflat = jnp.where(fvalid, fplane * n + fdst, n2)
@@ -894,18 +957,45 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 192, f_max: int = 64,
             return (jnp.sum(iy.astype(jnp.float32)) + jnp.sum(gain_p)
                     + jnp.sum(fcov) + jnp.sum(fln_p.astype(jnp.float32)))
 
-        # ---- pvq normalise ----
+        # ---- pvq normalise (+ per-leaf K recovery) ----
         # Per-leaf Ryy via the interval masks: sums of integer squares
         # (<= K^2 = 16384 per leaf) are EXACT in a true-f32 matmul (every
-        # partial sum < 2^24) — no cumsum, no gathers.
+        # partial sum < 2^24) — no cumsum, no gathers.  The same einsum
+        # recovers K = sum(|iy|) (exact: K <= 256 < 2^24), which v4 no
+        # longer ships on the wire; K feeds the rotation parameters.
         iyf = iy.astype(jnp.float32)
-        ryy = jnp.einsum("bn,bnp->bp", iyf * iyf, inP,
-                         preferred_element_type=jnp.float32,
-                         precision="highest")
+        aiy = jnp.abs(iyf)
+        rk = jnp.einsum("bfn,bnp->bfp",
+                        jnp.stack([iyf * iyf, aiy], axis=1), inP,
+                        preferred_element_type=jnp.float32,
+                        precision="highest")
+        ryy = rk[:, 0]
+        kk = rk[:, 1].astype(jnp.int32)
         gl = gain / jnp.sqrt(jnp.maximum(ryy, 1e-30))
         x = iyf * jnp.einsum("bnp,bp->bn", inP, gl,
                              preferred_element_type=jnp.float32,
                    precision="highest")
+
+        # ---- rotation parameters (k-dependent leaf fields -> planes) ----
+        # active = 2K < N with spreading on; gain_r = N/(N + factor*K);
+        # cos/sin from celt/vq.py exp_rotation.  A second small position
+        # einsum broadcasts the three k-dependent fields (the rest of the
+        # leaf fields rode the main fieldsP einsum above).
+        factor = jnp.take(
+            jnp.asarray(np.array([15, 15, 10, 5], np.int32)), jnp.clip(sp_f, 0, 3)
+        )
+        active = (2 * kk < ln) & (sp_f > 0) & valid
+        gr = ln.astype(jnp.float32) / (ln + factor * kk).astype(jnp.float32)
+        th = 0.5 * gr * gr
+        c_l = jnp.cos(0.5 * jnp.pi * th)
+        s_l = jnp.cos(0.5 * jnp.pi * (1.0 - th))
+        rotP = jnp.einsum("bnp,bpf->bnf", inP,
+                          jnp.stack([f32(active), c_l, s_l], axis=-1),
+                          preferred_element_type=jnp.float32,
+                          precision="highest")
+        act_p = rotP[:, :, 0] > 0.5
+        c_p = rotP[:, :, 1]
+        s_p = rotP[:, :, 2]
 
         if stop_after == "norm":
             return jnp.sum(x) + jnp.sum(fcov) + jnp.sum(fln_p.astype(jnp.float32))

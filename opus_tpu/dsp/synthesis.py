@@ -800,7 +800,7 @@ def make_plan_serving_step(lm: int, batch: int, channels: int = 2,
                            pf_active: bool = True, arena_words: int = 0,
                            with_plc: bool | int = False, silk_mix: bool = False,
                            silk_rows: int = 0, silk_internal: bool = False,
-                           size_class: tuple = (192, 64, 192)):
+                           size_class: tuple = (224, 64, 192)):
     """Serving step over a plan-executor slot (opus_tpu/dsp/plan_exec.py).
 
     Same contract as make_serving_step, but the uploaded buffer holds

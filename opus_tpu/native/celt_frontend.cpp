@@ -802,12 +802,22 @@ static uint32_t isqrt32(uint32_t v) {
 // Reference anchor: the PVQ decode contract /root/reference/src/celt/pvc.rs
 // :156-284 (cwrsi stays on host; everything after it moves on device).
 //
-// Record formats, v2 (contract shared with opus_tpu/dsp/plan_exec.py):
-//   pvq leaf (2 words, sorted by (plane, dst)):
-//     w0: dst[0:11] | plane[11] | (n-1)[12:20] | w[20:24] | (Bq-1)[24:28]
-//     w1: (K-1)[0:8] | gain_f16[16:32]
+// Record formats, v4 (contract shared with opus_tpu/dsp/plan_exec.py):
+//   pvq leaf: ONE u32 word per record, sorted by (plane, dst).
+//   dst/plane are NOT shipped: the leaves (pvq + zero + fill) tile each
+//   coded plane contiguously from e[start], so the device derives
+//   flatdst from the record lengths + the fills' pvq_before field (see
+//   plan_exec.py make_plan_executor).  K is NOT shipped either: the
+//   device derives it as sum(|iy|) from the pulse vector it unpacks
+//   anyway.  Zero partitions (the !fill memset path) emit w==0 records
+//   so the tiling has no holes.
+//     bits [0:8]   n-1
+//     bits [8:12]  w       (0 = zero partition: no iy bits, gain 0)
+//     bits [12:16] Bq-1
+//     bits [16:32] gain_f16
 //   fill leaf (3 words, sorted by (plane, dst)):
 //     w0: dst[0:11] | plane[11] | (n-1)[12:20] | is_noise[20] | norm2[21]
+//         | pvq_before[22:31]  (# pvq/zero leaves sorted before this fill)
 //     w1: srcrel[0:11] | gain_f16[16:32]  (srcrel only for folds)
 //     w2: lcg seed *before* the leaf's first lcg_rand call
 //   band (2 words x 21, STAGING only — the uploaded form packs w0 as-is
@@ -817,7 +827,7 @@ static uint32_t isqrt32(uint32_t v) {
 //     w1: cmask0[0:8] | cmask1[8:16] | eff_lowband[16:27] (0x7FF = none)
 //   acent (2 words): w0: band[0:5] | ch[5] | mask[8:16] | r_f16[16:32]
 //                    w1: lcg seed at this record's first draw
-// Per-stream arena layout: [pvq 2w records][fill 3w records][acents 2w]
+// Per-stream arena layout: [pvq 1w records][fill 3w records][acents 2w]
 //   [iy words].
 // iy: little-endian bit stream of per-leaf w-bit offset-binary pulses,
 //   in sorted pvq-leaf order.
@@ -843,10 +853,10 @@ static uint32_t f32_to_f16_bits(float f) {
 
 struct PlanSink {
     struct PvqLeaf {
-        uint32_t w0, w1;
-        int iy_off;    // offset into iy_store
-        int n, w;
-        int key;  // (plane << 11) | dst for sorting
+        int n, w, bq;      // w == 0 marks a zero partition
+        uint32_t gain16;
+        int iy_off;        // offset into iy_store
+        int key;           // (plane << 11) | dst for sorting
     };
     struct FillLeaf {
         uint32_t w0, w1, seed;
@@ -905,15 +915,42 @@ struct PlanSink {
             return;
         }
         PvqLeaf lf;
-        lf.w0 = (uint32_t)dst | ((uint32_t)plane << 11) |
-                ((uint32_t)(n - 1) << 12) | ((uint32_t)w << 20) |
-                ((uint32_t)(bq - 1) << 24);
-        lf.w1 = (uint32_t)(k - 1) | (f32_to_f16_bits(gain) << 16);
-        lf.iy_off = (int)iy_store.size();
         lf.n = n;
         lf.w = w;
+        lf.bq = bq;
+        lf.gain16 = f32_to_f16_bits(gain);
+        lf.iy_off = (int)iy_store.size();
         lf.key = (plane << 11) | dst;
         iy_store.insert(iy_store.end(), iy, iy + n);
+        pvq.push_back(lf);
+    }
+
+    // Zero partition (quant_partition's !fill memset path): emitted so
+    // the leaf tiling stays contiguous — the device derives every pvq
+    // leaf's dst from the cumulative record lengths.  Adjacent zero
+    // partitions merge into one record (recursion emits them in
+    // position order) to bound the leaf-count inflation.
+    void emit_zero(const float* x, int n) {
+        int plane, dst;
+        if (!locate(x, &plane, &dst) || n > 256) {
+            overflow = true;
+            return;
+        }
+        int key = (plane << 11) | dst;
+        if (!pvq.empty()) {
+            PvqLeaf& prev = pvq.back();
+            if (prev.w == 0 && prev.key + prev.n == key && prev.n + n <= 256) {
+                prev.n += n;
+                return;
+            }
+        }
+        PvqLeaf lf;
+        lf.n = n;
+        lf.w = 0;
+        lf.bq = 1;
+        lf.gain16 = 0;
+        lf.iy_off = (int)iy_store.size();
+        lf.key = key;
         pvq.push_back(lf);
     }
 
@@ -966,7 +1003,7 @@ struct PlanSink {
         acents.push_back(seed);
     }
 
-    int pvq_words() const { return 2 * (int)pvq.size(); }
+    int pvq_words() const { return (int)pvq.size(); }  // one u32 per record (v4)
     int iy_bits() const {
         int64_t bits = 0;
         for (auto& l : pvq) bits += (int64_t)l.n * l.w;
@@ -989,9 +1026,21 @@ struct PlanSink {
                   [](const FillLeaf& a, const FillLeaf& b) { return a.key < b.key; });
         int np = (int)pvq.size();
         int32_t* pw = dst;
+        // pvq records: one u32 word each, sorted order (v4).
         for (int i = 0; i < np; i++) {
-            *pw++ = (int32_t)pvq[order[i]].w0;
-            *pw++ = (int32_t)pvq[order[i]].w1;
+            const PvqLeaf& lf = pvq[order[i]];
+            *pw++ = (int32_t)((uint32_t)(lf.n - 1) | ((uint32_t)lf.w << 8) |
+                              ((uint32_t)(lf.bq - 1) << 12) |
+                              ((uint32_t)lf.gain16 << 16));
+        }
+        // fills: stamp pvq_before (count of sorted pvq leaves whose key
+        // precedes this fill) so the device can order the merged tiling.
+        {
+            size_t pi = 0;
+            for (auto& f : fills) {
+                while (pi < order.size() && pvq[order[pi]].key < f.key) pi++;
+                f.w0 = (f.w0 & ~(0x1FFu << 22)) | (((uint32_t)pi & 0x1FF) << 22);
+            }
         }
         for (auto& f : fills) {
             *pw++ = (int32_t)f.w0;
@@ -999,11 +1048,13 @@ struct PlanSink {
             *pw++ = (int32_t)f.seed;
         }
         for (uint32_t a : acents) *pw++ = (int32_t)a;
-        // iy bit stream in sorted pvq-leaf order.
+        // iy bit stream in sorted pvq-leaf order (w==0 zero leaves ship
+        // no bits).
         uint64_t cur = 0;
         int nbits = 0;
         for (int i = 0; i < np; i++) {
             const PvqLeaf& lf = pvq[order[i]];
+            if (lf.w == 0) continue;
             uint32_t bias = 1u << (lf.w - 1);
             uint32_t msk = (1u << lf.w) - 1;
             for (int j = 0; j < lf.n; j++) {
@@ -1222,6 +1273,9 @@ static uint32_t quant_partition(BandCtx& ctx, float* x, int n, int64_t b, int B,
     fill &= cm_mask;
     uint32_t cm = 0;
     if (!fill) {
+        // Zero partition: emit a w==0 leaf so the plan's tiling stays
+        // contiguous (the device derives pvq dst from cumulative lengths).
+        if (ctx.plan) ctx.plan->emit_zero(x, n);
         if (!ctx.plan_skip) std::memset(x, 0, n * sizeof(float));
     } else {
         if (ctx.plan) ctx.plan->emit_fill(x, n, gain, lowband, ctx.seed);
@@ -2251,7 +2305,7 @@ extern "C" {
 // Plan-mode batch decode: emits the plan-executor slot regions instead of
 // a packed spectrum.  header [B,4] = {arena_word_off,
 // n_pvq | n_fill<<9 | n_acents<<18, n_acents, iy_word_off_rel};
-// per-stream arena layout [pvq 48-bit][fill 3w][acents 2w][iy].
+// per-stream arena layout [pvq 1w][fill 3w][acents 2w][iy].
 // Returns n_packets, -(i+1) on a stream error, or -(n_packets+1) when the
 // arena capacity is exceeded (caller falls back to a spectral mode).
 // xdbg (optional, may be null): f32 debug spectra like the f32 batch path,
@@ -2356,7 +2410,7 @@ int celt_fe_decode_batch_plan(void** handles, const uint8_t* data, const int32_t
         // PLAN_IYW): exceeding any is a fallback, with state restored.
         int64_t iyb = 0;
         for (auto& lf : sink.pvq) iyb += (int64_t)lf.n * lf.w;
-        if (np > 192 || nf > 64 || na > 42 || (iyb + 31) / 32 > 191) {
+        if (np > 224 || nf > 64 || na > 42 || (iyb + 31) / 32 > 191) {
             restore_all();
             return -(n_packets + 1);
         }
@@ -2483,7 +2537,7 @@ int64_t celt_fe_plan_headers(int n, int32_t* header, int64_t arena_words) {
         // can restore decoder state before re-decoding spectrally.
         int64_t iyb = 0;
         for (auto& lf : sink.pvq) iyb += (int64_t)lf.n * lf.w;
-        if (np > 192 || nf > 64 || na > 42 || (iyb + 31) / 32 > 191) return -1;
+        if (np > 224 || nf > 64 || na > 42 || (iyb + 31) / 32 > 191) return -1;
         header[i * 4 + 0] = (int32_t)total;
         header[i * 4 + 1] = np | (nf << 9) | (na << 18);
         header[i * 4 + 2] = na;

@@ -372,7 +372,7 @@ class NativeBatchFrontEnd:
         if rc != B:
             raise ValueError(f"native plan decode failed at stream {-rc - 1}")
         counts = slot["header"][:, 1]
-        if (int((counts & 0x1FF).max(initial=0)) > 192
+        if (int((counts & 0x1FF).max(initial=0)) > 224
                 or int(((counts >> 9) & 0x1FF).max(initial=0)) > 64
                 or int((counts >> 18).max(initial=0)) > 42):
             # The native header pass enforces these SAME capacities
@@ -1056,12 +1056,14 @@ def check_plan_iy_span(slot: dict) -> np.ndarray:
 
     hdr = slot["header"]
     n_pvq = hdr[:, 1] & 0x1FF
-    ridx = hdr[:, 0:1].astype(np.int64) + 2 * np.arange(192, dtype=np.int64)[None, :]
+    # v4: one u32 word per pvq record; ln at [0:8], w at [8:12].
+    p = np.arange(224, dtype=np.int64)
+    ridx = hdr[:, 0:1].astype(np.int64) + p[None, :]
     au32 = slot["arena"].view(np.uint32)  # >> on i32 would sign-extend
     w0 = au32[np.clip(ridx, 0, au32.shape[0] - 1)]
-    rln = (w0 >> 12 & 0xFF).astype(np.int64) + 1
-    rwid = (w0 >> 20 & 0xF).astype(np.int64)
-    bits = np.where(np.arange(192)[None, :] < n_pvq[:, None], rln * rwid, 0)
+    rln = (w0 & 0xFF).astype(np.int64) + 1
+    rwid = ((w0 >> 8) & 0xF).astype(np.int64)
+    bits = np.where(p[None, :] < n_pvq[:, None], rln * rwid, 0)
     iy_words = -(-bits.sum(axis=1) // 32)
     if int(iy_words.max(initial=0)) > PLAN_IYW - 1:
         raise OverflowError("plan iy span exceeds executor fetch window")

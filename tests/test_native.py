@@ -625,8 +625,9 @@ def test_plan_iy_span_guard():
         off, counts = int(hdr[b, 0]), int(hdr[b, 1])
         bits = 0
         for p in range(counts & 0x1FF):
-            w0 = int(au32[off + 2 * p])
-            bits += ((w0 >> 12 & 0xFF) + 1) * (w0 >> 20 & 0xF)
+            # v4: one u32 word per record, n-1 at bits [0:8], w at [8:12]
+            v = int(au32[off + p])
+            bits += ((v & 0xFF) + 1) * ((v >> 8) & 0xF)
         assert int(spans[b]) == (bits + 31) // 32
     assert 0 < int(spans.max()) <= pe.PLAN_IYW - 1  # 128 kbps fits the window
     old = pe.PLAN_IYW
