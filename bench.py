@@ -238,7 +238,12 @@ def main() -> None:
     # variants (plan/p10/lossy/mixed/multistream); cold they eat most of
     # the wall budget and the optional rows record 0.0.  A warm cache
     # (any earlier run this machine-image) spends the budget measuring.
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/opus_tpu_jax_cache")
+    # Machine-keyed cache dir: a cache replayed across machine classes
+    # can hand XLA object code compiled for other ISA features (SIGILL
+    # risk — MULTICHIP_r04's warning); see opus_tpu/cachedir.py.
+    from opus_tpu.cachedir import jax_cache_dir
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", jax_cache_dir())
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
     from opus_tpu import oracle, parse_packet
     from opus_tpu.batch.pipeline import BatchedCeltDecoder

@@ -27,7 +27,17 @@ for _k in [k for k in os.environ if "AXON" in k.upper()]:
 # Persistent XLA compilation cache: the serving-step compiles dominate
 # suite wall-clock (test_mixed_plan alone cost 10+ min cold in round 3);
 # a warm cache turns reruns into O(seconds) per step variant.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/opus_tpu_jax_cache")
+# Load the machine-sig helper BY PATH: importing the opus_tpu package
+# here would pull jax in before the env above is effective.
+import importlib.util as _ilu  # noqa: E402
+
+_spec = _ilu.spec_from_file_location(
+    "_opus_tpu_cachedir",
+    os.path.join(os.path.dirname(__file__), "..", "opus_tpu", "cachedir.py"),
+)
+_cachedir = _ilu.module_from_spec(_spec)
+_spec.loader.exec_module(_cachedir)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cachedir.jax_cache_dir())
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 # The env vars above are too late when the ambient sitecustomize
