@@ -33,7 +33,6 @@ def main():
     from opus_tpu import oracle
     from opus_tpu.packet import parse_packet
     from opus_tpu.native.frontend import NativeBatchFrontEnd
-    from opus_tpu.dsp import plan_exec
     from opus_tpu.dsp.plan_exec import make_plan_executor, plan_executor_args
 
     B, F = 1024, 960
