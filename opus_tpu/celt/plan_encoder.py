@@ -81,8 +81,10 @@ _W_SIDE = (0.5, 0.5, -1.0)  # .7071(y-x): energy same as (x-y)
 
 
 def _itheta_from(emid: float, eside: float) -> int:
-    mid = math.sqrt(EPS + emid)
-    side = math.sqrt(EPS + eside)
+    # f32 cell-stat cancellation can push a tiny true energy (near-
+    # identical channels: .5Ex+.5Ey-Exy) slightly negative — clamp.
+    mid = math.sqrt(EPS + max(0.0, emid))
+    side = math.sqrt(EPS + max(0.0, eside))
     return int(math.floor(0.5 + 16384 * 0.63662 * math.atan2(side, mid)))
 
 

@@ -22,8 +22,15 @@ same order, f32 throughout), so results are BIT-IDENTICAL; the
 backward scan runs right-to-left directly (left-rolls) instead of
 flip+scan+flip, which composes the same products elementwise.
 Equivalence is gated in interpreter mode on CPU
-(tests/test_pallas_rot.py) and the XLA ladder remains the CPU/default
-implementation and the OPUS_TPU_PALLAS_ROT=0 escape hatch.
+(tests/test_pallas_rot.py).
+
+MEASURED RESULT (tools/tpu_rotbench.py, 2026-08-20 window, contended):
+bit-exact on real TPU (max_abs 0.0) but NOT faster — full executor
+33.7 -> 51.8 ms (cls112) / 29.1 -> 35.9 ms (full capacity).  XLA:TPU
+already fuses the ladder's elementwise passes well, and this kernel
+pays ~32 sequential small grid steps.  The XLA ladder stays the
+default everywhere; OPUS_TPU_PALLAS_ROT=1 opts in (kept for future
+A/Bs with bigger row blocks / fewer live planes).
 """
 
 from __future__ import annotations

@@ -629,15 +629,14 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 224, f_max: int = 64,
         return Bv
 
     # Fused Pallas rotation pass (dsp/pallas_rot.py): one VMEM-resident
-    # kernel instead of ~32 XLA memory passes per _rot_pass; the TPU
-    # default (bit-identical — same ops, same order).  The XLA ladder
-    # below stays the CPU/default-backend path and the
-    # OPUS_TPU_PALLAS_ROT=0 escape hatch.
-    _rot_env = os.environ.get("OPUS_TPU_PALLAS_ROT", "")
-    if _rot_env in ("0", "1"):
-        use_pallas_rot = _rot_env == "1"
-    else:
-        use_pallas_rot = jax.default_backend() == "tpu"
+    # kernel instead of ~32 XLA memory passes per _rot_pass.  MEASURED
+    # NOT-FASTER on TPU (tools/tpu_rotbench.py 2026-08-20: bit-exact,
+    # max_abs 0.0, but full executor 33.7 -> 51.8 ms at cls112 /
+    # 29.1 -> 35.9 ms at full cap under a contended window) — XLA's
+    # fused elementwise ladders already amortize the HBM passes here,
+    # and the kernel pays 32 sequential tiny grid steps.  Default OFF;
+    # OPUS_TPU_PALLAS_ROT=1 opts in for future A/Bs.
+    use_pallas_rot = os.environ.get("OPUS_TPU_PALLAS_ROT", "") == "1"
 
     def _rot_pass(x, cc, ss, k_pos, m_pos):
         """One exp_rotation1 pass over contiguous chains in x [B, n2].

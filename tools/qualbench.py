@@ -253,6 +253,43 @@ def main() -> None:
             if not args.json:
                 print(f"{name:12s} {kbps:3d}k music  ours {so:6.2f}  libopus {sl:6.2f}  gap {so - sl:+6.2f}")
 
+    # TPU-plane (plan) encoder rows: the batched device encoder's v1
+    # static scope (spread/tf/prefilter/transients off) costs quality on
+    # some content — keep the gap measured next to the host rows.
+    if not args.signals or "plan" in args.signals:
+        try:
+            from opus_tpu.batch.encode_pipeline import BatchedPlanEncoder
+
+            for name in ("tones", "castanet", "real_music"):
+                if name not in corpus:
+                    continue
+                stereo = stereoize(corpus[name])
+                refm = stereo.astype(np.float64).mean(-1)
+                for kbps in (64, 96):
+                    enc = BatchedPlanEncoder(1, 2, kbps * 1000)
+                    dec = oracle.Decoder(FS, 2)
+                    out = [
+                        dec.decode_float(
+                            enc.encode_step(stereo[None, f * FRAME : (f + 1) * FRAME])[0],
+                            FRAME)
+                        for f in range(NF)
+                    ]
+                    got = np.concatenate(out).mean(-1)
+                    lib = run_libopus(stereo, kbps).mean(-1)
+                    so = best_snr(refm, got)
+                    sl = best_snr(refm, lib)
+                    rows.append({"signal": name, "kbps": kbps,
+                                 "mode": "music_tpu_plan",
+                                 "ours_db": round(so, 2),
+                                 "libopus_db": round(sl, 2),
+                                 "gap_db": round(so - sl, 2)})
+                    if not args.json:
+                        print(f"{name:12s} {kbps:3d}k plan   ours {so:6.2f}  "
+                              f"libopus {sl:6.2f}  gap {so - sl:+6.2f}")
+        except Exception as e:
+            if not args.json:
+                print(f"plan rows skipped: {e}")
+
     if args.voice:
         for name in ("speech_like", "tones"):
             mono = corpus[name]
@@ -268,10 +305,16 @@ def main() -> None:
                 if not args.json:
                     print(f"{name:12s} {kbps:3d}k voice  ours {so:6.2f}  libopus {sl:6.2f}  gap {so - sl:+6.2f}")
 
-    gaps = [r["gap_db"] for r in rows]
+    gaps = [r["gap_db"] for r in rows if r["mode"] == "music"]
     summary = {"mean_gap_db": round(float(np.mean(gaps)), 2),
                "min_gap_db": round(float(np.min(gaps)), 2),
                "rows": len(rows)}
+    plan_gaps = [r["gap_db"] for r in rows if r["mode"] == "music_tpu_plan"]
+    if plan_gaps:
+        # the TPU-plane (v1 static scope) rows get their own summary so
+        # the host-encoder headline stays comparable across rounds
+        summary["tpu_plan_mean_gap_db"] = round(float(np.mean(plan_gaps)), 2)
+        summary["tpu_plan_min_gap_db"] = round(float(np.min(plan_gaps)), 2)
     if args.json:
         print(json.dumps({"summary": summary, "rows": rows}))
     else:

@@ -24,7 +24,7 @@
 cd "$(dirname "$0")/.."
 # Rotate stale logs from previous runs so their "done" markers cannot
 # gate-skip the refreshes we are here to run (ADVICE r4).
-for f in /tmp/tpu_rotbench.jsonl /tmp/tpu_plcbench.jsonl; do
+for f in /tmp/tpu_rotbench.jsonl /tmp/tpu_plcbench.jsonl /tmp/tpu_encbench.jsonl; do
   if [ -f "$f" ]; then mv "$f" "$f.$(date +%Y%m%d%H%M%S)"; fi
 done
 BUDGET=${TPU_SUP_BUDGET_S:-36000}
@@ -37,6 +37,11 @@ while [ "$(date +%s)" -lt "$END" ]; do
     if [ -f tools/tpu_plcbench.py ] \
        && ! grep -q '"phase": "done"' /tmp/tpu_plcbench.jsonl 2>/dev/null; then
       timeout 2400 python tools/tpu_plcbench.py >> /tmp/tpu_sup.out 2>&1
+      continue
+    fi
+    if [ -f tools/tpu_encbench.py ] \
+       && ! grep -q '"phase": "done"' /tmp/tpu_encbench.jsonl 2>/dev/null; then
+      timeout 2400 python tools/tpu_encbench.py >> /tmp/tpu_sup.out 2>&1
       continue
     fi
     timeout 900 python bench.py > /tmp/bench_tpu_warmup.json 2>> /tmp/tpu_sup.out
