@@ -15,9 +15,16 @@ import sys
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# The suite is correctness-only (perf numbers come from bench.py and
+# tools/, which do NOT load this conftest): compile the test graphs at
+# XLA:CPU optimization level 0 — measured 2.1x faster cold compiles on
+# the heaviest serving-step test (60.7 -> 28.4 s) with all gates green.
+# A/B-style bit-exactness tests compare functions compiled under the
+# SAME level, so their discipline is unaffected.
+if "xla_backend_optimization_level" not in flags:
+    flags = flags + " --xla_backend_optimization_level=0"
+os.environ["XLA_FLAGS"] = flags
 # A wedged axon transport can hang device discovery even with
 # JAX_PLATFORMS=cpu (the plugin registers at sitecustomize time, before
 # this file runs); drop its trigger variables too.
