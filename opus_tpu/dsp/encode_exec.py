@@ -236,8 +236,8 @@ def make_encode_search(lm: int, batch: int, channels: int,
         xy = jnp.sum(ax * iy, axis=-1)
         yy = jnp.sum(iy * iy, axis=-1)
 
-        def body(t, carry):
-            iy, xy, yy, left = carry
+        def body(carry):
+            t, iy, xy, yy, left = carry
             act = left > 0
             yy_ = jnp.where(act, yy + 1.0, yy)
             num = (xy[:, :, None] + ax) ** 2
@@ -250,10 +250,20 @@ def make_encode_search(lm: int, batch: int, channels: int,
             yy = yy_ + 2.0 * jnp.sum(ohf * iy, -1)
             iy = iy + ohf
             left = jnp.maximum(left - 1, 0)
-            return iy, xy, yy, left
+            return t + 1, iy, xy, yy, left
 
-        iy, xy, yy, left = jax.lax.fori_loop(
-            0, t_max, body, (iy, xy, yy, pulses_left))
+        # while_loop with early exit: the trip count tracks the BATCH'S
+        # actual max pulses_left (typ. ~30-40 at 96 kbps), not the
+        # static t_max=128 worst case — the loop body sweeps the whole
+        # padded [B, P, NMAX] leaf area every iteration, so trips are
+        # the dominant device cost (measured 527 ms at B=1024 with the
+        # fixed-trip fori_loop, tools/tpu_encbench.py 2026-08-20).
+        def cond(carry):
+            t, _iy, _xy, _yy, left = carry
+            return (t < t_max) & jnp.any(left > 0)
+
+        _t, iy, xy, yy, left = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), iy, xy, yy, pulses_left))
         out = (sg * iy).astype(jnp.int32)
         return jnp.where(inn, out, 0), left
 
