@@ -561,11 +561,12 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 224, f_max: int = 64,
                        iyw: int = PLAN_IYW, leaves_fetch: str | None = None):
     """Build the jitted plan executor for one frame shape.
 
-    Returns f(header[B,3] i32, bands[B,29] i32, meta[B,16] i32,
+    Returns f(header[B,2] i32, bands[B,24] i32, meta[B,16] i32,
     arena[AW] i32) -> X [B, 2, N] f32 natural-domain band spectra.
-    header = {arena off, n_pvq|n_fill<<9|n_ac<<18, iy_rel}; bands =
-    21 config words + 8 words of 21x11-bit eff fields (frontend.py
-    _pack_plan_fixed).
+    header = {arena off, n_pvq|n_fill<<9|n_ac<<18} (iy_rel is derived
+    from the counts, v4.1); bands = 16 words of 21x24-bit config
+    fields + 8 words of 21x11-bit eff fields (frontend.py
+    pack_plan_fixed).
 
     stop_after (profiling only, tools/tpu_exec_bisect.py): one of
     "leaves", "posmap", "iy", "norm", "noise", "rot", "bands" — the
@@ -677,10 +678,12 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 224, f_max: int = 64,
         arena = jax.lax.bitcast_convert_type(arena_i32, jnp.uint32)
         hdr_off = header[:, 0]
         counts = header[:, 1]
+        # v4.1: iy_rel is not on the wire — the arena layout is
+        # [pvq 1w][fill 3w][ac 2w][iy], all counts-derived.
         n_pvq = counts & 0x1FF
         n_fill = (counts >> 9) & 0x1FF
         n_acents = counts >> 18
-        iy_rel = header[:, 2]
+        iy_rel = n_pvq + 3 * n_fill + 2 * n_acents
         spread = meta[:, 13]
         c2 = meta[:, 3] == 2  # frame coded stereo
         pos = jnp.arange(n2)[None, :]
@@ -1139,8 +1142,20 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 224, f_max: int = 64,
 
         # ---- band walk ----
         X = x.reshape(B, 2, n)
-        bw0 = jax.lax.bitcast_convert_type(bands[:, :NB], jnp.uint32)
-        beff = jax.lax.bitcast_convert_type(bands[:, NB : NB + 8], jnp.uint32)
+        # v4.1: band w0 ships as a 21x24-bit little-endian stream in 16
+        # words (fields use bits [0:24]: rec|td|lb|dual|isw|inv|imid|
+        # stereo@23); unpack like the 11-bit eff fields below.
+        bw0p = jax.lax.bitcast_convert_type(bands[:, :16], jnp.uint32)
+        bw0_cols = []
+        for _i in range(NB):
+            _bp = 24 * _i
+            _w, _s = _bp >> 5, _bp & 31
+            _v = bw0p[:, _w] >> _s
+            if _s + 24 > 32:
+                _v = _v | (bw0p[:, _w + 1] << (32 - _s))
+            bw0_cols.append(_v & 0xFFFFFF)
+        bw0 = jnp.stack(bw0_cols, axis=1)
+        beff = jax.lax.bitcast_convert_type(bands[:, 16 : 16 + 8], jnp.uint32)
         rec_b = (bw0 & 3).astype(jnp.int32)
         td_b = ((bw0 >> 2) & 3).astype(jnp.int32)
         lb_b = ((bw0 >> 4) & 1).astype(jnp.int32)
@@ -1397,9 +1412,9 @@ def make_plan_executor(lm: int, batch: int, p_max: int = 224, f_max: int = 64,
 def plan_executor_args(slot: dict):
     """Assemble the jit executor's inputs from a decoded plan slot
     (numpy; mirrors the device-side unpack in dsp/synthesis.py).
-    Returns (header [B,3], bands [B,29], meta [B,16], arena)."""
+    Returns (header [B,2], bands [B,24], meta [B,16], arena)."""
     bands = np.concatenate([slot["bw0_p"], slot["beff_p"]], axis=1)
-    return slot["hdr_p"], bands, slot["meta"], slot["arena"]
+    return slot["hdr_p"], bands, slot["meta"], slot["arena"]  # [B,2],[B,24]
 
 
 @functools.lru_cache(maxsize=None)

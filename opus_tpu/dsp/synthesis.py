@@ -831,18 +831,19 @@ def make_plan_serving_step(lm: int, batch: int, channels: int = 2,
 
     B = batch
     NBv = modes.NB_E_BANDS
-    # Plan-v2 packed fixed regions (frontend.py _pack_plan_fixed contract):
-    # header [B,3], ble Q9 pairs [B,21], dmeta [B,5], bands w0 [B,21],
-    # bands eff bit-stream [B,8], then the arena tail.
+    # Plan-v4.1 packed fixed regions (frontend.py pack_plan_fixed
+    # contract): header [B,2] (iy_rel derived on device), ble Q9 pairs
+    # [B,21], dmeta [B,5], bands w0 24-bit stream [B,16], bands eff
+    # bit-stream [B,8], then the arena tail.
     n_ = (1 << lm) * modes.SHORT_MDCT_SIZE
     assert not (silk_mix and downsample != 1), "mixed serving mixes at 48 kHz"
     silk_samps = ((n_ // 3) if silk_internal else n_) * channels
     silk_words = (silk_samps + 1) // 2 if silk_mix else 0
     o_hdr = 0
-    o_ble = o_hdr + B * 3
+    o_ble = o_hdr + B * 2
     o_dmeta = o_ble + B * NBv
     o_bw0 = o_dmeta + B * 5
-    o_beff = o_bw0 + B * NBv
+    o_beff = o_bw0 + B * 16
     o_smap = o_beff + B * 8
     o_arena = o_smap + (B if silk_mix else 0)
     # compacted silk rows land right after this step's arena bucket
@@ -857,7 +858,7 @@ def make_plan_serving_step(lm: int, batch: int, channels: int = 2,
                               pf_active, silk_mix)
 
     def unpack(buf):
-        header = buf[o_hdr:o_ble].reshape(B, 3)
+        header = buf[o_hdr:o_ble].reshape(B, 2)
         blew = buf[o_ble:o_dmeta].reshape(B, NBv)
         # Q9 int16 pairs -> f32 log-energies (int32 >> is arithmetic, so
         # the << 16 >> 16 round-trip sign-extends the low half).
@@ -905,7 +906,7 @@ def make_plan_serving_step(lm: int, batch: int, channels: int = 2,
             axis=1,
         )
         bands = jnp.concatenate(
-            [buf[o_bw0:o_beff].reshape(B, NBv), buf[o_beff:o_smap].reshape(B, 8)],
+            [buf[o_bw0:o_beff].reshape(B, 16), buf[o_beff:o_smap].reshape(B, 8)],
             axis=1,
         )
         silk = None

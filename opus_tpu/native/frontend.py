@@ -326,7 +326,7 @@ class NativeBatchFrontEnd:
     #: packed counts, iy_rel) + ble 21 (Q9 log-energy pairs) + dmeta 5
     #: (packed flags/periods/gains/plc) + bands 29 (21 w0 words + 8 words
     #: of 21x11-bit eff fields).
-    PLAN_FIXED_WORDS = 3 + 21 + 5 + 29
+    PLAN_FIXED_WORDS = 2 + 21 + 5 + 24  # v4.1 packed fixed regions
 
     def alloc_plan_slots(self, n_slots: int = 4, arena_words_per_stream: int = 512) -> list:
         return alloc_plan_slots(self.batch, n_slots, arena_words_per_stream)
@@ -963,7 +963,7 @@ class NativeSilkBatch:
 
 #: Plan-v2 uploaded fixed-region words per stream (see
 #: NativeBatchFrontEnd.PLAN_FIXED_WORDS).
-PLAN_FIXED_WORDS = 3 + 21 + 5 + 29
+PLAN_FIXED_WORDS = 2 + 21 + 5 + 24  # hdr 2w + ble 21 + dmeta 5 + bands 16+8
 _NB = 21
 
 
@@ -973,8 +973,9 @@ def alloc_plan_slots(batch: int, n_slots: int = 4,
     """Plan-executor serving slots (opus_tpu/dsp/plan_exec.py contract).
 
     One contiguous int32 buffer per slot holds the UPLOADED form: packed
-    fixed regions (header [B,3], ble Q9 [B,21], dmeta [B,5], bands
-    [B,21]+[B,8]), then a shared variable-fill arena so only the used
+    fixed regions (header [B,2] — iy_rel is DERIVED from the counts word
+    on device (v4.1) —, ble Q9 [B,21], dmeta [B,5], bands 24-bit-packed
+    w0 [B,16] + eff [B,8]), then a shared variable-fill arena so only the used
     prefix ships (`used_words` after each decode).  Full-precision
     staging arrays (header4/ble/meta/gains/bands) stay host-side for
     pf_chunk_for() and the numpy oracle — they are NOT uploaded.
@@ -993,10 +994,10 @@ def alloc_plan_slots(batch: int, n_slots: int = 4,
     for _ in range(n_slots):
         buf = np.zeros(fixed + aw + B * silk_words, np.int32)
         o = 0
-        hdr_p = buf[o : o + B * 3].reshape(B, 3); o += B * 3
+        hdr_p = buf[o : o + B * 2].reshape(B, 2); o += B * 2
         ble_p = buf[o : o + B * 21].reshape(B, _NB); o += B * 21
         dmeta = buf[o : o + B * 5].reshape(B, 5); o += B * 5
-        bw0_p = buf[o : o + B * 21].reshape(B, _NB); o += B * 21
+        bw0_p = buf[o : o + B * 16].reshape(B, 16); o += B * 16
         beff_p = buf[o : o + B * 8].reshape(B, 8); o += B * 8
         silk = smap = None
         if silk_words:
@@ -1075,9 +1076,10 @@ def pack_plan_fixed(slot: dict) -> None:
     (vectorised numpy; [B]-sized work only)."""
     hdr4 = slot["header"]
     B = hdr4.shape[0]
+    # v4.1: iy_rel (staging hdr4[:, 3]) is NOT uploaded — the device
+    # derives it from the counts word (n_pvq + 3 n_fill + 2 n_ac).
     slot["hdr_p"][:, 0] = hdr4[:, 0]
     slot["hdr_p"][:, 1] = hdr4[:, 1]
-    slot["hdr_p"][:, 2] = hdr4[:, 3]
     # ble: Q9 int16 pairs (step 1/512 in log2 — -63 dB energy class).
     q = np.clip(np.rint(slot["ble"] * 512.0), -32768, 32767).astype(np.int32)
     slot["ble_p"][:] = (q[:, 0] & 0xFFFF) | (q[:, 1] << 16)
@@ -1106,10 +1108,19 @@ def pack_plan_fixed(slot: dict) -> None:
     # pipeline ships 48 kHz PCM or the stream has no SILK).
     d[:, 3] = g16[:, 2].astype(np.int32) | ((meta[:, 12] & 0xFF) << 16)
     d[:, 4] = meta[:, 15]
-    # bands: w0 verbatim; eff fields as a 21x11-bit little-endian
+    # bands: w0 as a 21x24-bit little-endian stream in 16 words (the
+    # fields occupy bits [0:24] — v4.1); eff fields as a 21x11-bit
     # stream in 8 words.
     braw = slot["bands"]
-    slot["bw0_p"][:] = braw[:, :, 0]
+    w0u = braw[:, :, 0].astype(np.uint64) & 0xFFFFFF
+    outw = np.zeros((B, 16), np.uint64)
+    for j in range(_NB):
+        bitpos = 24 * j
+        w, sft = bitpos >> 5, bitpos & 31
+        outw[:, w] |= (w0u[:, j] << sft) & 0xFFFFFFFF
+        if sft + 24 > 32:
+            outw[:, w + 1] |= w0u[:, j] >> (32 - sft)
+    slot["bw0_p"][:] = outw.astype(np.uint32).view(np.int32)
     eff = ((braw[:, :, 1] >> 16) & 0x7FF).astype(np.uint64)
     out = np.zeros((B, 8), np.uint64)
     for j in range(_NB):
